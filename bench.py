@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (plan + execute + collect-count)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the summed wall-clock of all headline queries. Each query
+is forced with a ``count()`` so the full plan executes but no result
+set is shipped to the driver (the driver-side collect cost is not what
+we're measuring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Representative slice of SURVEY.md §2 coverage: reference parity
+# (wordcount/indexer), TPC-H relational (scan+agg, joins), windows,
+# event-time, and the training-pipeline extensions.
+HEADLINE = [
+    "wordcount",
+    "inverted_index",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top_orders_per_customer",
+    "tumbling_window_hourly",
+    "session_window_10min",
+    "asof_join_purchase_to_view",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from mapreduce_lab_spark import registry
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("mapreduce_lab_spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch JIT/IO.
+    qs[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,252 @@
-"""Placeholder — filled in this round."""
+"""Event-stream operators, batch form.
+
+The reference is strictly batch with a hard map→reduce barrier
+(``core/coordinator.go:317-324``) and has no time semantics at all;
+this module adds the standard event-time operator family over the
+``events`` table. Each query here has a Structured Streaming twin in
+``mapreduce_lab_spark/streaming/jobs.py`` built from the SAME helper
+(identical logical plan, streaming source) — the batch form is what
+the DuckDB oracle can check.
+
+Scale notes: ``window()``/``session_window()`` are native Catalyst
+operators (generate + hash/merge aggregate) and shuffle only on
+(key, window); the as-of join is the union+window pattern — one
+shuffle on user_id, no per-row Python, no range cross-join blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.numeric import (
+    exact_avg,
+    oracle_exact_avg,
+    oracle_exact_sum,
+    oracle_units,
+    to_units,
+)
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(to_units("value", 100)) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "tumbling_window_hourly",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {oracle_exact_sum('value', 100)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_avg(F.sum(to_units("value", 100)), F.count("*"), 100).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_15min",
+    oracle=f"""
+    -- Each event belongs to 4 sliding windows: the one starting at its
+    -- 15-min bucket and the 3 before it (width 1h / slide 15min).
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           {oracle_exact_avg(f"sum({oracle_units('value', 100)})", 'count(*)', 100)} AS avg_value
+    FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1
+    """,
+)
+def q_sliding_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user sessions: events merge while consecutive gaps < gap."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(to_units("value", 100)) / 100.0).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "session_window_10min",
+    oracle="""
+    -- Gaps-and-islands: a new session starts when the gap from the
+    -- previous event of the same user is >= 10 minutes (session_window
+    -- merges [ts, ts+gap) intervals, which overlap iff next < prev + gap).
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS session_value
+    FROM numbered
+    GROUP BY user_id, sess
+    """,
+)
+def q_session_window_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(load_table(spark, sf_dir, "events"))
+
+
+def asof_join_purchases_to_views(events: DataFrame) -> DataFrame:
+    """Each purchase matched to the user's most recent view at-or-before it.
+
+    Union + running-last pattern (the scalable as-of join): tag both
+    sides, sort within user by time with the match side first on ties,
+    carry the last seen view timestamp forward. One shuffle on
+    user_id; contrast with a naive range self-join which is O(n²) per
+    user. This is the composition-of-existing-ops route for an
+    operator Spark lacks natively (SURVEY.md §2.3 joins row).
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("side"), F.lit(None).cast("bigint").alias("event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    unioned = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "last_view_ts",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return matched.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        # whole elapsed seconds via integer micros — double epoch
+        # seconds would lose precision, and "boundary crossing" counts
+        # (DuckDB date_diff) disagree with elapsed time by ±1
+        ((F.unix_micros("ts") - F.unix_micros("last_view_ts")) / F.lit(1000000))
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+
+
+@query(
+    "asof_join_purchase_to_view",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS lag_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_purchases_to_views(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           floor(sum(CAST(json_extract_string(props, '$.k') AS INT)) * 1000000 / count(*)) / 1000000.0 AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        exact_avg(F.sum(k.cast("long")), F.count("*"), 1).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "dedup_first_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic "keep first" dedup — the batch analog of streaming
+    # dropDuplicates (which keeps the first arrival). row_number over
+    # (key → event-time order) rather than dropDuplicates() so the
+    # kept row is well-defined regardless of partitioning.
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )

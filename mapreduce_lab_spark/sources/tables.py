@@ -37,7 +37,26 @@ BROADCAST_SAFE = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
+    Parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
+    nanos as a raw long and floor-divide to microseconds — integer
+    arithmetic, because int64 nanos (~1.7e18) exceed double's 2^53
+    exact range, so `/ 1000.0` would corrupt low digits. Truncation
+    (not rounding) matches how microsecond engines (e.g. DuckDB)
+    ingest nanos. The conversion happens in the scan projection, so
+    column pruning and predicate pushdown on other columns are
+    unaffected."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
