@@ -1,1 +1,423 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators — exact and near-duplicate.
+
+The reference's only dedup is the per-document distinct inside the
+indexer Map (``plugin/indexer/indexer.go:23-27``). A training-data
+pipeline needs corpus-level dedup, so this module implements the
+standard family:
+
+- exact dedup: hash-groupBy on content md5 (one shuffle, map-side
+  partial agg; at 100 TB this is the cheapest possible corpus pass);
+- n-gram Jaccard near-dup: word-trigram shingle sets, pairs with
+  J >= 0.5 via an inverted shingle index join (shuffle on shingle,
+  then on the pair) — never a cross join;
+- MinHash + LSH: 16 universal-hash minima in 4 bands of 4; only
+  band-collision candidates are verified with exact Jaccard. At scale
+  the band join touches O(collisions), not O(n^2) — the classic
+  Broder construction;
+- SimHash: 32-bit frequency-weighted fingerprint, candidates via the
+  4-byte pigeonhole banding (hamming <= 3 implies at least one equal
+  byte), verified with exact bit_count(xor);
+- embedding cosine near-dup: exact pairwise cosine >= 0.4 with
+  norms precomputed per row before the join (the bucketed/ANN scale
+  path lives in ``operators/similarity.py``).
+
+Jaccard/cosine arithmetic is engine-portable: integer set sizes with
+floor-scaled ratios, and double fold-sums in fixed index order (see
+``functions/hashing.py`` / ``functions/numeric.py`` for why).
+
+All thresholds sit in the wide gap of the corpus' similarity
+distribution (planted near-dups are at J >= 0.9, background <= 0.07),
+so membership never hinges on a float ULP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.hashing import (
+    MINHASH_PERMS,
+    hex8_int,
+    oracle_hex8_int,
+    oracle_perm_hash,
+    perm_hash,
+)
+from mapreduce_lab_spark.functions.text import tokenize
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+N_BANDS = 4
+BAND_ROWS = 4  # N_BANDS * BAND_ROWS == len(MINHASH_PERMS)
+
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+COSINE_THRESHOLD = 0.4
+
+_ORACLE_TOKENS = "[t for t in regexp_split_to_array(text, '[^\\p{L}]+') if t <> '']"
+_ORACLE_SHINGLES = f"""
+    CASE WHEN len(tk) >= 3
+         THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in range(1, len(tk) - 1)])
+         ELSE [array_to_string(tk, ' ')] END
+""".strip()
+
+
+def shingles(text: Column) -> Column:
+    """Distinct word-trigram shingles (whole doc if < 3 tokens)."""
+    toks = tokenize(text)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= 3, tri).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+
+
+def _pair_jaccard(pairs: DataFrame, doc_sh: DataFrame) -> DataFrame:
+    """Attach exact Jaccard to (doc_a, doc_b) pairs; filter >= 0.5.
+
+    The filter is pure-integer (2*|A∩B| >= |A∪B|); the reported value
+    is a floor-scaled ratio — both identical across engines.
+    """
+    a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(2 * F.col("inter") >= F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(F.col("inter") * 1_000_000 / F.col("uni")) / 1e6).alias("jaccard"),
+        )
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical survivor (min doc_id) per content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+
+@query(
+    "near_dup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor(len(list_intersect(a.sh, b.sh)) * 1000000
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+             / 1000000.0 AS jaccard
+    FROM t a, t b
+    WHERE a.doc_id < b.doc_id
+      AND 2 * len(list_intersect(a.sh, b.sh))
+          >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+    """,
+)
+def q_near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-shingle Jaccard >= 0.5 pairs via inverted shingle index.
+
+    Spark plan: explode shingles → self-join on shingle (pairs sharing
+    at least one shingle) → count common shingles → exact Jaccard.
+    The oracle brute-forces the cross join instead — an independent
+    formulation, same answer. Scale note: hot shingles would blow up
+    the index join; production adds prefix filtering (sort shingles by
+    global df, index only each doc's rarest k) — semantics-preserving
+    for any threshold, omitted here for oracle clarity.
+    """
+    doc_sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    ex = doc_sh.select("doc_id", F.explode("sh").alias("s"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(pairs, doc_sh)
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_signature(hx: Column) -> list[Column]:
+    """16 minhash values over a column of hex8-int shingle hashes."""
+    def one(a: int, b: int) -> Column:
+        # Single-parameter lambda only: pyspark binds extra lambda
+        # parameters to the element index.
+        return F.array_min(F.transform(hx, lambda x: perm_hash(x, a, b)))
+
+    return [one(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_PERMS)]
+
+
+def _band_keys() -> list[Column]:
+    return [
+        F.concat_ws(":", *[F.col(f"s{band * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+        for band in range(N_BANDS)
+    ]
+
+
+def _oracle_minhash() -> tuple[str, str]:
+    """(sig CTE select-list, band UNION ALL) fragments for the oracle."""
+    sigs = ", ".join(
+        f"list_min(list_transform(hx, x -> {oracle_perm_hash('x', a, b)})) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {key} AS key FROM sig".format(
+            band=band,
+            key=" || ':' || ".join(
+                f"s{band * BAND_ROWS + r}::VARCHAR" for r in range(BAND_ROWS)
+            ),
+        )
+        for band in range(N_BANDS)
+    )
+    return sigs, bands
+
+
+_O_SIGS, _O_BANDS = _oracle_minhash()
+
+
+@query(
+    "near_dup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
+    ), h AS (
+      SELECT doc_id, list_transform(sh, s -> {oracle_hex8_int('s')}) AS hx FROM t
+    ), sig AS (
+      SELECT doc_id, {_O_SIGS} FROM h
+    ), bands AS (
+      {_O_BANDS}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           floor(len(list_intersect(ta.sh, tb.sh)) * 1000000
+                 / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))))
+             / 1000000.0 AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.doc_a
+    JOIN t tb ON tb.doc_id = cand.doc_b
+    WHERE 2 * len(list_intersect(ta.sh, tb.sh))
+          >= len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))
+    """,
+)
+def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4) candidates, Jaccard-verified.
+
+    Candidate generation is O(band collisions): docs agreeing on all 4
+    minhashes of any band meet in a bucket join. The verify step then
+    applies the same exact-Jaccard filter as the brute-force operator.
+    The output is defined by the algorithm (a pair missed by every
+    band is absent even if J >= 0.5) — the oracle reproduces the exact
+    same bands, so parity checks the construction end-to-end.
+    """
+    doc_sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    sig = doc_sh.select(
+        "doc_id", *minhash_signature(F.transform("sh", hex8_int))
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(cand, doc_sh)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit frequency-weighted SimHash per document.
+
+    One explode + one groupBy(doc_id) shuffle; the 32 bit-sums are
+    plain integer aggregates (map-side combinable). Bit j is set when
+    the signed occurrence-weighted sum of token-hash bit j is > 0.
+    """
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+    h = hex8_int(F.col("w"))
+    bit_sums = [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_O_H = oracle_hex8_int("w")
+_O_BITSUMS = ", ".join(
+    f"sum(((({_O_H}) >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(SIMHASH_BITS)
+)
+_O_SIM = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+
+@query(
+    "near_dup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_ORACLE_TOKENS}) AS w FROM documents
+    ), bits AS (
+      SELECT doc_id, {_O_BITSUMS} FROM tok GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, ({_O_SIM})::BIGINT AS simhash FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a, sim b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs with hamming distance <= 3.
+
+    Spark candidates via the pigeonhole byte-banding: hamming <= 3
+    can corrupt at most 3 of the 4 bytes, so near-dup pairs share at
+    least one exact byte — join on (byte_idx, byte_val), then verify
+    with exact bit_count(xor). The oracle brute-forces all pairs;
+    identical final predicate → identical result.
+    """
+    sim = simhash(load_table(spark, sf_dir, "documents"))
+    bytes_ = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(0xFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("byte_idx", "byte_val"),
+    )
+    cand = (
+        bytes_.alias("a")
+        .join(bytes_.alias("b"), ["byte_idx", "byte_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).alias("x"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count("x"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding cosine ------------------------------------------------------
+
+
+def _dvec(col: str) -> Column:
+    # Cast each element to double BEFORE any arithmetic: float*float
+    # rounds to single precision and would diverge from the oracle's
+    # double math.
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    # Left fold in index order — the exact same IEEE addition sequence
+    # as the oracle's list_reduce, hence bit-identical.
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(va: Column, vb: Column) -> Column:
+    dot = _fold_sum(F.zip_with(va, vb, lambda x, y: x * y))
+    return dot / F.sqrt(F.col("norm_a") * F.col("norm_b"))
+
+
+_O_DOT = "list_reduce([ea[i] * eb[i] for i in range(1, len(ea) + 1)], (x, y) -> x + y)"
+_O_NORM = "list_reduce([{e}[i] * {e}[i] for i in range(1, len({e}) + 1)], (x, y) -> x + y)"
+
+
+@query(
+    "near_dup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, {_O_NORM.format(e='v')} AS norm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(sub.dot / sqrt(a.norm * b.norm), 6) AS cosine
+    FROM n a, n b,
+         LATERAL (SELECT {_O_DOT} AS dot
+                  FROM (SELECT a.v AS ea, b.v AS eb)) sub
+    WHERE a.vec_id < b.vec_id
+      AND sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+    """,
+)
+def q_near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine >= 0.4 over the embeddings table.
+
+    Norms are computed once per row before the join (O(n·d)), so the
+    O(n²) pair stage only pays the dot product. This is the exact
+    baseline; the LSH-bucketed ANN path is in operators/similarity.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    e = e.withColumn("norm", _fold_sum(F.zip_with("v", "v", lambda x, y: x * y)))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("norm_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("norm_b")
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )

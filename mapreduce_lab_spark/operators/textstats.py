@@ -1,1 +1,241 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators for a training-data pipeline.
+
+The reference has exactly one text operation — the word tokenizer
+(``plugin/word_count/wc.go:21-34``); this module is the superset a
+100 TB document pipeline needs: token counting (whitespace + a BPE-ish
+regex pre-tokenizer), quality scoring, n-gram language-ID, and content
+fingerprinting.
+
+Everything stays inside whole-stage codegen — per-document scalar
+expressions only, no shuffle at all (narrow, embarrassingly parallel:
+the ideal shape at scale), no Python in the hot path. Ratio outputs
+use floor-scaled integer arithmetic (see ``functions/numeric.py``) so
+the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.hashing import oracle_hex8_int
+from mapreduce_lab_spark.functions.text import NON_LETTER_RE, tokenize
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+# GPT-2-style pre-tokenizer, simplified: letter runs, digit runs, or a
+# single non-letter/digit/space symbol per token.
+BPE_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+PUNCT_RE = r"[^\p{L}\p{N}\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Scored langs in fixed alphabetical order; ties break to
+# the alphabetically-first language, deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "is", "not"),
+    "es": ("el", "los", "las", "y", "es", "no"),
+    "fr": ("le", "la", "les", "et", "des", "ne"),
+    "zh": ("的", "是", "不", "了", "在", "人"),
+}
+
+_ORACLE_TOKENS = "[t for t in regexp_split_to_array(text, '[^\\p{L}]+') if t <> '']"
+_O_BPE_RE = BPE_RE
+_O_TOKSUM = f"list_sum(list_transform({_ORACLE_TOKENS}, t -> len(t)))"
+_O_NTOK = f"len({_ORACLE_TOKENS})"
+
+
+def _floor_ratio(num: Column, den: Column, out_scale: int = 1_000_000) -> Column:
+    return F.floor(num * F.lit(out_scale) / den) / F.lit(float(out_scale))
+
+
+def _oracle_floor_ratio(num: str, den: str, out_scale: int = 1_000_000) -> str:
+    return f"(floor(({num}) * {out_scale} / ({den})) / {float(out_scale)})"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts: whitespace, BPE-ish, and letter-run."""
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_RE)).alias("n_bpe_tokens"),
+        F.size(toks).alias("n_letter_tokens"),
+        _floor_ratio(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)),
+            F.size(toks),
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_O_BPE_RE}')) AS n_bpe_tokens,
+           len({_ORACLE_TOKENS}) AS n_letter_tokens,
+           {_oracle_floor_ratio(_O_TOKSUM, _O_NTOK)} AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic per-document quality score in [0, 1].
+
+    Components (all floor-scaled integer arithmetic, ``_m`` = milli):
+    length score (tokens/100, capped), stopword ratio, punctuation
+    ratio; composite = 0.4*len + 0.3*(1-stop) + 0.3*(1-punct).
+    """
+    toks = tokenize(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct_cnt = F.regexp_count("text", F.lit(PUNCT_RE))
+    n_chars = F.length("text")
+    len_m = F.least(F.lit(1000), F.floor(n_tokens * 1000 / F.lit(100)))
+    stop_m = F.floor(stop_cnt * 1000 / n_tokens)
+    punct_m = F.floor(punct_cnt * 1000 / n_chars)
+    return docs.select(
+        "doc_id",
+        (stop_m / 1000.0).alias("stopword_ratio"),
+        (punct_m / 1000.0).alias("punct_ratio"),
+        (
+            F.floor((4 * len_m + 3 * (1000 - stop_m) + 3 * (1000 - punct_m)) / F.lit(10))
+            / 1000.0
+        ).alias("quality_score"),
+    )
+
+
+_O_STOP = "list_filter(" + _ORACLE_TOKENS + ", t -> t IN ('" + "','".join(STOPWORDS) + "'))"
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             len({_ORACLE_TOKENS}) AS n_tokens,
+             len({_O_STOP}) AS stop_cnt,
+             len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}\\s]')) AS punct_cnt,
+             len(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           floor(stop_cnt * 1000 / n_tokens) / 1000.0 AS stopword_ratio,
+           floor(punct_cnt * 1000 / n_chars) / 1000.0 AS punct_ratio,
+           floor((4 * least(1000, floor(n_tokens * 1000 / 100))
+                  + 3 * (1000 - floor(stop_cnt * 1000 / n_tokens))
+                  + 3 * (1000 - floor(punct_cnt * 1000 / n_chars))) / 10) / 1000.0
+             AS quality_score
+    FROM c
+    """,
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language-ID: argmax marker-occurrence count.
+
+    Checked by engine-vs-oracle parity (the synthetic corpus shares one
+    vocabulary across its ``lang`` labels, so accuracy against the
+    label is not the contract — determinism is).
+    """
+    toks = tokenize(F.lower(F.col("text")))
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        # NB: the filter lambda must take exactly one parameter —
+        # pyspark passes the element index to a second parameter.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    return docs.select(
+        "doc_id", pred.alias("predicted_lang"), best.alias("marker_hits")
+    )
+
+
+def _oracle_lang_score(markers: tuple[str, ...]) -> str:
+    toks = "[t for t in regexp_split_to_array(lower(text), '[^\\p{L}]+') if t <> '']"
+    return f"len(list_filter({toks}, t -> t IN ('" + "','".join(markers) + "')))"
+
+
+_O_SCORES = {lg: _oracle_lang_score(m) for lg, m in LANG_MARKERS.items()}
+_O_BEST = "greatest(" + ", ".join(f"s_{lg}" for lg in sorted(_O_SCORES)) + ")"
+_O_PRED = (
+    "CASE "
+    + " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in sorted(_O_SCORES))
+    + " END"
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {', '.join(f'{sql} AS s_{lg}' for lg, sql in sorted(_O_SCORES.items()))}
+      FROM documents
+    ), b AS (
+      SELECT doc_id, {_O_BEST} AS best, * FROM s
+    )
+    SELECT doc_id, {_O_PRED} AS predicted_lang, best AS marker_hits
+    FROM b
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprints: normalized-text md5 + min char-5-gram hash.
+
+    The min-shingle-hash is MinHash with one permutation over 5-char
+    sliding windows — a rolling-hash-style content fingerprint that
+    survives small insertions (unlike the full-text md5).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    shingles = F.when(
+        F.length(norm) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 4),
+            lambda i: norm.substr(i, F.lit(5)),
+        ),
+    ).otherwise(F.array(norm))
+    min_shingle = F.array_min(
+        F.transform(shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        min_shingle.alias("min_shingle_hash"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS content_md5,
+           list_min(list_transform(
+             CASE WHEN len(norm) >= 5
+                  THEN [substr(norm, i, 5) for i in range(1, len(norm) - 3)]
+                  ELSE [norm] END,
+             s -> {oracle_hex8_int('s')})) AS min_shingle_hash
+    FROM n
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
