@@ -1,0 +1,160 @@
+"""Structured Streaming jobs over the events stream.
+
+ABSENT from the reference — it is strictly batch with a hard
+map→reduce barrier (``core/coordinator.go:317-324``) and no time
+semantics. This module is the streaming surface of the engine:
+the SAME logical plans as the batch event-time operators in
+``operators/events.py`` (the helpers are shared — batch/streaming
+parity is by construction), driven from a file-stream source with
+watermarks, plus the streaming-only operators (dedup-within-watermark,
+custom stateful aggregation via applyInPandasWithState).
+
+Scale notes: every stateful operator here keys its state by a
+bounded-cardinality key (user_id, dedup key) and bounds retention
+with a watermark — the two requirements for state stores that survive
+at production rates. File source + availableNow gives exactly-once
+replay in tests; swap the source for Kafka in production, the plan is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mapreduce_lab_spark.operators.events import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+WATERMARK = "30 minutes"
+SESSION_GAP = "10 minutes"
+
+
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source over events parquet file(s) in ``path``.
+
+    Mirrors ``sources.tables._load_events``: the files store
+    nanosecond timestamps, read as raw longs (legacy conf) and
+    floor-divided to microseconds.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --- shared-plan streaming twins ------------------------------------------
+
+
+def streaming_tumbling_hourly(stream: DataFrame) -> DataFrame:
+    """Hourly tumbling counts — identical plan to the batch query."""
+    return tumbling_counts(stream)
+
+
+def streaming_sliding_15min(stream: DataFrame) -> DataFrame:
+    return sliding_counts(stream)
+
+
+def streaming_sessions(stream: DataFrame) -> DataFrame:
+    """Watermarked per-user session windows (native session_window).
+
+    In append mode a session emits once the watermark passes
+    session_end + gap — late events inside the watermark still merge.
+    """
+    return session_windows(stream.withWatermark("ts", WATERMARK), gap=SESSION_GAP)
+
+
+def streaming_dedup(stream: DataFrame) -> DataFrame:
+    """First event per (user_id, event_type) with watermark-bounded state.
+
+    The streaming twin of the batch ``dedup_first_event_per_user_type``
+    operator: state for a key is dropped once the watermark passes it,
+    so the store stays bounded regardless of stream length.
+    """
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+# --- custom stateful operator ---------------------------------------------
+
+_RUNNING_SCHEMA = "user_id long, n_events long, total_cents long"
+_STATE_SCHEMA = "n long, cents long"
+
+
+def _running_totals(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+) -> Iterator["pd.DataFrame"]:
+    """Per-user running (count, exact-cent total) across microbatches."""
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # Per-row cent conversion before summing: order-independent
+        # exact integers, matching the batch engine's to_units() math
+        # (see functions/numeric.py) regardless of batch boundaries.
+        cents += int(sum(int(round(v * 100)) for v in pdf["value"]))
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+
+def streaming_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful aggregation via applyInPandasWithState.
+
+    The reference's holistic Reduce UDAF (``core/worker.go:279``)
+    generalized to unbounded streams: per-key state carried across
+    microbatches, Arrow-batched, emitting the updated running total
+    each batch. (For this float-summing demo the per-batch cent
+    rounding is the determinism boundary; exactness to the batch
+    oracle is asserted for the single-batch replay in tests.)
+    """
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- test/driver harness ---------------------------------------------------
+
+
+def run_available_now(sdf: DataFrame, output_mode: str, name: str) -> DataFrame:
+    """Drain all available input into a memory sink; return the result.
+
+    availableNow + memory sink is the deterministic replay harness:
+    processes every pending file (respecting maxFilesPerTrigger
+    batching) then stops.
+    """
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,115 @@
+"""Streaming/batch parity: the streaming twins must produce the same
+results as the batch event-time operators on a full replay.
+
+Harness: events are rewritten as plain-int64-ts parquet into a tmp
+stream directory; availableNow drains them into a memory sink. The
+watermark tests add a later sentinel file and force two microbatches
+(maxFilesPerTrigger=1) so the watermark actually advances between
+batches and closes sessions — a single-batch replay would never fire
+event-time state eviction.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.operators.events import session_windows, tumbling_counts
+from mapreduce_lab_spark.streaming import jobs
+
+SENTINEL_USER = -1
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """events as plain-int64 nanos parquet: real.parquet, then (later
+    mtime) a single far-future sentinel event that advances the
+    watermark past every real session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import duckdb
+
+    d = tmp_path_factory.mktemp("events_stream")
+    con = duckdb.connect()
+    tbl = con.execute(
+        f"""
+        SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props
+        FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')
+        """
+    ).fetch_arrow_table()
+    pq.write_table(tbl, str(d / "real.parquet"))
+    max_ns = max(tbl["ts"].to_pylist())
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([10**9], pa.int64()),
+            "ts": pa.array([max_ns + 2 * 3600 * 10**9], pa.int64()),
+            "user_id": pa.array([SENTINEL_USER], pa.int64()),
+            "event_type": pa.array(["sentinel"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    time.sleep(1.1)  # file-source batches order by mtime: sentinel last
+    pq.write_table(sentinel, str(d / "zz_sentinel.parquet"))
+    con.close()
+    return str(d)
+
+
+def _batch_events(spark, stream_dir, with_sentinel: bool):
+    df = (
+        spark.read.schema(jobs.EVENTS_SCHEMA)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return df if with_sentinel else df.filter(F.col("user_id") != SENTINEL_USER)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, stream_dir):
+    stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
+    got = jobs.run_available_now(
+        jobs.streaming_tumbling_hourly(stream), "complete", "t_tumbling"
+    )
+    want = tumbling_counts(_batch_events(spark, stream_dir, with_sentinel=False))
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_sessions_close_on_watermark(spark, stream_dir):
+    stream = jobs.events_stream(
+        spark, stream_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+    got = jobs.run_available_now(jobs.streaming_sessions(stream), "append", "t_sessions")
+    got = got.filter(F.col("user_id") != SENTINEL_USER)
+    want = session_windows(
+        _batch_events(spark, stream_dir, with_sentinel=False), gap=jobs.SESSION_GAP
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dir):
+    stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
+    got = jobs.run_available_now(jobs.streaming_dedup(stream), "append", "t_dedup")
+    batch = _batch_events(spark, stream_dir, with_sentinel=False)
+    want_keys = batch.select("user_id", "event_type").distinct()
+    assert got.count() == want_keys.count()
+    assert _rows(got.select("user_id", "event_type")) == _rows(want_keys)
+
+
+def test_streaming_running_totals_match_batch(spark, stream_dir):
+    stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
+    got = jobs.run_available_now(
+        jobs.streaming_running_totals(stream), "update", "t_totals"
+    )
+    batch = _batch_events(spark, stream_dir, with_sentinel=False)
+    want = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    assert _rows(got) == _rows(want)
