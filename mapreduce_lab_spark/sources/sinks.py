@@ -1,0 +1,79 @@
+"""Sinks — the reference's output formats plus the columnar superset.
+
+Reference sinks (SURVEY.md §2.1): space-separated text lines
+``"<key> <value>\\n"`` per reduce partition (E8,
+``core/worker.go:202,213-265``) and JSON-lines intermediates (E3,
+``core/worker.go:415-429``). Both are reproduced here as one-liner
+DataFrame writers — plus parquet, the format everything at scale
+should actually use (columnar, compressed, statistics for pushdown,
+partition pruning via ``partitionBy``).
+
+Output commit semantics: Spark's FileOutputCommitter gives the
+atomicity the reference's ping→commit→complete protocol attempts but
+doesn't achieve (it appends without O_TRUNC — SURVEY.md E13 note);
+nothing to build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_text_kv(df: DataFrame, path: str, key_col: str = "key", value_col: str = "value",
+                  n_partitions: int | None = None) -> None:
+    """Reference mr-out format: one '<key> <value>' line per row.
+
+    One output file per partition, exactly like one ``mr-out-<r>`` per
+    reduce task; pass ``n_partitions`` to mirror the reference's fixed
+    nReduce=10 (``main/mrcoordinator.go:16``). Intra-file order is
+    unspecified in the reference (it iterates a Go map) and here too —
+    the harness sorts before comparing (``test.sh:96``).
+    """
+    out = df.select(F.concat_ws(" ", F.col(key_col).cast("string"),
+                                F.col(value_col).cast("string")).alias("value"))
+    if n_partitions is not None:
+        out = out.repartition(n_partitions, key_col) if key_col in df.columns else out
+    out.write.mode("overwrite").text(path)
+
+
+def read_text_kv(spark: SparkSession, path: str) -> DataFrame:
+    """Read the mr-out format back: splits on the FIRST space only
+    (values may contain spaces — e.g. the indexer's '<n> <docs>')."""
+    raw = spark.read.text(path)
+    sep = F.instr("value", " ")
+    return raw.select(
+        F.expr("substring(value, 1, instr(value, ' ') - 1)").alias("key"),
+        F.expr("substring(value, instr(value, ' ') + 1)").alias("value"),
+    ) if sep is not None else raw
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (the reference's intermediate format, E3)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Columnar sink with optional hive-style partitioning.
+
+    ``partition_by`` columns become directory partitions — the scale
+    lever: queries filtering on them prune whole directories before
+    any IO. ``sort_by`` sorts within partitions so parquet row-group
+    min/max statistics become selective for range predicates.
+    """
+    out = df
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,65 @@
+"""Scale-posture assertions on physical plans.
+
+Correctness tests can't see a plan regression (answers stay right at
+test scale); these tests pin the properties that decide whether the
+same plan survives 100 TB: predicate pushdown, column pruning,
+broadcast dimension joins, map-side partial aggregation, and
+whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.plans import inspect
+from mapreduce_lab_spark.operators.relational import (
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+    topk_expensive_parts,
+)
+from mapreduce_lab_spark.operators.wordcount import q_wordcount
+from mapreduce_lab_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40).select(
+        "l_orderkey", "l_quantity"
+    )
+    pushed = inspect.pushed_filters(df)
+    assert any("l_quantity" in p and "GreaterThan" in p for p in pushed), pushed
+
+
+def test_column_pruning_narrow_read_schema(spark, sf_dir):
+    # wordcount projects a single column from a 5-column table: the
+    # scan must read only `text`.
+    df = q_wordcount(spark, sf_dir)
+    schemas = inspect.scan_read_schemas(df)
+    assert schemas and all(cols == ["text"] for cols in schemas), schemas
+
+
+def test_q3_broadcasts_customer_dimension(spark, sf_dir):
+    df = q3_shipping_priority(spark, sf_dir)
+    assert inspect.broadcast_join_count(df) >= 1, inspect.formatted_plan(df)
+
+
+def test_q5_snowflake_dims_all_broadcast(spark, sf_dir):
+    df = q5_local_supplier_volume(spark, sf_dir)
+    # supplier, nation, region joins must all be broadcast — the only
+    # shuffle joins allowed are the fact-fact joins.
+    assert inspect.broadcast_join_count(df) >= 3, inspect.formatted_plan(df)
+    assert inspect.shuffle_join_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_wordcount_has_partial_aggregation(spark, sf_dir):
+    # Catalyst must insert a map-side partial count so the shuffle
+    # carries (word, partial) not one row per occurrence — the key
+    # upgrade over the reference (SURVEY.md §2.3 aggregation row).
+    df = q_wordcount(spark, sf_dir)
+    assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
+
+
+def test_topk_uses_single_scan_and_codegen(spark, sf_dir):
+    df = topk_expensive_parts(spark, sf_dir)
+    assert inspect.codegen_stage_count(df) >= 1
