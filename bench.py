@@ -37,6 +37,13 @@ HEADLINE = [
     "tumbling_window_hourly",
     "session_window_10min",
     "asof_join_purchase_to_view",
+    "dedup_exact",
+    "near_dup_minhash_lsh",
+    "near_dup_simhash",
+    "knn_cosine_bruteforce",
+    "text_quality_scores",
+    "multimodal_frame_sample",
+    "mapreduce_wordcount",
 ]
 
 

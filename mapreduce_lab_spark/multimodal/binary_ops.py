@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.registry import query
-from mapreduce_lab_spark.sources.tables import load_table
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
 FRAME_STRIDE = 128  # one sampled frame per 128 payload bytes
 FRAME_LEN = 64
@@ -121,7 +121,7 @@ def blob_stats(blobs: DataFrame) -> DataFrame:
     """,
 )
 def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return blob_stats(blobify(load_table(spark, sf_dir, "documents")))
+    return blob_stats(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))
 
 
 def frame_sample(blobs: DataFrame) -> DataFrame:
@@ -163,4 +163,4 @@ def frame_sample(blobs: DataFrame) -> DataFrame:
     """,
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frame_sample(blobify(load_table(spark, sf_dir, "documents")))
+    return frame_sample(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))

@@ -44,7 +44,7 @@ from mapreduce_lab_spark.functions.hashing import (
 )
 from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.registry import query
-from mapreduce_lab_spark.sources.tables import load_table
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
 N_BANDS = 4
 BAND_ROWS = 4  # N_BANDS * BAND_ROWS == len(MINHASH_PERMS)
@@ -119,7 +119,7 @@ def _pair_jaccard(pairs: DataFrame, doc_sh: DataFrame) -> DataFrame:
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: canonical survivor (min doc_id) per content hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return (
         docs.groupBy(F.md5("text").alias("content_md5"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
@@ -157,7 +157,10 @@ def q_near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     global df, index only each doc's rarest k) — semantics-preserving
     for any threshold, omitted here for oracle clarity.
     """
-    doc_sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    # The shingle table feeds both sides of the self-join and the
+    # verify step: cache it so tokenization+shingling runs once, not
+    # 4x (at scale this is a materialized signature table).
+    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
     ex = doc_sh.select("doc_id", F.explode("sh").alias("s"))
     pairs = (
         ex.alias("a")
@@ -248,13 +251,17 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band is absent even if J >= 0.5) — the oracle reproduces the exact
     same bands, so parity checks the construction end-to-end.
     """
-    doc_sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    # Shingling + per-shingle md5 + 16 permutations is the expensive
+    # subtree and feeds both self-join sides plus the Jaccard verify:
+    # cache both tables so it computes once (the production analog is
+    # a persisted signature table keyed by doc_id).
+    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
     sig = doc_sh.select(
         "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
-    )
+    ).cache()
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
@@ -324,7 +331,7 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact bit_count(xor). The oracle brute-forces all pairs;
     identical final predicate → identical result.
     """
-    sim = simhash(load_table(spark, sf_dir, "documents"))
+    sim = simhash(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
     bytes_ = sim.select(
         "doc_id",
         "simhash",
@@ -404,7 +411,7 @@ def q_near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) pair stage only pays the dot product. This is the exact
     baseline; the LSH-bucketed ANN path is in operators/similarity.py.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _dvec("embedding").alias("v")
     )
     e = e.withColumn("norm", _fold_sum(F.zip_with("v", "v", lambda x, y: x * y)))

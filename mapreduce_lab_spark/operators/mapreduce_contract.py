@@ -39,7 +39,7 @@ from pyspark.rdd import portable_hash
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_lab_spark.registry import query
-from mapreduce_lab_spark.sources.tables import load_table
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
 # Ship this module's functions INSIDE the pickled closures instead of
 # by reference: executors (which may not have the package on their
@@ -101,7 +101,7 @@ def map_reduce(
 
 def _doc_records(spark: SparkSession, sf_dir: str):
     """documents as (filename-like name, contents) map inputs."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return docs.rdd.map(lambda r: (f"doc-{r.doc_id}", r.text))
 
 

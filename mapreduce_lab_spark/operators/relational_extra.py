@@ -1,0 +1,182 @@
+"""Relational surface completions: the remaining §2.3 ABSENT rows.
+
+Full outer join, non-equi (range) join, explicit GROUPING SETS,
+array scalar functions, and approximate distinct counting — each
+absent from the reference (which has no joins, no grouping beyond
+one key, no arrays: SURVEY.md §2.3) and standard in the engine's
+superset surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+# Price bands for the range join: a tiny literal dimension, the
+# classic "join facts to configured ranges" shape.
+PRICE_BANDS = [
+    ("budget", 0.0, 1200.0),
+    ("mid", 1200.0, 1600.0),
+    ("premium", 1600.0, 2500.0),
+]
+
+
+@query(
+    "full_outer_join_nation_activity",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def q_full_outer_join_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations with only customers
+    or only suppliers survive with zero-filled counts)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+_O_BANDS = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+
+@query(
+    "range_join_price_bands",
+    oracle=f"""
+    SELECT band, count(*) AS n_parts,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM part
+    JOIN (VALUES {_O_BANDS}) AS bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: facts against a broadcast band table.
+
+    The band side is bounded and literal, so Spark plans a
+    BroadcastNestedLoopJoin — O(n·bands) with no shuffle of the fact
+    table; the alternative (shuffle theta-join) would be catastrophic
+    at scale. Bands here are non-overlapping half-open intervals.
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.sum(F.round(F.col("p_retailprice") * 100).cast("long")) / 100.0).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query(
+    "grouping_sets_order_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube): per
+    status, per priority, and grand total in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "array_functions_embeddings",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+           round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+           round(embedding[1]::DOUBLE, 6) AS first_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(list_reduce(embedding::DOUBLE[], (a, b) -> a + b), 6) AS total
+    FROM embeddings
+    """,
+)
+def q_array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function sweep over array<float>: size, min/max,
+    element access, filtered count, fold — all JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(dv), 6).alias("vmin"),
+        F.round(F.array_max(dv), 6).alias("vmax"),
+        F.round(F.element_at(dv, 1), 6).alias("first_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.slice(dv, 2, F.size("embedding") - 1),
+                F.element_at(dv, 1),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("total"),
+    )
+
+
+@query("approx_distinct_users")
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type.
+
+    No oracle: HLL sketches are engine-specific (DuckDB's approx
+    differs), so the driver records the rows-only check; the accuracy
+    contract (≤ 2% relative error vs exact) is asserted in
+    tests/test_relational_extra.py instead. At scale this is the
+    operator that replaces an O(distinct) exact shuffle with a
+    constant-size sketch mergeable map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )

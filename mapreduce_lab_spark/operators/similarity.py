@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.registry import query
-from mapreduce_lab_spark.sources.tables import load_table
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
 TOP_K = 5
@@ -96,7 +96,7 @@ def knn_bruteforce(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> 
     """,
 )
 def q_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_bruteforce(load_table(spark, sf_dir, "embeddings"))
+    return knn_bruteforce(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
 
 
 def _bucket(v: Column) -> Column:
@@ -173,4 +173,4 @@ def ann_lsh(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFra
     """,
 )
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_lsh(load_table(spark, sf_dir, "embeddings"))
+    return ann_lsh(fan_out(load_table(spark, sf_dir, "embeddings"), spark))

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from mapreduce_lab_spark.functions.hashing import oracle_hex8_int
 from mapreduce_lab_spark.functions.text import NON_LETTER_RE, tokenize
 from mapreduce_lab_spark.registry import query
-from mapreduce_lab_spark.sources.tables import load_table
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
 # GPT-2-style pre-tokenizer, simplified: letter runs, digit runs, or a
 # single non-letter/digit/space symbol per token.
@@ -82,7 +82,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     """,
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_stats(load_table(spark, sf_dir, "documents"))
+    return token_stats(fan_out(load_table(spark, sf_dir, "documents"), spark))
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
@@ -136,7 +136,7 @@ _O_STOP = "list_filter(" + _ORACLE_TOKENS + ", t -> t IN ('" + "','".join(STOPWO
     """,
 )
 def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_scores(load_table(spark, sf_dir, "documents"))
+    return quality_scores(fan_out(load_table(spark, sf_dir, "documents"), spark))
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -192,7 +192,7 @@ _O_PRED = (
     """,
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(load_table(spark, sf_dir, "documents"))
+    return lang_id(fan_out(load_table(spark, sf_dir, "documents"), spark))
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:
@@ -238,4 +238,4 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprints(load_table(spark, sf_dir, "documents"))
+    return fingerprints(fan_out(load_table(spark, sf_dir, "documents"), spark))

@@ -63,3 +63,20 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     if not names:
         names = TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a small-file scan up to cluster parallelism.
+
+    A table that arrives as few/one parquet split serializes every
+    downstream narrow stage onto as many cores as it has splits —
+    fatal for compute-heavy per-row work (hashing, shingling, vector
+    math). When the scan already has >= defaultParallelism splits
+    (always true for 100 TB inputs) this is a no-op costing one
+    getNumPartitions() call; otherwise one tiny round-robin shuffle
+    buys full-cluster parallelism for everything after it.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
