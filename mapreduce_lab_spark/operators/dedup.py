@@ -282,10 +282,14 @@ def simhash(docs: DataFrame) -> DataFrame:
     plain integer aggregates (map-side combinable). Bit j is set when
     the signed occurrence-weighted sum of token-hash bit j is > 0.
     """
-    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
-    h = hex8_int(F.col("w"))
+    # Materialize the token hash as a column BEFORE the aggregate so
+    # the md5 runs once per token, not once per bit expression (CSE
+    # across aggregate functions is not guaranteed).
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("w")
+    ).select("doc_id", hex8_int(F.col("w")).alias("h"))
     bit_sums = [
-        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sums)

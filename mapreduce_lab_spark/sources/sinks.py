@@ -77,3 +77,25 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed (hash-clustered) managed table.
+
+    The co-located-join lever at scale: two tables bucketed on the
+    same key with the same bucket count join with ZERO shuffle — the
+    physical layout IS the partitioning, paid once at write time and
+    amortized over every subsequent join/aggregation on that key
+    (asserted in tests/test_bucketing.py). Sorting within buckets
+    additionally removes the sort from sort-merge joins.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
