@@ -41,9 +41,7 @@ def inverted_index(df: DataFrame, doc_col: str, text_col: str = "text") -> DataF
     )
 
 
-@query(
-    "inverted_index",
-    oracle="""
+_ORACLE = """
     SELECT word,
            count(doc) AS doc_count,
            string_agg(doc, ',' ORDER BY doc) AS docs
@@ -54,8 +52,35 @@ def inverted_index(df: DataFrame, doc_col: str, text_col: str = "text") -> DataF
     )
     WHERE word <> ''
     GROUP BY word
-    """,
-)
+    """
+
+
+@query("inverted_index", oracle=_ORACLE)
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return inverted_index(docs, doc_col="source")
+
+
+@query("inverted_index_salted", oracle=_ORACLE)
+def q_inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof posting lists: salted two-phase collect_set.
+
+    Same result as `inverted_index` (same oracle checks both — a
+    built-in differential test of the salting), but hot words' posting
+    lists are assembled across 16 sub-aggregates instead of one
+    reducer task: the plan that survives Zipfian word keys at 100 TB.
+    See functions/skew.py for the construction.
+    """
+    from mapreduce_lab_spark.functions.skew import salted_collect_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("source").alias("doc"),
+        F.explode(tokenize(F.col("text"))).alias("word"),
+    )
+    sets = salted_collect_set(pairs, ["word"], "doc")
+    return sets.select(
+        "word",
+        F.size("values").alias("doc_count"),
+        F.concat_ws(",", "values").alias("docs"),
+    )
