@@ -164,6 +164,39 @@ def q_array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_aggregates_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact statistical aggregates: interpolated percentiles, Pearson
+    correlation, sample stddev.
+
+    Spark's `percentile` (exact, sort-based — NOT percentile_approx)
+    matches DuckDB's quantile_cont linear interpolation bit-for-bit on
+    the same doubles; corr/stddev agree at 6 dp (rounded in-query).
+    Scale note: exact percentile buffers each group's values — right
+    for bounded groups like this 3-flag split; unbounded-cardinality
+    groups should switch to approx_percentile (sketch, mergeable
+    map-side).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+    )
+
+
 @query("approx_distinct_users")
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per event type.
