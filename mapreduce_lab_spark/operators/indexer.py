@@ -5,18 +5,19 @@ document, tokenize and deduplicate words (a set), emit ``(word,
 filename)`` once per distinct word; per word, output the document
 count and the comma-joined lexicographically-sorted document list.
 
-Spark-first design: explode → distinct → groupBy word →
-``count`` + ``concat_ws(",", sort_array(collect_set(doc)))``.
+Spark-first design: explode → groupBy word →
+``sort_array(collect_set(doc))`` → derive count + joined list.
 ``sort_array`` makes the holistic "sorted posting list" deterministic
 regardless of shuffle arrival order (the reference gets this from its
 per-partition sort, SURVEY.md §7 hard-part (a)).
 
-Scale note: the distinct is a shuffle on (word, doc) — unavoidable
-for exact posting lists — but Catalyst plans it as partial hash
-aggregate before the exchange, so duplicate (word, doc) pairs within
-a partition never hit the wire. Posting lists for hot words grow
-O(corpus); at 100 TB a real deployment would cap or bucket posting
-lists, which `doc_count` (kept separate) already supports.
+Scale note: ONE shuffle on word — collect_set dedupes (word, doc)
+itself, partially map-side, so duplicate pairs within a partition
+never hit the wire and no separate distinct pass is needed. Posting
+lists for hot words grow O(corpus); at 100 TB a real deployment caps
+or buckets posting lists — or uses the salted two-phase variant
+(`inverted_index_salted`, functions/skew.py) to spread hot-word
+assembly across reducers.
 """
 
 from __future__ import annotations
@@ -30,14 +31,22 @@ from mapreduce_lab_spark.sources.tables import load_table
 
 
 def inverted_index(df: DataFrame, doc_col: str, text_col: str = "text") -> DataFrame:
-    """(word, doc_count, docs) — docs is the sorted distinct doc list."""
+    """(word, doc_count, docs) — docs is the sorted distinct doc list.
+
+    Single shuffle: collect_set dedupes (word, doc) itself — partially
+    map-side — so the separate distinct (a second shuffle) the naive
+    formulation pays is unnecessary; doc_count derives from the set.
+    """
     pairs = df.select(
         F.col(doc_col).alias("doc"),
         F.explode(tokenize(F.col(text_col))).alias("word"),
-    ).distinct()
+    )
     return pairs.groupBy("word").agg(
-        F.count("doc").alias("doc_count"),
-        F.concat_ws(",", F.sort_array(F.collect_set("doc"))).alias("docs"),
+        F.sort_array(F.collect_set("doc")).alias("_docs")
+    ).select(
+        "word",
+        F.size("_docs").alias("doc_count"),
+        F.concat_ws(",", "_docs").alias("docs"),
     )
 
 

@@ -58,11 +58,13 @@ def shuffle_join_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Shuffle exchanges in the plan (excluding broadcast exchanges)."""
-    plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan)) + len(
-        re.findall(r"\(\d+\) Exchange\b", plan)
-    ) - len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
+    """Shuffle exchanges in the plan (excluding broadcast exchanges).
+
+    Formatted mode prints shuffle exchanges as "(N) Exchange" with the
+    partitioning on a following Arguments: line; broadcast exchanges
+    print as "(N) BroadcastExchange" and don't match.
+    """
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
 
 
 def codegen_stage_count(df: DataFrame) -> int:
