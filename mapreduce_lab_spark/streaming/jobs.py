@@ -74,6 +74,26 @@ def streaming_sliding_15min(stream: DataFrame) -> DataFrame:
     return sliding_counts(stream)
 
 
+def streaming_tumbling_watermarked(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Append-mode hourly counts with the late-data policy.
+
+    A window emits exactly once, when the watermark passes its end;
+    events later than their window but inside the watermark still
+    merge before emission; events older than the watermark are
+    dropped. The policy is pinned by tests/test_streaming.py
+    (test_late_data_policy) with a hand-built multi-batch replay.
+    """
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
 def streaming_sessions(stream: DataFrame) -> DataFrame:
     """Watermarked per-user session windows (native session_window).
 

@@ -102,6 +102,72 @@ def test_streaming_dedup_within_watermark(spark, stream_dir):
     assert _rows(got.select("user_id", "event_type")) == _rows(want_keys)
 
 
+def _event_file(path, rows):
+    """rows: [(event_id, iso_ts_hhmm_on_2026_01_01)] → tiny parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    ids, tss = zip(*rows)
+    to_ns = lambda hhmm: int(
+        datetime.strptime(f"2026-01-01 {hhmm}", "%Y-%m-%d %H:%M")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 10**9
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(list(ids), pa.int64()),
+                "ts": pa.array([to_ns(t) for t in tss], pa.int64()),
+                "user_id": pa.array([1] * len(ids), pa.int64()),
+                "event_type": pa.array(["t"] * len(ids), pa.string()),
+                "value": pa.array([1.0] * len(ids), pa.float64()),
+                "props": pa.array(["{}"] * len(ids), pa.string()),
+            }
+        ),
+        str(path),
+    )
+
+
+def test_late_data_policy(spark, tmp_path):
+    """Watermark semantics, batch by batch (30-min watermark, 1h windows).
+
+    Watermark propagation lags one batch: the late-row filter for
+    batch N uses the watermark derived from data through batch N-2
+    (the watermark updates at batch commit, and the filter reads the
+    previous commit's value). Hence the wm-setting event (12:05 in
+    b1) protects state only from batch 3 onward:
+
+    b1: 10:10, 10:20, 12:05    filter wm -inf;  post-b1 wm 11:35
+    b2: 12:10                  filter wm -inf;  [10,11) emits n=2
+    b3: 10:30 -> DROPPED (10:30 < filter wm 11:35);
+        12:40 -> late but >= wm: MERGES into open [12,13)
+        14:10                  post-b3 wm 13:40: [12,13) emits n=3
+    b4: 16:00 sentinel         [14,15) emits n=1
+    """
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    _event_file(d / "b1.parquet", [(1, "10:10"), (2, "10:20"), (3, "12:05")])
+    time.sleep(1.1)
+    _event_file(d / "b2.parquet", [(4, "12:10")])
+    time.sleep(1.1)
+    _event_file(d / "b3.parquet", [(5, "10:30"), (6, "12:40"), (7, "14:10")])
+    time.sleep(1.1)
+    _event_file(d / "b4.parquet", [(8, "16:00")])
+
+    stream = jobs.events_stream(spark, str(d), glob="*.parquet", max_files_per_trigger=1)
+    got = jobs.run_available_now(
+        jobs.streaming_tumbling_watermarked(stream), "append", "t_late"
+    )
+    rows = {r.window_start: r.n_events for r in got.collect()}
+    assert rows == {
+        "2026-01-01 10:00:00": 2,  # late 10:30 was dropped, not counted
+        "2026-01-01 12:00:00": 3,  # 12:05 + 12:10 + late-but-in-wm 12:40
+        "2026-01-01 14:00:00": 1,
+    }
+
+
 def test_streaming_running_totals_match_batch(spark, stream_dir):
     stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
     got = jobs.run_available_now(
