@@ -250,3 +250,34 @@ def q_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         )
     )
+
+
+@query(
+    "map_functions_props",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS keys,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           len(json_keys(props)) AS n_keys
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def q_map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props into map<string,int> and
+    operate on it with map functions (keys, cardinality, element_at).
+
+    ``from_json`` to MapType is the idiomatic route for ragged JSON
+    objects whose keys vary by row — unlike a struct schema it needs
+    no upfront key inventory; the parse stays JVM-side (Jackson), no
+    Python. Map columns themselves aren't comparable across engines,
+    so the query projects scalars derived from the map.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json("props", "map<string,int>")
+    return events.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+    )
