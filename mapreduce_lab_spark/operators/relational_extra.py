@@ -213,3 +213,112 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: one row per priority, one column per status.
+
+    The value list is pinned explicitly — without it Spark runs an
+    extra distinct-collect job to discover the column domain, a
+    full-table pass that must never be implicit at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, p_size::DOUBLE AS value
+    FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part WHERE p_partkey < 500
+    """,
+)
+def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide measure columns to (key, measure, value) rows."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+@query(
+    "window_value_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
+           round(nth_value(o_totalprice, 2)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit frames + cume_dist.
+
+    last_value/nth_value need the UNBOUNDED FOLLOWING frame — with the
+    default frame (up to CURRENT ROW) last_value is just the current
+    row, the classic window-frame trap, identical in both engines.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wf), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_price"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "deterministic_sample_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10 = 0
+    """,
+)
+def q_deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample by content hash, not RNG.
+
+    df.sample() draws differently per run/partitioning — useless for
+    a training pipeline that must reproduce its corpus. Hashing the
+    key is stable across runs, engines, and cluster layouts, and
+    composes with incremental ingestion (new rows don't reshuffle old
+    membership).
+    """
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.pmod(hex8_int(F.col("o_orderkey").cast("string")), F.lit(10)) == 0
+    ).select("o_orderkey", "o_custkey")
