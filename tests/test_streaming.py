@@ -168,6 +168,46 @@ def test_late_data_policy(spark, tmp_path):
     }
 
 
+def test_exactly_once_across_restart(spark, tmp_path):
+    """Checkpointed file-sink restart: each input row lands exactly once.
+
+    The reference attempts this with its ping->commit->complete
+    protocol and rollback-by-delete (core/worker.go:213-265,459-468)
+    and doesn't fully achieve it (no O_TRUNC, no atomic rename —
+    SURVEY.md E13); Spark's checkpoint + file-sink commit log is the
+    contractual replacement. Two stream incarnations share one
+    checkpoint: the restart must process only the new file and must
+    not duplicate the old one.
+    """
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    _event_file(src / "b1.parquet", [(1, "10:00"), (2, "10:05")])
+
+    def drain():
+        q = (
+            jobs.events_stream(spark, str(src), glob="*.parquet")
+            .select("event_id", "ts")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    _event_file(src / "b2.parquet", [(3, "10:10")])
+    drain()  # restart from the same checkpoint
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]  # no loss, no duplicates
+
+
 def test_streaming_running_totals_match_batch(spark, stream_dir):
     stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
     got = jobs.run_available_now(
