@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import oracle_hex8_int
-from mapreduce_lab_spark.functions.text import NON_LETTER_RE, tokenize
+from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
