@@ -432,3 +432,101 @@ def q_near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# --- near-dup clusters (connected components) ------------------------------
+
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected edge list.
+
+    The iterative-algorithm pattern the DataFrame API lacks natively:
+    a driver-controlled loop of distributed joins, with
+    localCheckpoint() per round so the plan/lineage stays O(1) instead
+    of doubling each iteration. Convergence is detected by the sum of
+    labels (strictly decreasing integers — unchanged sum == fixpoint),
+    one cheap scalar action per round. Rounds needed = graph diameter
+    (near-dup clusters are small and dense, so 2-3 in practice).
+
+    Input: edges (src, dst). Output: (doc_id, cluster_id) where
+    cluster_id is the component's min doc_id.
+    """
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        both.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            both.join(labels, both.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("comp").alias("cluster_id"))
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM t a, t b
+      WHERE a.doc_id < b.doc_id
+        AND 2 * len(list_intersect(a.sh, b.sh))
+            >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+    ), edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), reach AS (
+      -- transitive closure; UNION (not UNION ALL) reaches fixpoint
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+    """,
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over Jaccard>=0.5
+    pairs, labeled by min doc_id.
+
+    This is the step after pair mining that an actual dedup pipeline
+    needs (keep one doc per CLUSTER, not per pair — pairs alone
+    over-delete transitively-linked groups). The oracle computes the
+    same components via a recursive-CTE transitive closure: an
+    entirely different algorithm, same fixpoint.
+    """
+    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
+    ex = doc_sh.select("doc_id", F.explode("sh").alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _pair_jaccard(cand, doc_sh).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs)

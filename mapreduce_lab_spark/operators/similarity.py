@@ -174,3 +174,111 @@ def ann_lsh(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFra
 )
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
+
+
+# --- IVF-style partitioned ANN ---------------------------------------------
+
+N_CENTROIDS = 8
+
+
+def _sq_dist(va: str, vb: str) -> Column:
+    d = F.zip_with(va, vb, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda a, x: a + x)
+
+
+def ivf_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, ties to
+    the smaller centroid id) — the IVF partitioning step.
+
+    Centroids broadcast (bounded, K vectors); the corpus never
+    shuffles for assignment. In production the centroids come from
+    k-means over a sample; here they are pinned seed vectors
+    (vec_id < K) so the DuckDB oracle can recompute the exact same
+    partition layout — what's verified is the IVF mechanics, not the
+    centroid training.
+    """
+    c = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(c)).withColumn("d", _sq_dist("v", "cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", "centroid_id")
+    )
+
+
+@query(
+    "ivf_knn_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, {_O_FOLD.format(a='v', b='v')} AS norm FROM e
+    ), seeds AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+    ), dists AS (
+      SELECT n.vec_id, n.v, n.norm, s.centroid_id,
+             list_reduce([(n.v[i] - s.cv[i]) * (n.v[i] - s.cv[i])
+                          for i in range(1, len(n.v) + 1)], (x, y) -> x + y) AS d,
+             row_number() OVER (PARTITION BY n.vec_id
+                                ORDER BY list_reduce([(n.v[i] - s.cv[i]) * (n.v[i] - s.cv[i])
+                                                      for i in range(1, len(n.v) + 1)],
+                                                     (x, y) -> x + y) ASC,
+                                         s.centroid_id ASC) AS rn
+      FROM n, seeds s
+    ), assigned AS (
+      SELECT vec_id, v, norm, centroid_id FROM dists WHERE rn = 1
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_O_FOLD.format(a='q.v', b='c.v')} / sqrt(q.norm * c.norm) AS cos_raw
+      FROM assigned q JOIN assigned c
+        ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nprobe=1 top-k within the query's centroid partition.
+
+    The scale path for similarity search: the corpus is partitioned
+    once by nearest centroid (written bucketed-by-centroid in a real
+    lake), and each query scans ~n/K vectors instead of n. Recall is
+    bounded by centroid quality; the exact baseline for measuring it
+    is `knn_cosine_bruteforce`.
+    """
+    base = _with_norm(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
+    centroids = base.filter(F.col("vec_id") < N_CENTROIDS)
+    assigned = ivf_assign(base, centroids).cache()
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "centroid_id",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", _cosine("qv", "cv", "qnorm", "cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

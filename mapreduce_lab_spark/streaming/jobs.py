@@ -117,6 +117,40 @@ def streaming_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_view_purchase_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases to views within the prior hour.
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so each side's state store retains only rows that can
+    still match (view state ~1h + watermark; purchase state ~watermark)
+    — the requirement for unbounded streams. Inner matches emit as soon
+    as both rows have arrived; the watermark only bounds state and
+    late-data admission.
+    """
+    v = (
+        views.withWatermark("ts", WATERMARK)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", WATERMARK)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "view_id", "p_user")
+
+
 # --- custom stateful operator ---------------------------------------------
 
 _RUNNING_SCHEMA = "user_id long, n_events long, total_cents long"

@@ -168,6 +168,36 @@ def test_late_data_policy(spark, tmp_path):
     }
 
 
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
+    got = jobs.run_available_now(
+        jobs.streaming_view_purchase_join(*sides(stream)), "append", "t_ssjoin"
+    )
+    batch = _batch_events(spark, stream_dir, with_sentinel=False)
+    bv, bp = sides(batch)
+    want = (
+        bp.alias("p")
+        .join(
+            bv.alias("v"),
+            (F.col("p.user_id") == F.col("v.user_id"))
+            & (F.col("v.ts") <= F.col("p.ts"))
+            & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("v.event_id").alias("view_id"),
+            F.col("p.user_id").alias("p_user"),
+        )
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_exactly_once_across_restart(spark, tmp_path):
     """Checkpointed file-sink restart: each input row lands exactly once.
 
