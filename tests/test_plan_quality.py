@@ -9,6 +9,8 @@ whole-stage codegen coverage.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -63,3 +65,32 @@ def test_wordcount_has_partial_aggregation(spark, sf_dir):
 def test_topk_uses_single_scan_and_codegen(spark, sf_dir):
     df = topk_expensive_parts(spark, sf_dir)
     assert inspect.codegen_stage_count(df) >= 1
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    # EXISTS must become a LEFT SEMI hash/sort-merge join keyed on
+    # l_orderkey — not a nested loop, which would be O(n*m) at scale.
+    from mapreduce_lab_spark.operators.subqueries import q4_exists_order_priority
+
+    plan = inspect.formatted_plan(q4_exists_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    from mapreduce_lab_spark.operators.subqueries import not_exists_no_big_order
+
+    plan = inspect.formatted_plan(not_exists_no_big_order(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_correlated_scalars_decorrelate_to_keyed_aggregates(spark, sf_dir):
+    # Q17's correlated scalar aggregates must decorrelate to per-key
+    # (l_partkey) aggregates joined back to lineitem, never a
+    # per-outer-row re-execution (no nested loop in the plan).
+    from mapreduce_lab_spark.operators.subqueries import q17_small_quantity_revenue
+
+    plan = inspect.formatted_plan(q17_small_quantity_revenue(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"Keys \[\d+\]: \[l_partkey", plan), plan
