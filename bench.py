@@ -46,6 +46,28 @@ HEADLINE = [
     "mapreduce_wordcount",
 ]
 
+# Primary input table per headline query, for input-rows/s throughput.
+# (Result-row counts don't measure throughput — a 6-row Q1 summary
+# still scanned 600k lineitem rows.)
+PRIMARY_INPUT = {
+    "wordcount": "documents",
+    "inverted_index": "documents",
+    "q1_pricing_summary": "lineitem",
+    "q3_shipping_priority": "lineitem",
+    "q5_local_supplier_volume": "lineitem",
+    "window_top_orders_per_customer": "orders",
+    "tumbling_window_hourly": "events",
+    "session_window_10min": "events",
+    "asof_join_purchase_to_view": "events",
+    "dedup_exact": "documents",
+    "near_dup_minhash_lsh": "documents",
+    "near_dup_simhash": "documents",
+    "knn_cosine_bruteforce": "embeddings",
+    "text_quality_scores": "documents",
+    "multimodal_frame_sample": "documents",
+    "mapreduce_wordcount": "documents",
+}
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -70,11 +92,21 @@ def main() -> None:
     # the plan, not first-touch JIT/IO.
     qs[names[0]](spark, SF_DIR).count()
 
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    input_rows = {
+        t: load_table(spark, SF_DIR, t).count()
+        for t in sorted(set(PRIMARY_INPUT.values()))
+    }
+
     timings: dict[str, float] = {}
+    throughput: dict[str, int] = {}
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        throughput[name] = int(input_rows[PRIMARY_INPUT[name]] / dt)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -88,6 +120,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "input_rows_per_s": throughput,
                 "sf": sf_val,
             }
         )

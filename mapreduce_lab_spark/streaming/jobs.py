@@ -193,6 +193,74 @@ def streaming_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+# --- foreachBatch upsert sink ----------------------------------------------
+
+
+def start_upsert_sink(
+    sdf: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """Keyed upsert (merge) sink on plain parquet via foreachBatch.
+
+    Structured Streaming has no built-in mutable sink for formats
+    without ACID support; foreachBatch is the idiomatic escape hatch
+    (batch DataFrame + batch_id per microbatch). Each batch writes the
+    merged table to a fresh version directory ``v<batch_id>`` and
+    atomically repoints a ``current`` symlink — readers see either the
+    old or the new version, never a partial write.
+
+    Exactly-once reasoning: foreachBatch is at-least-once (a batch can
+    re-run after a crash), so the body must be idempotent per
+    batch_id. It is, two ways: a re-run before the pointer swap
+    rewrites the same version dir from the same inputs; a re-run
+    after the swap merges rows already present, and merge-by-key is
+    idempotent (old rows for the batch's keys are anti-joined away,
+    replaced with identical values). This mirrors what the reference's
+    commit protocol attempts per-file (``core/worker.go:213-265``)
+    and its append-without-truncate bug fails to achieve (SURVEY.md
+    E13).
+
+    Scale notes: the anti-join is keyed (shuffle-on-key, or broadcast
+    when the batch's key set is small — it usually is relative to the
+    base); rewriting the full base per batch is the cost of
+    ACID-on-plain-parquet, acceptable for bounded state tables (e.g.
+    per-user aggregates). For fact-scale upserts, production swaps
+    this body for a lakehouse-format MERGE with file-level pruning —
+    the streaming plan above it is unchanged.
+    """
+    import os
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates(keys)
+        cur_link = os.path.join(target_dir, "current")
+        vdir = os.path.join(target_dir, f"v{batch_id}")
+        if os.path.lexists(cur_link):
+            if os.path.realpath(cur_link) == os.path.realpath(vdir):
+                return  # batch re-run after its own commit: already applied
+            cur = spark.read.parquet(cur_link)
+            merged = cur.join(new.select(*keys), keys, "left_anti").unionByName(new)
+        else:
+            merged = new
+        os.makedirs(target_dir, exist_ok=True)
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = cur_link + ".tmp"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(vdir, tmp)
+        os.replace(tmp, cur_link)  # atomic pointer swap
+
+    return (
+        sdf.writeStream.foreachBatch(_upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --- test/driver harness ---------------------------------------------------
 
 

@@ -67,6 +67,46 @@ def test_topk_uses_single_scan_and_codegen(spark, sf_dir):
     assert inspect.codegen_stage_count(df) >= 1
 
 
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """A manufactured hot key must trigger AQE's runtime skew-join
+    split (OptimizeSkewedJoin), the engine's no-code-change answer to
+    skew; salting (operators/indexer.py) is the explicit fallback for
+    skew AQE can't see. Thresholds are lowered to make test-scale
+    partitions 'big'; production keeps defaults (256 MB / 5x median).
+    """
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        n = 40_000
+        skewed = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(n).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+        # Bare join: AQE declines to split when a downstream keyed agg
+        # needs the join's partitioning intact (splitting would force a
+        # re-shuffle) — in that shape, skew relief is salting's job.
+        joined = skewed.join(dim, "k").select("k", "pad", "v")
+        joined.collect()  # AQE replans at runtime — must execute first
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+        assert "skewed" in final, final  # AQEShuffleRead applied the split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_exists_decorrelates_to_semi_join(spark, sf_dir):
     # EXISTS must become a LEFT SEMI hash/sort-merge join keyed on
     # l_orderkey — not a nested loop, which would be O(n*m) at scale.

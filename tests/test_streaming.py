@@ -238,6 +238,39 @@ def test_exactly_once_across_restart(spark, tmp_path):
     assert ids == [1, 2, 3]  # no loss, no duplicates
 
 
+def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
+    """Multi-batch upserted state table == batch aggregation.
+
+    Two microbatches (maxFilesPerTrigger=1) of update-mode running
+    totals flow through the upsert sink; the final `current` version
+    must hold exactly one row per user with totals over the whole
+    stream — batch 2's rows replacing batch 1's, not appending.
+    """
+    stream = jobs.events_stream(
+        spark, stream_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+    target = str(tmp_path / "totals_table")
+    q = jobs.start_upsert_sink(
+        jobs.streaming_running_totals(stream),
+        target,
+        ["user_id"],
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.parquet(os.path.join(target, "current"))
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    batch = _batch_events(spark, stream_dir, with_sentinel=False)
+    want = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    assert _rows(got) == _rows(want)
+    # one row per key — the sink merged, not appended
+    assert got.count() == got.select("user_id").distinct().count()
+
+
 def test_streaming_running_totals_match_batch(spark, stream_dir):
     stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
     got = jobs.run_available_now(
