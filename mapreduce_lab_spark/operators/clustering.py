@@ -1,0 +1,165 @@
+"""Distributed k-means (Lloyd's) over the embeddings table, and the
+trained-centroid IVF ANN built on top of it.
+
+ABSENT from the reference (it has no iterative dataflow at all — one
+map→barrier→reduce pass, ``core/coordinator.go:317-324``). This is
+the engine's iterative-algorithm pattern, shared with
+``dedup.connected_components``: a driver-controlled loop of
+declarative rounds where each round is pure DataFrame ops —
+Catalyst plans every round, nothing is computed driver-side except
+the loop condition.
+
+Scale shape per round:
+
+- assignment: corpus ⋈ broadcast(centroids) — K centroid vectors
+  broadcast to every executor, the corpus NEVER shuffles;
+- update: posexplode to (centroid, dim) pairs → partial+final avg
+  (map-side combine carries K·d partial sums, not n·d rows) →
+  re-assemble arrays with an array_sort(collect_list(struct)) whose
+  group size is exactly d — bounded, so the holistic collect is safe;
+- ``localCheckpoint()`` truncates lineage so the plan stays O(1)
+  across rounds instead of doubling.
+
+The kmeans query is registered rows-only (no oracle_sql): an
+iterative fixpoint is the documented non-SQL-expressible case, and
+its semantics are pinned instead by tests/test_clustering.py
+(monotone inertia, fixpoint assignment, recall vs the exact
+brute-force baseline that IS oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.operators.similarity import N_QUERIES, TOP_K, _cosine
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
+
+K_CLUSTERS = 8
+N_ITERS = 4
+
+
+def _sq_dist(va: str, vb: str) -> Column:
+    d = F.zip_with(va, vb, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda a, x: a + x)
+
+
+def assign_nearest(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per point (squared L2, ties to smaller id).
+
+    pts: (vec_id, v); centroids: (centroid_id, cv).
+    Returns (vec_id, v, centroid_id, d).
+    """
+    scored = pts.crossJoin(F.broadcast(centroids)).withColumn("d", _sq_dist("v", "cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id", "d")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Mean vector per cluster, dimension-wise, reassembled in order."""
+    return (
+        assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    )
+
+
+def kmeans(
+    pts: DataFrame, k: int = K_CLUSTERS, n_iters: int = N_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's algorithm; returns (centroids, final assignment).
+
+    Init is deterministic (seed centroids = points with vec_id < k)
+    so every run — and the recall test against the exact baseline —
+    sees the same fixpoint. Production init would be k-means|| over a
+    sample; the rounds are identical.
+    """
+    cent = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = None
+    for _ in range(n_iters):
+        assigned = assign_nearest(pts, cent)
+        cent = _recompute_centroids(assigned).localCheckpoint()
+    return cent, assign_nearest(pts, cent)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    return e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+@query("kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster census after N_ITERS Lloyd rounds: size and inertia
+    per cluster. Rows-only driver check (iterative fixpoint — the
+    documented non-SQL-expressible case); semantics pinned by
+    tests/test_clustering.py."""
+    _, assigned = kmeans(_points(spark, sf_dir))
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum("d"), 2).alias("inertia"),
+        )
+        .select("centroid_id", "n_members", "inertia")
+    )
+
+
+@query("ann_ivf_trained")
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED centroids (nprobe=1): the production
+    composition — kmeans partitions the corpus, each query scans only
+    its own cell (~n/K vectors instead of n).
+
+    Rows-only driver check (inherits kmeans' non-SQL-expressibility);
+    tests/test_clustering.py asserts a recall floor against the
+    oracle-checked exact baseline (knn_cosine_bruteforce) AND cell
+    balance — the property that actually bounds per-query scan cost
+    at scale. (On near-isotropic synthetic embeddings training can't
+    beat random partitioning's recall; on real clustered embeddings
+    it does, and the mechanics verified here are identical.)
+    """
+    pts = _points(spark, sf_dir)
+    _, assigned = kmeans(pts)
+    base = assigned.select("vec_id", "v", "centroid_id").withColumn(
+        "norm",
+        F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
+    ).localCheckpoint()  # train once; both join sides below reuse it
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "centroid_id",
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", _cosine("qv", "cv", "qnorm", "cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

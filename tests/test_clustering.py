@@ -1,0 +1,81 @@
+"""k-means semantics, pinned without a SQL oracle (iterative fixpoint
+= the documented non-SQL-expressible case): monotone inertia, the
+Lloyd fixpoint property, and end-to-end recall of the trained IVF
+against the exact (oracle-checked) brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.operators import clustering
+from mapreduce_lab_spark.operators.similarity import knn_bruteforce
+from mapreduce_lab_spark.sources.tables import load_table
+
+
+def _inertia(assigned) -> float:
+    return assigned.agg(F.sum("d")).collect()[0][0]
+
+
+def test_lloyd_inertia_monotone_decreasing(spark, sf_dir):
+    # Each Lloyd round must not increase total inertia — the
+    # textbook convergence invariant, and the assertion that would
+    # catch a mis-assembled centroid array (wrong dimension order
+    # scrambles means and sends inertia up).
+    pts = clustering._points(spark, sf_dir)
+    cent = pts.filter(F.col("vec_id") < clustering.K_CLUSTERS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    prev = None
+    for _ in range(3):
+        assigned = clustering.assign_nearest(pts, cent)
+        cur = _inertia(assigned)
+        if prev is not None:
+            assert cur <= prev * (1 + 1e-9), (cur, prev)
+        prev = cur
+        cent = clustering._recompute_centroids(assigned).localCheckpoint()
+
+
+def test_kmeans_fixpoint_assignment(spark, sf_dir):
+    # kmeans() must return the assignment AGAINST ITS OWN final
+    # centroids: recomputing nearest-centroid from scratch yields the
+    # identical partition of the corpus.
+    pts = clustering._points(spark, sf_dir)
+    cent, assigned = clustering.kmeans(pts)
+    again = clustering.assign_nearest(pts, cent)
+    a = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    b = {r.vec_id: r.centroid_id for r in again.collect()}
+    assert a == b
+
+
+def test_kmeans_census_shape(spark, sf_dir):
+    rows = clustering.q_kmeans_clusters(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) <= clustering.K_CLUSTERS
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert all(r.inertia >= 0 for r in rows)
+
+
+def test_trained_ivf_recall_and_balance(spark, sf_dir):
+    # nprobe=1 IVF trades recall for scanning ~n/K candidates. Two
+    # properties make that trade sound, both asserted against the
+    # exact (oracle-checked) brute-force baseline: recall stays above
+    # a floor, and cells stay balanced so per-query scan cost is
+    # actually bounded by ~n/K (an unbalanced partition has great
+    # recall into its giant cell and no pruning — the failure mode a
+    # recall number alone would hide). On near-isotropic synthetic
+    # embeddings k-means can't beat random partitioning's recall;
+    # balance + floor is the honest invariant.
+    exact = knn_bruteforce(
+        clustering.fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in clustering.q_ann_ivf_trained(spark, sf_dir).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.3
+
+    cells = clustering.q_kmeans_clusters(spark, sf_dir).collect()
+    n = sum(r.n_members for r in cells)
+    assert max(r.n_members for r in cells) <= 3 * n / clustering.K_CLUSTERS
