@@ -570,3 +570,55 @@ def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_normalized"
         ),
     )
+
+
+# --- TPC-H Q10: returned-item revenue report ---
+@query(
+    "q10_returned_item_report",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_REV_SQL} AS revenue
+    FROM customer c
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in a half-year
+    (TPC-H Q10 shape).
+
+    Plan: lineitem filtered on returnflag at the scan (pushed), joins
+    orders (fact-fact, shuffle on orderkey with the date filter
+    pushed below), then customer; nation broadcasts. The final top-20
+    is a TakeOrdered over the aggregated (small) result — no global
+    sort of the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-07-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_units()).alias("_rev_u"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("_rev_u") / 10000.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -282,3 +282,104 @@ def q_ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# --- multi-probe LSH --------------------------------------------------------
+
+
+def ann_lsh_multiprobe(
+    e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Multi-probe LSH: each query searches its own bucket plus the
+    LSH_BITS buckets at Hamming distance 1 (one sign bit flipped).
+
+    The standard recall fix for bucketed LSH without growing the
+    index: a near neighbor that straddles one hyperplane lands one
+    bit-flip away, so probing those buckets recovers it. Candidates
+    scanned grow ~(bits+1)/2^bits of the corpus — still pruned, and
+    because the probe set is a superset of the single-probe bucket,
+    recall can only improve (asserted in tests/test_similarity.py).
+
+    Plan shape: queries explode to (bits+1) probe rows BEFORE the
+    equi-join on bucket — the corpus side is still joined on a single
+    key (its own bucket), so the index layout (hash-partition or
+    pre-bucketed files) is untouched; only the tiny query side fans
+    out. The final top-k dedupes via row_number, so a candidate found
+    through two probes counts once.
+    """
+    base = _with_norm(e).withColumn("bucket", _bucket(F.col("v")))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)],
+    )
+    q = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "bucket",
+    )
+    # Dedupe candidates BEFORE ranking: a neighbor reachable through
+    # two probe buckets must occupy one top-k slot, not two. The
+    # duplicate rows are identical once the probe bucket is dropped,
+    # so dropDuplicates is deterministic here.
+    cand = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .drop("bucket")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cos_raw", _cosine("qv", "cv", "qnorm", "cnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+_O_PROBES = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(LSH_BITS)])
+
+
+@query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, {_O_FOLD.format(a='v', b='v')} AS norm,
+             ({_O_BUCKET}) AS bucket
+      FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+             unnest([{_O_PROBES}]) AS bucket
+      FROM n WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT DISTINCT q.query_id, q.qv, q.qnorm,
+             c.vec_id AS neighbor_id, c.v AS cv, c.norm AS cnorm
+      FROM q JOIN n c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             {_O_FOLD.format(a='qv', b='cv')} / sqrt(qnorm * cnorm) AS cos_raw
+      FROM cand
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_multiprobe(fan_out(load_table(spark, sf_dir, "embeddings"), spark))

@@ -170,3 +170,44 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     query per outer row (the O(n²) trap a naive executor would hit).
     """
     return _sql(spark, sf_dir, _Q17_SQL, "lineitem")
+
+
+# --- correlated argmin: TPC-H Q2 flavor -----------------------------------
+
+# Unit price as one double division of exact integers: bit-identical
+# per row in both engines, so min() and the equality against it are
+# float-safe (same doubles, any order). CAST AS DOUBLE, not `* 1.0`:
+# Spark types the literal 1.0 as DECIMAL(2,1) and would propagate
+# decimal through the whole expression (DuckDB keeps double).
+_UNIT = (
+    f"(CAST({oracle_units('{p}l_extendedprice', 100)} AS DOUBLE)"
+    f" / {oracle_units('{p}l_quantity', 100)})"
+)
+
+_Q2_SQL = f"""
+SELECT l.l_partkey AS p_partkey,
+       min(l.l_suppkey) AS best_supp,
+       CAST(floor(min({_UNIT.format(p='l.')}) * 10000) AS DOUBLE) / 10000 AS unit_price
+FROM lineitem l
+WHERE {_UNIT.format(p='l.')}
+      = (SELECT min({_UNIT.format(p='l2.')}) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+GROUP BY l.l_partkey
+"""
+
+
+@query("q2_cheapest_supplier_per_part", oracle=_Q2_SQL)
+def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: the supplier offering the minimum unit price (Q2's
+    correlated-argmin shape on this schema; ties resolved to the
+    smallest supplier id). Output price is floored to 4 dp — floor of
+    identical doubles is identical, where round() diverges between
+    engines on half-way decimals (see functions/numeric.py).
+
+    Decorrelates to a per-partkey min joined back on the key — the
+    same one-aggregation-plus-equi-join shape as Q17, selecting the
+    argmin ROW rather than comparing against it. A window-function
+    rank-and-filter is the DataFrame-API twin of this plan
+    (window_top_orders_per_customer); both shuffle once on the key.
+    """
+    return _sql(spark, sf_dir, _Q2_SQL, "lineitem")

@@ -238,6 +238,32 @@ def test_exactly_once_across_restart(spark, tmp_path):
     assert ids == [1, 2, 3]  # no loss, no duplicates
 
 
+def test_rocksdb_state_store_parity(spark, stream_dir):
+    """Same watermarked dedup, RocksDB state store instead of the
+    default in-memory HDFS-backed provider. RocksDB is the production
+    backend once keyed state outgrows executor heap (spills to local
+    disk, incremental checkpoints); the operator must not notice the
+    swap. Provider is fixed at query start from the session conf, so
+    setting it before .start() is enough."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
+        got = jobs.run_available_now(jobs.streaming_dedup(stream), "append", "t_rocks")
+        batch = _batch_events(spark, stream_dir, with_sentinel=False)
+        want_keys = batch.select("user_id", "event_type").distinct()
+        assert _rows(got.select("user_id", "event_type")) == _rows(want_keys)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
     """Multi-batch upserted state table == batch aggregation.
 
