@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.numeric import (
     exact_avg,
+    exact_ratio,
     oracle_exact_avg,
+    oracle_exact_ratio,
     oracle_exact_sum,
     oracle_units,
     to_units,
@@ -621,4 +623,123 @@ def q10_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+    )
+
+
+# --- TPC-H Q12: late-shipment priority split (conditional agg) ---
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late shipments (>60 days after order) split by priority class
+    per ship month — TPC-H Q12's shape with the priority CASE split,
+    on this schema's columns.
+
+    The lateness predicate is a theta condition between the two join
+    sides, so it CANNOT push below the join; the only scan-level
+    pushdown is non-null pruning. The plan is one shuffle join on
+    orderkey and one partial+final conditional agg — both CASE sums
+    travel in the same aggregation pass, not two query passes.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q14: promo revenue share (exact ratio of two sums) ---
+@query(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT {oracle_exact_ratio(
+        f"sum(CASE WHEN p_type = 'PROMO' THEN {oracle_units('l_extendedprice * (1 - l_discount)', 10000)} ELSE 0 END) * 100",
+        f"sum({oracle_units('l_extendedprice * (1 - l_discount)', 10000)})",
+    )} AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMO parts' share of March-1997 revenue, percent (Q14).
+
+    Ratio of two sums from ONE aggregation pass over the joined
+    fact slice; both sums are exact fixed-point ints so the final
+    division is the only float op (floor-scaled — see
+    functions/numeric.py). The part side carries only (partkey,
+    type) after pruning and broadcasts; lineitem never shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-03-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_u = _rev_units()
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(F.lit(0))).alias("_promo_u"),
+            F.sum(rev_u).alias("_all_u"),
+        )
+    )
+    return agg.select(
+        exact_ratio(F.col("_promo_u") * 100, F.col("_all_u")).alias("promo_revenue_pct")
+    )
+
+
+# --- TPC-H Q16: distinct-supplier count with NOT IN exclusion ---
+@query(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (5, 10, 15, 20)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size) for selected non-promo
+    parts, excluding complaint-list suppliers (Q16's NOT IN shape;
+    the exclusion list is negative-balance suppliers on this schema).
+
+    NOT IN over a non-nullable key plans as a broadcast anti join of
+    a tiny pre-filtered dimension; count(DISTINCT) expands to the
+    two-level aggregation (dedupe on full key, then count) — both
+    levels partial+final, no collect-based distinct.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(5, 10, 15, 20)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -99,3 +99,68 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    target_rows_per_file: int,
+    total_rows: int | None = None,
+) -> None:
+    """Range-clustered parquet: repartitionByRange + within-sort.
+
+    The layout for range-predicate-heavy workloads (time-series
+    scans, as-of joins): file f holds one contiguous key range, so a
+    range filter prunes to the few files whose parquet min/max
+    overlap it — directory partitioning's granularity without its
+    small-file explosion on high-cardinality keys. Range boundaries
+    come from a driver-side sample (Spark's RangePartitioner), so
+    files are balanced even under key skew, unlike hash or hive
+    partitioning.
+    """
+    n = total_rows if total_rows is not None else df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    (
+        df.repartitionByRange(n_files, *range_cols)
+        .sortWithinPartitions(*range_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction (OPTIMIZE-style maintenance op).
+
+    Streaming sinks and per-task commits leave directories with
+    thousands of tiny files; at 100 TB that turns every scan into a
+    metadata storm (one footer read + task per file) and starves the
+    vectorized reader. Rewrite to ceil(bytes/target) files sized for
+    one row-group each. Sizing uses the SOURCE's on-disk bytes — a
+    cheap filesystem listing, no data pass; coalesce (not
+    repartition) so the rewrite is shuffle-free: tasks just
+    concatenate input splits.
+
+    Returns the number of output data files written. Writes to
+    ``out_path`` + atomic swap by the caller (same pointer pattern as
+    streaming.jobs.start_upsert_sink) rather than in-place — an
+    in-place rewrite that fails mid-way loses the table.
+    """
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes_per_file))
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return sum(
+        1 for f in os.listdir(out_path) if f.endswith(".parquet")
+    )

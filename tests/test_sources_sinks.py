@@ -71,3 +71,52 @@ def test_documents_as_corpus_shape(spark, sf_dir):
     df = documents_as_corpus(spark, sf_dir)
     assert df.columns == ["filename", "text"]
     assert df.count() > 0
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    from mapreduce_lab_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(src)  # manufacture tiny files
+    import os
+
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    n_out = compact_parquet(spark, src, out, target_bytes_per_file=1 << 20)
+    assert n_out < n_in
+    got = spark.read.parquet(out)
+    # lossless: same rows, same schema
+    assert got.count() == orders.count()
+    assert got.schema == spark.read.parquet(src).schema
+    assert got.exceptAll(spark.read.parquet(src)).count() == 0
+
+
+def test_range_partitioned_write_prunes_by_rowgroup_stats(spark, sf_dir, tmp_path):
+    from mapreduce_lab_spark.sources.sinks import write_range_partitioned
+
+    out = str(tmp_path / "ranged")
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    write_range_partitioned(orders, out, ["o_orderdate"], target_rows_per_file=n // 8,
+                            total_rows=n)
+    import pyarrow.parquet as pq
+    import os
+
+    files = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 8
+    # Each file covers a contiguous, essentially disjoint date range:
+    # a range predicate overlaps ~1 file's [min,max], not all of them.
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        col = names.index("o_orderdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min); maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlaps <= 1  # boundary rows may share a date; no broad overlap
