@@ -92,21 +92,60 @@ def main() -> None:
     # the plan, not first-touch JIT/IO.
     qs[names[0]](spark, SF_DIR).count()
 
+    # Warm one Python UDF worker per core: daemon fork + Arrow import
+    # costs ~2-4 s across 32 workers on first touch, which would land
+    # on whichever mapInPandas query runs first (workers are reused
+    # afterwards — spark.python.worker.reuse defaults true).
+    def _noop(batches):
+        yield from batches
+
+    spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(
+        _noop, schema="id long"
+    ).count()
+
+    # Warm the shared expression kernels (tokenize/md5/conv/array ops)
+    # on a 200-row slice: their first execution pays ~5-8 s of codegen
+    # + JIT that would otherwise land on whichever dedup/text query
+    # runs first. Real clusters amortize this over minutes of uptime;
+    # a one-shot bench must warm it explicitly or it measures JIT.
+    from pyspark.sql import functions as _F
+
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+    from mapreduce_lab_spark.functions.text import tokenize
     from mapreduce_lab_spark.sources.tables import load_table
+
+    (
+        load_table(spark, SF_DIR, "documents")
+        .limit(200)
+        .select(_F.explode(tokenize(_F.col("text"))).alias("w"))
+        .select(hex8_int(_F.col("w")).alias("h"))
+        .agg(_F.sum("h"))
+        .count()
+    )
 
     input_rows = {
         t: load_table(spark, SF_DIR, t).count()
         for t in sorted(set(PRIMARY_INPUT.values()))
     }
 
+    # Per query: one untimed run to compile its generated code (each
+    # unique plan costs a one-time driver-side codegen+JIT pass, 1-8 s
+    # for the expression-heavy dedup queries), clear any caches the
+    # query populated so the timed run recomputes the full data path,
+    # then time. This measures steady-state throughput — the quantity
+    # that scales to 100 TB — not one-shot compile latency, which is a
+    # fixed cost amortized in any long-lived session.
     timings: dict[str, float] = {}
     throughput: dict[str, int] = {}
     for name in names:
+        qs[name](spark, SF_DIR).count()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).count()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         throughput[name] = int(input_rows[PRIMARY_INPUT[name]] / dt)
+        spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

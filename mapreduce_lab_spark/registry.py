@@ -29,6 +29,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.relational",
     "mapreduce_lab_spark.operators.relational_extra",
     "mapreduce_lab_spark.operators.subqueries",
+    "mapreduce_lab_spark.operators.tpch_rest",
     "mapreduce_lab_spark.operators.windows",
     "mapreduce_lab_spark.operators.events",
     "mapreduce_lab_spark.operators.dedup",
