@@ -134,3 +134,73 @@ def test_correlated_scalars_decorrelate_to_keyed_aggregates(spark, sf_dir):
     plan = inspect.formatted_plan(q17_small_quantity_revenue(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"Keys \[\d+\]: \[l_partkey", plan), plan
+
+
+# --- TPC-H completions (operators/tpch_rest.py) ---
+
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    from mapreduce_lab_spark.operators.tpch_rest import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(inspect.pushed_filters(df))
+    # All four predicate columns must reach the parquet reader — Q6 is
+    # the pure scan-pruning query; a missing pushdown means a full
+    # 100 TB decode instead of row-group skips.
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    schemas = inspect.scan_read_schemas(df)
+    assert all(len(c) <= 4 for c in schemas), schemas
+
+
+def test_q7_single_fact_fact_shuffle(spark, sf_dir):
+    from mapreduce_lab_spark.operators.tpch_rest import q7_volume_shipping
+
+    df = q7_volume_shipping(spark, sf_dir)
+    # supplier+nation(x2) broadcast; the only shuffle joins allowed are
+    # lineitem ⋈ orders and orders ⋈ customer.
+    assert inspect.broadcast_join_count(df) >= 3, inspect.formatted_plan(df)
+    assert inspect.shuffle_join_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_q8_seven_table_join_broadcasts_dims(spark, sf_dir):
+    from mapreduce_lab_spark.operators.tpch_rest import q8_market_share
+
+    df = q8_market_share(spark, sf_dir)
+    # part/supplier/nation/region all broadcast; fact-fact shuffles
+    # only for lineitem ⋈ orders and orders ⋈ customer.
+    assert inspect.broadcast_join_count(df) >= 4, inspect.formatted_plan(df)
+    assert inspect.shuffle_join_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_q18_semi_filter_is_broadcast_and_aggregates_once(spark, sf_dir):
+    from mapreduce_lab_spark.operators.tpch_rest import q18_large_volume_customers
+
+    df = q18_large_volume_customers(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # The >300-qty survivor set must come back as a broadcast, and the
+    # per-order quantity sum must be computed exactly once (one
+    # partial+final pair over lineitem, not two scans).
+    assert inspect.broadcast_join_count(df) >= 1, plan
+    assert len(re.findall(r"partial_sum", plan)) <= 2, plan
+
+
+def test_q19_is_hash_join_not_nested_loop(spark, sf_dir):
+    from mapreduce_lab_spark.operators.tpch_rest import q19_disjunct_revenue
+
+    df = q19_disjunct_revenue(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # The disjunction must ride on the p_partkey equi-key as a hash
+    # join residual — BroadcastNestedLoopJoin here would be O(n·m).
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_q22_anti_join_with_broadcast_threshold(spark, sf_dir):
+    from mapreduce_lab_spark.operators.tpch_rest import q22_sales_opportunity
+
+    df = q22_sales_opportunity(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # NOT EXISTS must plan as an anti join; the scalar threshold joins
+    # via broadcast (1 row) — never a shuffle of customer against it.
+    assert "LeftAnti" in plan, plan
+    assert inspect.broadcast_join_count(df) >= 1, plan
