@@ -33,6 +33,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "window_top_orders_per_customer",
     "tumbling_window_hourly",
     "session_window_10min",
@@ -55,6 +57,8 @@ PRIMARY_INPUT = {
     "q1_pricing_summary": "lineitem",
     "q3_shipping_priority": "lineitem",
     "q5_local_supplier_volume": "lineitem",
+    "q6_forecast_revenue": "lineitem",
+    "q18_large_volume_customers": "lineitem",
     "window_top_orders_per_customer": "orders",
     "tumbling_window_hourly": "events",
     "session_window_10min": "events",

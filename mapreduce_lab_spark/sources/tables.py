@@ -42,6 +42,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every table as a temp view and return the names.
+
+    This is the raw-SQL entry point: after ``register_views`` a user
+    can run any ``spark.sql("SELECT ... FROM lineitem ...")`` against
+    the same catalog the DuckDB oracle sees — the SQL twin of the
+    DataFrame loaders, with identical pushdown/pruning (temp views
+    over parquet scans stay fully declarative; nothing materializes).
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLES)
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
     Parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the

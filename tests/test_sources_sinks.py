@@ -120,3 +120,25 @@ def test_range_partitioned_write_prunes_by_rowgroup_stats(spark, sf_dir, tmp_pat
     spans.sort()
     overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
     assert overlaps <= 1  # boundary rows may share a date; no broad overlap
+
+
+def test_register_views_raw_sql_surface(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.sources.tables import TABLES, load_table, register_views
+
+    names = register_views(spark, sf_dir)
+    assert names == list(TABLES)
+    # Raw SQL over the registered views must agree with the DataFrame
+    # loader on the same parquet — the two entry points share one
+    # catalog view of the data.
+    sql_n = spark.sql(
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 40"
+    ).collect()[0]["n"]
+    df_n = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40).count()
+    assert sql_n == df_n
+    # Views stay declarative: filters on a view still push to the scan.
+    from mapreduce_lab_spark.plans import inspect
+
+    probe = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 40")
+    assert any("l_quantity" in p for p in inspect.pushed_filters(probe))
