@@ -3,7 +3,7 @@
 The reference has no joins, subqueries, or multi-table aggregation
 anywhere (SURVEY.md §2.3: Joins ABSENT, verified over all 14 Go
 files); these queries complete the engine's relational superset with
-the classic TPC-H plans Q6/Q7/Q8/Q13/Q15/Q18/Q19/Q22, adapted to the
+the classic TPC-H plans Q6-Q9/Q11/Q13/Q15/Q18/Q19/Q22, adapted to the
 columns this schema actually carries (no partsupp table, no
 l_shipmode/l_commitdate/l_receiptdate, no c_phone — see TESTDATA.md),
 with parameters re-tuned to this data's 1995-2001 date range so every
@@ -18,7 +18,7 @@ pushes into the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.numeric import (
@@ -472,4 +472,100 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             (F.sum(to_units("c_acctbal", 100)) / 100.0).alias("totacctbal"),
         )
+    )
+
+
+# --- TPC-H Q9: product-type profit by nation and year ---
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {oracle_exact_sum(
+               'l_extendedprice * (1 - l_discount)'
+               ' - l_quantity * p_retailprice * 0.1', 10000)} AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on red parts by supplier nation and order
+    year. Adapted: no partsupp table in this schema, so supply cost is
+    proxied as 10% of p_retailprice — the plan shape (5-table join
+    with a LIKE-filtered part dimension, two-key aggregate) is the
+    point, not the cost model.
+
+    part is filtered by the LIKE before its join and broadcast with
+    only (p_partkey, p_retailprice) projected; supplier+nation
+    broadcast; lineitem ⋈ orders is the one fact-fact shuffle. The
+    substring filter can't push to parquet as a range, but it prunes
+    the broadcast build side to ~1/4 of part — the scan itself only
+    reads 3 of part's 6 columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    s = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), "n_name")),
+        supp.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.1
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(to_units(amount, 10000)) / 10000.0).alias("profit"))
+    )
+
+
+# --- TPC-H Q11: parts above a global revenue-share threshold ---
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum({oracle_units('l_extendedprice * (1 - l_discount)', 10000)}) AS rev_u
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, (rev_u / 10000.0) AS revenue
+    FROM pr
+    WHERE rev_u > (SELECT sum(rev_u) * 0.00075 FROM pr)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's distinctive shape: HAVING against a scalar computed
+    from the SAME grouped relation (parts whose revenue exceeds
+    0.075% of global revenue). Adapted: revenue share per part, since
+    this schema has no partsupp availqty/supplycost.
+
+    The grouped relation is computed once and reused for both the
+    per-part rows and the global scalar (self-referencing CTE → reused
+    exchange in Spark; the scalar joins back as a 1-row broadcast).
+    The threshold double is derived from the same exact integer sum in
+    both engines, so the cut is bit-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_rev_units()).alias("rev_u"))
+    )
+    thr = pr.agg((F.sum("rev_u") * 0.00075).alias("thr_u"))
+    return (
+        pr.join(F.broadcast(thr))
+        .filter(F.col("rev_u") > F.col("thr_u"))
+        .select("l_partkey", (F.col("rev_u") / 10000.0).alias("revenue"))
     )

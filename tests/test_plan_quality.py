@@ -204,3 +204,29 @@ def test_q22_anti_join_with_broadcast_threshold(spark, sf_dir):
     # via broadcast (1 row) — never a shuffle of customer against it.
     assert "LeftAnti" in plan, plan
     assert inspect.broadcast_join_count(df) >= 1, plan
+
+
+def test_q9_broadcasts_all_three_dims(spark, sf_dir):
+    from mapreduce_lab_spark.operators.tpch_rest import q9_product_profit
+
+    df = q9_product_profit(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # part (LIKE-filtered), supplier, nation all broadcast; lineitem ⋈
+    # orders is the only shuffle join. part's scan must read only the
+    # 3 referenced columns of its 6.
+    assert inspect.broadcast_join_count(df) >= 3, plan
+    assert inspect.shuffle_join_count(df) <= 1, plan
+    schemas = inspect.scan_read_schemas(df)
+    assert any(set(c) == {"p_partkey", "p_name", "p_retailprice"} for c in schemas), schemas
+
+
+def test_q11_reuses_grouped_relation_for_scalar(spark, sf_dir):
+    from mapreduce_lab_spark.operators.tpch_rest import q11_important_parts
+
+    df = q11_important_parts(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # The global threshold comes back as a 1-row broadcast against the
+    # per-part rows — never a shuffle of the grouped relation against
+    # its own aggregate.
+    assert inspect.broadcast_join_count(df) >= 1, plan
+    assert inspect.shuffle_join_count(df) == 0, plan
