@@ -164,3 +164,115 @@ def frame_sample(blobs: DataFrame) -> DataFrame:
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))
+
+
+RESIZE_TARGET = 16  # output 'pixel' count for the resize op
+HIST_BINS = 8  # byte-histogram feature bins (32 values per bin)
+
+
+def resize_blobs(blobs: DataFrame) -> DataFrame:
+    """Nearest-neighbor 'resize' of each decoded blob to RESIZE_TARGET
+    pixels — the batch shape of a real image resize with the codec
+    swapped for ``fake_decode`` (source resolution comes from meta,
+    pixels from payload bytes).
+
+    out[j] = src[floor(j * n / m)] over the n = width+height fake
+    pixels; reported as (sum, first) so the oracle hashes exactly.
+    Narrow mapInPandas over the scan: no shuffle, payload never leaves
+    the partition.
+    """
+    schema = "doc_id long, src_px int, px_sum long, px_first int"
+
+    # The closure must be self-contained (no references to this
+    # module's globals): cloudpickle would serialize those by module
+    # reference, and executor Python workers don't have the repo on
+    # sys.path when the driver runs from elsewhere.
+    m = RESIZE_TARGET
+
+    def _fake_decode(payload: bytes, width: int, height: int) -> list[int]:
+        n = width + height
+        if not payload:
+            return [0] * n
+        return [payload[i % len(payload)] for i in range(n)]
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, srcs, sums, firsts = [], [], [], []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                src = _fake_decode(bytes(payload), meta["width"], meta["height"])
+                n = len(src)
+                out = [src[(j * n) // m] for j in range(m)]
+                ids.append(doc_id)
+                srcs.append(n)
+                sums.append(sum(out))
+                firsts.append(out[0])
+            yield pd.DataFrame(
+                {"doc_id": ids, "src_px": srcs, "px_sum": sums, "px_first": firsts}
+            )
+
+    return blobs.mapInPandas(resize, schema=schema)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           ((32 + doc_id % 97) + (32 + (doc_id * 7) % 89))::INT AS src_px,
+           list_sum(list_transform(range(0, {RESIZE_TARGET}), j ->
+             ascii(substr(text,
+               ((j * ((32 + doc_id % 97) + (32 + (doc_id * 7) % 89))) // {RESIZE_TARGET})
+                 % octet_length(encode(text)) + 1, 1))))::BIGINT AS px_sum,
+           ascii(substr(text, 1, 1)) AS px_first
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over the decode seam; oracle recomputes the cycled-byte
+    fake pixels directly from the text (ASCII corpus: ascii(char) ==
+    payload byte; out[0] = src[0] = payload[0])."""
+    return resize_blobs(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """Per-blob feature vector: HIST_BINS-bin byte histogram — the
+    cheapest real content feature (and the plumbing shape of any
+    embedding extractor: blob in, fixed-width numeric vector out).
+    Vectorized inside the batch via numpy bincount, not per-byte
+    Python."""
+    schema = "doc_id long, " + ", ".join(f"f{k} long" for k in range(HIST_BINS))
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": pdf["doc_id"]}
+            hists = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hists.append(np.bincount(arr >> 5, minlength=HIST_BINS))
+            h = np.array(hists, dtype=np.int64)
+            for k in range(HIST_BINS):
+                rows[f"f{k}"] = h[:, k]
+            yield pd.DataFrame(rows)
+
+    return blobs.select("doc_id", "payload").mapInPandas(feats, schema=schema)
+
+
+_O_FEATS = ", ".join(
+    f"len(list_filter(list_transform(split(text, ''), x -> ascii(x)),"
+    f" b -> b // 32 = {k})) AS f{k}"
+    for k in range(HIST_BINS)
+)
+
+
+@query(
+    "multimodal_features",
+    oracle=f"SELECT doc_id, {_O_FEATS} FROM documents",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(
+        blobify(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    )
