@@ -21,6 +21,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+# Registration order per defining module, used to interleave families
+# in queries()/oracles() output order (see _interleaved_names).
+_BY_MODULE: dict[str, list[str]] = {}
 
 _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.wordcount",
@@ -51,6 +54,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        _BY_MODULE.setdefault(fn.__module__, []).append(name)
         return fn
 
     return deco
@@ -61,11 +65,34 @@ def load_all() -> None:
         importlib.import_module(mod)
 
 
+def _interleaved_names() -> list[str]:
+    """Round-robin across operator modules (families), preserving each
+    module's own registration order.
+
+    The dict ordering here is the order a correctness driver visits
+    queries in. A flat module-by-module ordering means a driver that
+    checks only the first N queries (by count or time budget) never
+    reaches whole families at the tail — in round 1 the first 49
+    entries stopped mid-TPC-H, leaving windows/events/dedup/similarity/
+    textstats/multimodal with no driver row at all. Interleaving one
+    query per family per pass makes any prefix of the ordering a
+    representative sample of every family.
+    """
+    lanes = [list(_BY_MODULE.get(m, [])) for m in _OPERATOR_MODULES]
+    for m in _BY_MODULE:  # modules not in the canonical list, if any
+        if m not in _OPERATOR_MODULES:
+            lanes.append(list(_BY_MODULE[m]))
+    max_len = max((len(lane) for lane in lanes), default=0)
+    return [lane[i] for i in range(max_len) for lane in lanes if i < len(lane)]
+
+
 def queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(_QUERIES)
+    order = _interleaved_names()
+    return {n: _QUERIES[n] for n in order}
 
 
 def oracles() -> dict[str, str]:
     load_all()
-    return dict(_ORACLES)
+    order = _interleaved_names()
+    return {n: _ORACLES[n] for n in order if n in _ORACLES}

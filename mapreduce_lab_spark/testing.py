@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -64,6 +65,50 @@ class DiffResult:
     detail: str = ""
 
 
+def _col_kind(s: pd.Series) -> str:
+    """Coarse type class of a result column, for cross-engine dtype
+    compatibility: 'decimal' | 'float' | 'int' | 'bool' | 'datetime' |
+    'other'. Spark's toPandas() renders DecimalType as object-of-
+    Decimal; DuckDB's fetchdf() renders DOUBLE as float64 — so a
+    Decimal-vs-float mismatch is visible here even though both
+    stringify to the same 6-dp text downstream."""
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    for v in s:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, Decimal):
+            return "decimal"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        return "other"
+    return "other"
+
+
+# Kinds the driver's value-hash treats as interchangeable. Decimal is
+# deliberately NOT compatible with float: that exact mismatch (Spark
+# DECIMAL vs DuckDB DOUBLE) passed this harness in round 1 while
+# failing the driver's gate. int-vs-float stays strict too (sum of
+# BIGINT should stay integral in both engines); bool-vs-int is allowed
+# because DuckDB renders some flags as bool where Spark uses int.
+_KIND_COMPAT = {
+    ("int", "int"), ("float", "float"), ("decimal", "decimal"),
+    ("bool", "bool"), ("datetime", "datetime"), ("other", "other"),
+    ("bool", "int"), ("int", "bool"),
+}
+
+
 def compare(name: str, spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> DiffResult:
     sp = spark_df.toPandas()
     du = con.execute(sql).fetchdf()
@@ -71,6 +116,15 @@ def compare(name: str, spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql:
         return DiffResult(name, False, f"schema: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}")
     if len(sp) != len(du):
         return DiffResult(name, False, f"rowcount: spark={len(sp)} duckdb={len(du)}")
+    # Driver-strength dtype gate, checked BEFORE canonicalization:
+    # stringifying hides Decimal-vs-double divergence that the driver's
+    # schema/hash comparison catches.
+    for c in sorted(sp.columns):
+        ks, kd = _col_kind(sp[c]), _col_kind(du[c])
+        if (ks, kd) not in _KIND_COMPAT:
+            return DiffResult(
+                name, False, f"dtype: column {c!r} spark={ks} duckdb={kd}"
+            )
     a, b = canonical_rows(sp), canonical_rows(du)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
