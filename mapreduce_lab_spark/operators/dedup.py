@@ -8,8 +8,10 @@ standard family:
 - exact dedup: hash-groupBy on content md5 (one shuffle, map-side
   partial agg; at 100 TB this is the cheapest possible corpus pass);
 - n-gram Jaccard near-dup: word-trigram shingle sets, pairs with
-  J >= 0.5 via an inverted shingle index join (shuffle on shingle,
-  then on the pair) — never a cross join;
+  J >= 0.5 via a PREFIX-FILTERED inverted shingle index join (each
+  doc indexes only its ⌊n/2⌋+1 globally-rarest shingles — threshold-
+  preserving, kills hot-shingle quadratic buckets) — never a cross
+  join;
 - MinHash + LSH: 16 universal-hash minima in 4 bands of 4; only
   band-collision candidates are verified with exact Jaccard. At scale
   the band join touches O(collisions), not O(n^2) — the classic
@@ -32,7 +34,7 @@ so membership never hinges on a float ULP.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import (
@@ -42,6 +44,7 @@ from mapreduce_lab_spark.functions.hashing import (
     oracle_perm_hash,
     perm_hash,
 )
+from mapreduce_lab_spark.functions.guards import guard_quadratic
 from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
@@ -53,6 +56,8 @@ SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 
 COSINE_THRESHOLD = 0.4
+# Row bound for the exact all-pairs cosine baseline (~5e9 comparisons).
+EXACT_COSINE_MAX_ROWS = 100_000
 
 _ORACLE_TOKENS = "[t for t in regexp_split_to_array(text, '[^\\p{L}]+') if t <> '']"
 _ORACLE_SHINGLES = f"""
@@ -79,6 +84,67 @@ def shingles(text: Column) -> Column:
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+
+
+def naive_candidate_pairs(doc_sh: DataFrame) -> DataFrame:
+    """All (doc_a < doc_b) pairs sharing ANY shingle — the unfiltered
+    inverted-index join. Quadratic in the hottest shingle's document
+    frequency; kept only as the baseline for the cardinality test."""
+    ex = doc_sh.select("doc_id", F.explode("sh").alias("s"))
+    return (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def prefix_filtered_pairs(doc_sh: DataFrame, threshold_num: int = 1, threshold_den: int = 2) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs via PREFIX-FILTERED inverted
+    shingle index, threshold-preserving for Jaccard >= num/den.
+
+    Prefix-filtering lemma (Chaudhuri/Bayardo/Xiao, SSJoin/PPJoin):
+    under any global total order on shingles, |A∩B| >= α implies the
+    (|A|-α+1)-prefix of A intersects the (|B|-α+1)-prefix of B. For
+    J(A,B) >= t the overlap is at least ⌈t·max(|A|,|B|)⌉ >= ⌈t·|A|⌉
+    for each side, so indexing only each doc's first
+    |A| - ⌈t·|A|⌉ + 1 shingles (at t=1/2: ⌊|A|/2⌋+1) loses no
+    qualifying pair. The canonical order is ascending GLOBAL document
+    frequency (ties by shingle text), so the indexed prefix holds each
+    doc's RAREST shingles — a stop-word trigram shared by every doc
+    lands in nobody's prefix and the quadratic hot-bucket disappears.
+    The subsequent exact-Jaccard verify runs on full shingle sets, so
+    results are identical to the naive index for any corpus.
+
+    Cost: one extra groupBy(shingle) for the document-frequency table
+    and a per-doc window sort (bounded by per-doc shingle count) — both
+    linear passes; candidate-join input is halved and hot buckets are
+    gone, which at 100 TB is the difference between a skew-stalled
+    stage and an even one.
+    """
+    ex = doc_sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    doc_freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        ex.join(doc_freq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        # prefix length |A| - ceil(t*|A|) + 1, t = num/den
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold_num / threshold_den) + 1
+        )
+        .select("doc_id", "s")
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def _pair_jaccard(pairs: DataFrame, doc_sh: DataFrame) -> DataFrame:
@@ -147,29 +213,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram-shingle Jaccard >= 0.5 pairs via inverted shingle index.
+    """Trigram-shingle Jaccard >= 0.5 pairs via prefix-filtered
+    inverted shingle index.
 
-    Spark plan: explode shingles → self-join on shingle (pairs sharing
-    at least one shingle) → count common shingles → exact Jaccard.
-    The oracle brute-forces the cross join instead — an independent
-    formulation, same answer. Scale note: hot shingles would blow up
-    the index join; production adds prefix filtering (sort shingles by
-    global df, index only each doc's rarest k) — semantics-preserving
-    for any threshold, omitted here for oracle clarity.
+    Spark plan: explode shingles → keep each doc's rarest ⌊n/2⌋+1
+    shingles by global document frequency (prefix filtering — loses no
+    J>=0.5 pair, see prefix_filtered_pairs) → self-join on shingle →
+    exact-Jaccard verify over the FULL shingle sets. The oracle
+    brute-forces the cross join instead — an independent formulation,
+    same answer.
     """
     # The shingle table feeds both sides of the self-join and the
     # verify step: cache it so tokenization+shingling runs once, not
     # 4x (at scale this is a materialized signature table).
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
-    ex = doc_sh.select("doc_id", F.explode("sh").alias("s"))
-    pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return _pair_jaccard(pairs, doc_sh)
+    return _pair_jaccard(prefix_filtered_pairs(doc_sh), doc_sh)
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -411,12 +469,23 @@ _O_NORM = "list_reduce([{e}[i] * {e}[i] for i in range(1, len({e}) + 1)], (x, y)
 def q_near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine >= 0.4 over the embeddings table.
 
-    Norms are computed once per row before the join (O(n·d)), so the
-    O(n²) pair stage only pays the dot product. This is the exact
-    baseline; the LSH-bucketed ANN path is in operators/similarity.py.
+    THIS IS THE O(n²) RECALL BASELINE, NOT THE SCALE PATH. Every pair
+    of vectors is compared; at 100 TB the bucketed constructions in
+    operators/similarity.py (ann_lsh_cosine / ann_ivf_trained) are the
+    real operators, and this one exists to measure their recall on
+    samples. A guard_quadratic row bound (EXACT_COSINE_MAX_ROWS,
+    opt-out with max_rows=None) refuses inputs where the pair count
+    would be catastrophic. Norms are computed once per row before the
+    join (O(n·d)), so the pair stage only pays the dot product.
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _dvec("embedding").alias("v")
+    )
+    e = guard_quadratic(
+        e,
+        EXACT_COSINE_MAX_ROWS,
+        "near_dup_embedding_cosine",
+        "operators/similarity.py ann_lsh_cosine / ann_ivf_trained",
     )
     e = e.withColumn("norm", _fold_sum(F.zip_with("v", "v", lambda x, y: x * y)))
     a = e.select(
@@ -518,15 +587,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely different algorithm, same fixpoint.
     """
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
-    ex = doc_sh.select("doc_id", F.explode("sh").alias("s"))
-    cand = (
-        ex.alias("a")
-        .join(ex.alias("b"), "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    pairs = _pair_jaccard(cand, doc_sh).select(
+    pairs = _pair_jaccard(prefix_filtered_pairs(doc_sh), doc_sh).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components(pairs)

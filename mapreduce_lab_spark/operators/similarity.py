@@ -26,12 +26,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_lab_spark.functions.guards import ExactBaselineScaleError
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
 TOP_K = 5
 LSH_BITS = 4  # 16 buckets
+# Comparison bound for the exact brute-force baseline: |Q| x n dot
+# products. One broadcast pass over the corpus is linear, but a large
+# query set multiplies it back toward quadratic.
+KNN_BRUTEFORCE_MAX_COMPARISONS = 1_000_000_000
 
 _O_FOLD = "list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], (x, y) -> x + y)"
 
@@ -51,8 +56,30 @@ def _cosine(va: str, vb: str, na: str, nb: str) -> Column:
     return dot / F.sqrt(F.col(na) * F.col(nb))
 
 
-def knn_bruteforce(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
-    """Exact top-k cosine neighbors for each probe vector."""
+def knn_bruteforce(
+    e: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    max_comparisons: int | None = KNN_BRUTEFORCE_MAX_COMPARISONS,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector.
+
+    THIS IS THE EXACT RECALL BASELINE, NOT THE SCALE PATH: every query
+    is compared against every corpus vector (|Q|·n·d). The bucketed
+    paths (ann_lsh_cosine, ann_lsh_multiprobe, ann_ivf_trained) are
+    the 100 TB operators. The guard refuses |Q|·n beyond
+    max_comparisons; pass ``max_comparisons=None`` to opt in (e.g. for
+    recall measurement over a sample).
+    """
+    if max_comparisons is not None:
+        n = e.count()
+        if n * n_queries > max_comparisons:
+            raise ExactBaselineScaleError(
+                f"knn_bruteforce: {n_queries} queries x {n} corpus rows "
+                f"= {n * n_queries:.1e} comparisons exceeds "
+                f"max_comparisons={max_comparisons}. Use ann_lsh_cosine / "
+                f"ann_ivf_trained, or pass max_comparisons=None."
+            )
     base = _with_norm(e)
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")

@@ -21,6 +21,11 @@ from mapreduce_lab_spark.functions.numeric import (
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import load_table
 
+# Range partitions for the distributed global-rank composition in
+# window_ntile_share. At 100 TB this scales with the cluster; the
+# per-partition sort stays in memory as long as n/P rows fit a task.
+NTILE_RANGE_PARTITIONS = 32
+
 
 @query(
     "window_top_orders_per_customer",
@@ -170,17 +175,63 @@ def window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ntile over a global ORDER BY is the one legitimately global
-    # window here (quartiles are global by definition); the share
-    # column stays partitioned by nation. For 100 TB quantiles use
-    # approxQuantile / percentile_approx instead (see textstats).
+    """Global quartile by balance + share of nation's balance.
+
+    ``ntile(4) OVER (ORDER BY ...)`` — the oracle's formulation — is a
+    GLOBAL window: Spark plans it as Exchange SinglePartition + one
+    task sorting the entire table, a guaranteed stall at 100 TB. This
+    implementation reproduces ntile's exact bucket semantics with the
+    classic distributed ranking composition instead:
+
+    1. ``repartitionByRange`` on the sort key — each partition holds a
+       contiguous key range, partition ids follow the global order;
+    2. ``row_number`` WITHIN each range partition (parallel sort);
+    3. per-partition row counts (a P-row metadata collect, not a data
+       collect) give each partition's global rank offset;
+    4. global_rank = offset + local_rank, and ntile(4)'s bucket is a
+       closed-form expression of (global_rank, n).
+
+    The ranked frame is cached so the count job and the output job see
+    identical range boundaries (at scale: persist the ranked
+    intermediate). tests/test_plan_quality.py pins the absence of a
+    single-partition Window over customer.
+    """
     cust = load_table(spark, sf_dir, "customer").withColumn(
         "_bal_u", to_units("c_acctbal", 100)
     )
-    w_global = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    ranked = (
+        cust.repartitionByRange(NTILE_RANGE_PARTITIONS, F.desc("c_acctbal"), F.asc("c_custkey"))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(F.desc("c_acctbal"), "c_custkey")
+            ),
+        )
+        .cache()
+    )
+    sizes = {r["_pid"]: r["cnt"] for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, total = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, total))
+        total += sizes[pid]
+    off = spark.createDataFrame(offsets, "_pid int, _off long")
+
+    # ntile(4) closed form: with n = total rows, q = n div 4 and
+    # rem = n mod 4, the first `rem` buckets hold q+1 rows, the rest q.
+    q, rem = divmod(total, 4)
+    r = F.col("_off") + F.col("_lr")
+    if q == 0:  # fewer rows than buckets: bucket i = row i
+        quartile = r.cast("int")
+    else:
+        quartile = (
+            F.when(r <= rem * (q + 1), F.ceil(r / (q + 1)))
+            .otherwise(rem + F.ceil((r - rem * (q + 1)) / q))
+            .cast("int")
+        )
     w_nation = Window.partitionBy("c_nationkey")
-    return cust.select(
+    return ranked.join(F.broadcast(off), "_pid").select(
         "c_custkey",
-        F.ntile(4).over(w_global).alias("quartile"),
+        quartile.alias("quartile"),
         exact_ratio(F.col("_bal_u"), F.sum("_bal_u").over(w_nation)).alias("nation_share"),
     )

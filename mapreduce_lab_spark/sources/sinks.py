@@ -30,10 +30,13 @@ def write_text_kv(df: DataFrame, path: str, key_col: str = "key", value_col: str
     unspecified in the reference (it iterates a Go map) and here too —
     the harness sorts before comparing (``test.sh:96``).
     """
-    out = df.select(F.concat_ws(" ", F.col(key_col).cast("string"),
-                                F.col(value_col).cast("string")).alias("value"))
-    if n_partitions is not None:
-        out = out.repartition(n_partitions, key_col) if key_col in df.columns else out
+    # Repartition on the key BEFORE the projection drops it — the same
+    # hash(key) % nReduce placement as the reference's ihash
+    # (core/worker.go:40-44): every occurrence of a key lands in one
+    # output file.
+    src = df.repartition(n_partitions, key_col) if n_partitions is not None else df
+    out = src.select(F.concat_ws(" ", F.col(key_col).cast("string"),
+                                 F.col(value_col).cast("string")).alias("value"))
     out.write.mode("overwrite").text(path)
 
 

@@ -220,6 +220,18 @@ def test_q9_broadcasts_all_three_dims(spark, sf_dir):
     assert any(set(c) == {"p_partkey", "p_name", "p_retailprice"} for c in schemas), schemas
 
 
+def test_ntile_share_has_no_global_single_partition_window(spark, sf_dir):
+    from mapreduce_lab_spark.operators.windows import window_ntile_share
+
+    df = window_ntile_share(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # ntile(4) OVER (ORDER BY ...) would plan Exchange SinglePartition
+    # + a one-task global sort — the distributed ranking composition
+    # must keep every exchange hash/range partitioned.
+    assert "SinglePartition" not in plan, plan
+    assert "ntile" not in plan, plan
+
+
 def test_q11_reuses_grouped_relation_for_scalar(spark, sf_dir):
     from mapreduce_lab_spark.operators.tpch_rest import q11_important_parts
 

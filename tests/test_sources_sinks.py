@@ -2,16 +2,80 @@
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
 from pyspark.sql import functions as F
 
+from mapreduce_lab_spark.operators.mapreduce_contract import map_reduce, wc_map, wc_reduce
 from mapreduce_lab_spark.operators.wordcount import word_count
 from mapreduce_lab_spark.sources import sinks
 from mapreduce_lab_spark.sources.tables import load_table
-from mapreduce_lab_spark.sources.text import documents_as_corpus
+from mapreduce_lab_spark.sources.text import documents_as_corpus, whole_text_files
 
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
+
+
+_CORPUS = {
+    "pg-a.txt": "The quick brown fox.\nIt jumps over the lazy dog;\nthe dog sleeps.",
+    "pg-b.txt": "Fox and dog, dog and fox —\nnumbers like 42 or x2y are split apart.",
+    "pg-c.txt": "Café naïve señor;\nnon-ASCII letters count as word characters.\n",
+    "pg-d.txt": "",  # empty file: zero tokens, still one (filename, text) row
+}
+
+
+def test_whole_text_files_wordcount_parity(spark, tmp_path):
+    """E1 whole-file source end-to-end: real text files through BOTH
+    word-count paths (DataFrame and the reference MR contract) against
+    a pure-Python golden — mirrors the reference's mrsequential
+    differential over data/pg-*.txt (test.sh:70-107)."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for name, text in _CORPUS.items():
+        (d / name).write_text(text, encoding="utf-8")
+
+    df = whole_text_files(spark, str(d) + "/*.txt")
+    assert df.columns == ["filename", "text"]
+    assert df.count() == len(_CORPUS)
+    # Whole-file granularity: each row is an ENTIRE file, newlines kept.
+    by_name = {r.filename.rsplit("/", 1)[-1]: r.text for r in df.collect()}
+    assert by_name == _CORPUS
+
+    golden = Counter(
+        w for text in _CORPUS.values() for w in re.findall(r"[^\W\d_]+", text)
+    )
+    got_df = {r.word: r.cnt for r in word_count(df).collect()}
+    assert got_df == dict(golden)
+
+    rdd = df.rdd.map(lambda r: (r.filename, r.text))
+    got_mr = dict(map_reduce(rdd, wc_map, wc_reduce).collect())
+    assert got_mr == {k: str(v) for k, v in golden.items()}
+
+
+def test_write_text_kv_n_partitions_colocates_keys(spark, tmp_path):
+    """n_partitions mirrors the reference's nReduce=10: exactly that
+    many output files, and every occurrence of a key in ONE file
+    (hash(key) placement, core/worker.go ihash)."""
+    import os
+
+    df = spark.createDataFrame(
+        [(f"k{i % 7}", str(i)) for i in range(100)], "key string, value string"
+    ).repartition(8)  # scatter keys across input partitions first
+    path = str(tmp_path / "nred")
+    sinks.write_text_kv(df, path, n_partitions=4)
+
+    files = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    assert len(files) == 4
+    key_to_files: dict[str, set[str]] = {}
+    for f in files:
+        for line in open(os.path.join(path, f), encoding="utf-8"):
+            if line.strip():
+                key_to_files.setdefault(line.split(" ", 1)[0], set()).add(f)
+    assert key_to_files and all(len(fs) == 1 for fs in key_to_files.values()), key_to_files
+    # lossless
+    assert sinks.read_text_kv(spark, path).count() == 100
 
 
 def test_text_kv_roundtrip_reference_format(spark, sf_dir, tmp_path):
