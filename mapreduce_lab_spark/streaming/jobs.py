@@ -261,6 +261,76 @@ def start_upsert_sink(
     )
 
 
+def start_bucketed_merge_sink(
+    sdf: DataFrame,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+):
+    """Keyed MERGE into a BUCKETED catalog table via foreachBatch.
+
+    The bucketed twin of start_upsert_sink: the state table is stored
+    hash-clustered on the merge keys (``bucketBy``), so each batch's
+    anti-join reads the base co-located — the base side needs NO
+    Exchange, only the (small) incoming batch shuffles, into exactly
+    ``n_buckets`` partitions (pinned by tests/test_streaming.py).
+    Rewriting the merged table re-pays one clustered write, which is
+    the cost of ACID-on-plain-parquet; the bucketing is then already
+    in place for the NEXT batch's merge and for any downstream join
+    or aggregation on the same keys.
+
+    Versioning/atomicity: each batch writes ``<table>_v<batch_id>``
+    and atomically repoints the ``<table>`` VIEW (catalog view
+    replacement is atomic to readers); superseded version tables are
+    dropped after the swap. Idempotency per batch_id (foreachBatch is
+    at-least-once): a re-run before the swap rewrites the same version
+    table from the same input; a re-run after the swap is detected by
+    the view already pointing at this batch's version and becomes a
+    no-op.
+    """
+    import re
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vtab = f"{table}_v{batch_id}"
+        if spark.catalog.tableExists(table):
+            ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+            m = re.search(r"_v(\d+)\b", ddl)
+            if m and int(m.group(1)) == batch_id:
+                return  # re-run after this batch's own commit
+        new = batch_df.dropDuplicates(keys)
+        if spark.catalog.tableExists(table):
+            base = spark.table(table)
+            merged = base.join(new.select(*keys), keys, "left_anti").unionByName(new)
+        else:
+            merged = new
+        (
+            merged.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(vtab)
+        )
+        spark.sql(f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM {vtab}")
+        # Retention: superseded versions are unreachable once the view
+        # moved on (single-writer; production keeps a read-grace window).
+        db, _, base_name = table.rpartition(".")
+        db = db or spark.catalog.currentDatabase()
+        keep = vtab.rpartition(".")[2]
+        for t in spark.catalog.listTables(db):
+            if t.name.startswith(base_name + "_v") and t.name != keep:
+                spark.sql(f"DROP TABLE IF EXISTS {db}.{t.name}")
+
+    return (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --- test/driver harness ---------------------------------------------------
 
 

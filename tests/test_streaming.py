@@ -297,6 +297,68 @@ def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
     assert got.count() == got.select("user_id").distinct().count()
 
 
+def test_foreach_batch_bucketed_merge_sink(spark, stream_dir, tmp_path):
+    """MERGE into a bucketed state table: correctness + co-location.
+
+    Two microbatches of update-mode running totals merge into a
+    catalog table bucketed on user_id. The final view must equal the
+    batch aggregation (one row per user), the backing table must be
+    bucketed, and the merge's anti-join must read the base side
+    WITHOUT an Exchange — only the incoming batch shuffles, into
+    exactly n_buckets partitions. availableNow (trigger-once) drain
+    doubles as the throughput probe.
+    """
+    from mapreduce_lab_spark.plans import inspect
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS mergedb LOCATION '{tmp_path / 'db'}'")
+    table = "mergedb.user_totals"
+    try:
+        stream = jobs.events_stream(
+            spark, stream_dir, glob="*.parquet", max_files_per_trigger=1
+        )
+        n_input = spark.read.schema(jobs.EVENTS_SCHEMA).parquet(stream_dir).count()
+        t0 = time.perf_counter()
+        q = jobs.start_bucketed_merge_sink(
+            jobs.streaming_running_totals(stream),
+            table,
+            ["user_id"],
+            str(tmp_path / "ckpt"),
+            n_buckets=8,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        assert n_input / wall > 0  # trigger-once throughput is finite/sane
+
+        got = spark.table(table).filter(F.col("user_id") != SENTINEL_USER)
+        batch = _batch_events(spark, stream_dir, with_sentinel=False)
+        want = batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        assert _rows(got) == _rows(want)
+        assert got.count() == got.select("user_id").distinct().count()
+
+        # Backing table is bucketed on the merge key.
+        vname = [
+            t.name for t in spark.catalog.listTables("mergedb")
+            if t.name.startswith("user_totals_v")
+        ]
+        assert len(vname) == 1  # superseded versions were dropped
+        ddl = spark.sql(f"SHOW CREATE TABLE mergedb.{vname[0]}").collect()[0][0]
+        assert "CLUSTERED BY (user_id)" in ddl and "8 BUCKETS" in ddl, ddl
+
+        # Co-location: base side of the next merge's anti-join has no
+        # Exchange; only the probe side shuffles (forced SMJ — at this
+        # scale it would broadcast, at real scale it wouldn't).
+        probe = spark.createDataFrame([(1,), (2,)], "user_id long").hint("merge")
+        anti = spark.table(table).join(probe, ["user_id"], "left_anti")
+        plan = inspect.formatted_plan(anti)
+        assert "SortMergeJoin" in plan, plan
+        assert inspect.exchange_count(anti) == 1, plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS mergedb CASCADE")
+
+
 def test_streaming_running_totals_match_batch(spark, stream_dir):
     stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
     got = jobs.run_available_now(
