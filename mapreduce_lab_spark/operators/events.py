@@ -46,17 +46,19 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
-@query(
-    "tumbling_window_hourly",
-    oracle=f"""
+# Shared with the streaming replay twins (streaming/replay.py): the
+# same oracle checks the batch plan AND its full streaming replay.
+TUMBLING_ORACLE = f"""
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
            {oracle_exact_sum('value', 100)} AS total_value
     FROM events
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("tumbling_window_hourly", oracle=TUMBLING_ORACLE)
 def q_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load_table(spark, sf_dir, "events"))
 
@@ -77,9 +79,7 @@ def sliding_counts(events: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "sliding_window_15min",
-    oracle=f"""
+SLIDING_ORACLE = f"""
     -- Each event belongs to 4 sliding windows: the one starting at its
     -- 15-min bucket and the 3 before it (width 1h / slide 15min).
     SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
@@ -88,8 +88,10 @@ def sliding_counts(events: DataFrame) -> DataFrame:
            {oracle_exact_avg(f"sum({oracle_units('value', 100)})", 'count(*)', 100)} AS avg_value
     FROM events, unnest([0, 1, 2, 3]) AS t(k)
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("sliding_window_15min", oracle=SLIDING_ORACLE)
 def q_sliding_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(load_table(spark, sf_dir, "events"))
 
@@ -111,9 +113,7 @@ def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
-@query(
-    "session_window_10min",
-    oracle="""
+SESSION_ORACLE = """
     -- Gaps-and-islands: a new session starts when the gap from the
     -- previous event of the same user is >= 10 minutes (session_window
     -- merges [ts, ts+gap) intervals, which overlap iff next < prev + gap).
@@ -136,8 +136,10 @@ def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
            sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS session_value
     FROM numbered
     GROUP BY user_id, sess
-    """,
-)
+    """
+
+
+@query("session_window_10min", oracle=SESSION_ORACLE)
 def q_session_window_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(load_table(spark, sf_dir, "events"))
 

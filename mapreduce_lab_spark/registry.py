@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.mapreduce_contract",
     "mapreduce_lab_spark.multimodal.binary_ops",
     "mapreduce_lab_spark.operators.pipeline",
+    "mapreduce_lab_spark.streaming.replay",
 ]
 
 

@@ -19,6 +19,7 @@ unchanged.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,19 @@ from mapreduce_lab_spark.operators.events import (
     sliding_counts,
     tumbling_counts,
 )
+
+# Ship this module's functions INSIDE pickled closures (same as
+# operators/mapreduce_contract.py): _running_totals executes on
+# executors, which must not need mapreduce_lab_spark on their
+# PYTHONPATH — a driver running from a neutral cwd would otherwise
+# fail with ModuleNotFoundError (pytest masks this; the correctness
+# driver does not).
+try:
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except (ImportError, AttributeError):  # pragma: no cover - old pyspark
+    pass
 
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"

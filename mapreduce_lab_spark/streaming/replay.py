@@ -1,0 +1,112 @@
+"""Streaming replay queries — driver-checkable streaming correctness.
+
+The streaming twins in ``streaming/jobs.py`` share their logical plans
+with the batch operators, but until now only local tests exercised
+them. Each query here runs the REAL streaming path end-to-end —
+file-stream source over the sf_dir's events parquet → streaming
+operators (window aggregation, watermarked dedup, arbitrary stateful
+processing) → availableNow drain into a memory sink — and returns the
+drained result, oracled by the batch SQL. A hash match therefore
+proves source, streaming execution, state management, and sink
+deliver exactly the batch answer on a full replay.
+
+Determinism notes per query:
+- aggregations run in complete/update mode over a single microbatch
+  (one input file), so every group emits exactly once with its final
+  value;
+- the watermarked dedup keeps an arbitrary row per key within a
+  batch, so its replay projects the KEY COLUMNS only (the
+  deterministic part of its contract).
+
+The reference has no streaming at all (hard map→reduce barrier,
+``core/coordinator.go:317-324``); this is superset surface.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_lab_spark.operators.events import (
+    SESSION_ORACLE,
+    SLIDING_ORACLE,
+    TUMBLING_ORACLE,
+)
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.streaming import jobs
+
+_SINK_IDS = itertools.count()
+
+
+def _drain(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """availableNow → memory sink; unique sink name per invocation so
+    repeated runs in one session never collide."""
+    name = f"replay_sink_{next(_SINK_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.events_stream(spark, sf_dir, glob="events.parquet")
+
+
+@query("streaming_tumbling_replay", oracle=TUMBLING_ORACLE)
+def q_streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts through Structured Streaming (complete
+    mode), same oracle as the batch twin tumbling_window_hourly."""
+    return _drain(jobs.streaming_tumbling_hourly(_stream(spark, sf_dir)), "complete")
+
+
+@query("streaming_sliding_replay", oracle=SLIDING_ORACLE)
+def q_streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h/15min sliding windows through Structured Streaming."""
+    return _drain(jobs.streaming_sliding_15min(_stream(spark, sf_dir)), "complete")
+
+
+@query("streaming_session_replay", oracle=SESSION_ORACLE)
+def q_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked per-user session windows through Structured
+    Streaming. Complete mode: a single input batch emits every session
+    with its final merged extent, without needing a sentinel event to
+    push the watermark past the last session (which append mode
+    would — see tests/test_streaming.py for that harness; session
+    aggregations reject update mode outright)."""
+    return _drain(jobs.streaming_sessions(_stream(spark, sf_dir)), "complete")
+
+
+@query(
+    "streaming_dedup_replay",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark through Structured Streaming,
+    projected to its deterministic contract: exactly the distinct key
+    set (which row survives per key is batch-order-dependent)."""
+    return _drain(jobs.streaming_dedup(_stream(spark, sf_dir)), "append").select(
+        "user_id", "event_type"
+    )
+
+
+@query(
+    "streaming_running_totals_replay",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_streaming_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState (arbitrary stateful processing) through
+    Structured Streaming: per-user exact-cent running totals, update
+    mode over one batch → one final row per user."""
+    return _drain(jobs.streaming_running_totals(_stream(spark, sf_dir)), "update")
