@@ -330,6 +330,90 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(cand, doc_sh)
 
 
+# --- MinHash-LSH candidates + edit-distance verify ---------------------------
+
+# Accept pairs whose levenshtein distance is <= 20% of the longer
+# normalized text (permille so the predicate stays pure-integer).
+EDIT_DIST_MAX_PERMILLE = 200
+
+
+@query(
+    "near_dup_band_edit_distance",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
+    ), h AS (
+      SELECT doc_id, list_transform(sh, s -> {oracle_hex8_int('s')}) AS hx FROM t
+    ), sig AS (
+      SELECT doc_id, {_O_SIGS} FROM h
+    ), bands AS (
+      {_O_BANDS}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ), n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS edit_distance
+    FROM cand
+    JOIN n na ON na.doc_id = cand.doc_a
+    JOIN n nb ON nb.doc_id = cand.doc_b
+    WHERE 1000 * levenshtein(na.norm, nb.norm)
+          <= {EDIT_DIST_MAX_PERMILLE} * greatest(len(na.norm), len(nb.norm))
+    """,
+)
+def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH band candidates verified by
+    RELATIVE EDIT DISTANCE (levenshtein <= 20% of the longer
+    normalized text) instead of Jaccard.
+
+    Edit distance is the verifier of choice when token-order changes
+    matter (shingle Jaccard is order-insensitive across trigram
+    boundaries; levenshtein is not) — but it is O(len_a·len_b) per
+    pair, utterly unusable as a join predicate. The construction that
+    makes it scale is the same banded LSH as near_dup_minhash_lsh:
+    candidate generation touches O(band collisions) pairs, and the
+    quadratic-cost verify runs only on that bounded set. The
+    acceptance predicate is pure-integer (1000·lev <= 200·max_len) so
+    membership can't hinge on a float ULP; the oracle reproduces the
+    exact bands and DuckDB's levenshtein agrees with Spark's on
+    codepoints.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select(
+        "doc_id", norm.alias("norm"), shingles(F.col("text")).alias("sh")
+    ).cache()
+    sig = base.select("doc_id", *minhash_signature(F.transform("sh", hex8_int)))
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    lev = F.levenshtein("norm_a", "norm_b")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("edit_distance", lev.cast("long"))
+        .filter(
+            1000 * F.col("edit_distance")
+            <= EDIT_DIST_MAX_PERMILLE * F.greatest(F.length("norm_a"), F.length("norm_b"))
+        )
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

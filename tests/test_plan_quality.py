@@ -242,3 +242,59 @@ def test_q11_reuses_grouped_relation_for_scalar(spark, sf_dir):
     # its own aggregate.
     assert inspect.broadcast_join_count(df) >= 1, plan
     assert inspect.shuffle_join_count(df) == 0, plan
+
+
+# --- curation operators (operators/curation.py) ---
+
+def test_stratified_sample_is_narrow_pruned_scan(spark, sf_dir):
+    from mapreduce_lab_spark.operators.curation import q_stratified_sample_documents
+
+    df = q_stratified_sample_documents(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # A sampling gate is a pure narrow filter: no keyed shuffle of any
+    # kind (the only exchange allowed is fan_out()'s test-scale
+    # RoundRobin split of the single-file parquet), and the scan must
+    # not read `text` — the gate hashes doc_id, not content.
+    for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert kind not in plan, plan
+    schemas = inspect.scan_read_schemas(df)
+    assert schemas and all("text" not in cols for cols in schemas), schemas
+
+
+def test_group_topk_windows_are_salted_then_tiny(spark, sf_dir):
+    from mapreduce_lab_spark.operators.curation import q_group_topk_documents
+
+    df = q_group_topk_documents(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # Phase 1 must partition by (lang, salt) — the full-data window
+    # over bare `lang` (one task per language at 100 TB) is exactly
+    # what this operator exists to avoid. A bare-lang window is only
+    # allowed downstream of the per-salt top-k filter.
+    assert "SinglePartition" not in plan, plan
+    first_window = plan.find("Window")
+    assert first_window != -1, plan
+    # Two Window nodes: salted local rank, then global re-rank.
+    assert plan.count("Window ") >= 2 or plan.count("[Window]") >= 2, plan
+    assert "salt" in plan, plan
+
+
+def test_token_histogram_partial_agg_and_pruned_scan(spark, sf_dir):
+    from mapreduce_lab_spark.operators.curation import q_token_count_histogram
+
+    df = q_token_count_histogram(spark, sf_dir)
+    assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
+    schemas = inspect.scan_read_schemas(df)
+    assert schemas and all(cols == ["text"] for cols in schemas), schemas
+
+
+def test_embedding_centroids_partial_agg(spark, sf_dir):
+    from mapreduce_lab_spark.operators.curation import q_embedding_centroids_by_label
+
+    df = q_embedding_centroids_by_label(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # The shuffle must carry (label, dim, unit-sum) partials, never
+    # vectors: partial agg present, and the only keyed exchange is the
+    # final groupBy (fan_out()'s RoundRobin split doesn't count).
+    assert inspect.has_partial_aggregation(df), plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan and "SinglePartition" not in plan, plan
