@@ -293,3 +293,67 @@ def q_embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFram
             "centroid"
         ),
     )
+
+
+# --- token-budget sequence packing -------------------------------------------
+
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 16
+
+
+@query(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             {oracle_hex8_int("'shard|' || doc_id::VARCHAR")} % {PACK_SHARDS} AS shard,
+             len({_ORACLE_TOKENS}) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) - n_tok
+               AS start_tok
+      FROM d
+    )
+    SELECT lang, shard, doc_id, n_tok,
+           CAST(floor(start_tok / {PACK_BUDGET_TOKENS}) AS BIGINT) AS chunk_id,
+           CAST(start_tok % {PACK_BUDGET_TOKENS} AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+)
+def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document its
+    starting (chunk, offset) in a fixed token-budget training stream.
+
+    The standard LLM pretraining layout — concatenate documents in a
+    deterministic order, slice the token stream into fixed-size
+    sequences — expressed as a windowed running sum: a doc's start
+    offset is the exclusive prefix-sum of token counts, its chunk is
+    floor(start / budget). Packing runs independently per
+    (lang, shard) — shard is a doc_id hash, so stream membership and
+    order are reproducible across runs/engines/layouts, and partition
+    size is corpus/shards: at 100 TB you raise PACK_SHARDS, never the
+    per-task memory. (True first-fit bin packing needs a stateful
+    scan — ``applyInPandasWithState`` territory — but concat-chunk is
+    what production pretraining pipelines actually ship.)
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            hex8_int(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+            F.lit(PACK_SHARDS),
+        ).alias("shard"),
+        F.size(tokenize(F.col("text"))).alias("n_tok"),
+    )
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    c = d.withColumn("start_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return c.select(
+        "lang",
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.floor(F.col("start_tok") / PACK_BUDGET_TOKENS).alias("chunk_id"),
+        F.pmod(F.col("start_tok"), F.lit(PACK_BUDGET_TOKENS)).alias("chunk_offset"),
+    )

@@ -322,3 +322,37 @@ def q_deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     return orders.filter(
         F.pmod(hex8_int(F.col("o_orderkey").cast("string")), F.lit(10)) == 0
     ).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "exact_percentiles_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS qty_p25,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_quantity, 0.75) AS qty_p75,
+           quantile_cont(l_extendedprice, 0.9) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_exact_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (type-7 linear interpolation).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both compute
+    lo + frac·(hi − lo) on the sorted multiset — identical IEEE ops,
+    verified bit-for-bit here including fractional interpolation on
+    the price column. Scale posture: Spark's exact percentile holds an
+    O(distinct-values) map per group (fine for bounded domains like
+    l_quantity's 50 values; memory-heavy for open domains like price)
+    — the 100 TB default is ``approx_percentile`` (t-digest-style
+    sketch, bounded memory, engine-specific results so rows-only
+    checkable, same trade as approx_distinct_users).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("qty_p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("qty_p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("qty_p75"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("price_p90"),
+    )
