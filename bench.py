@@ -141,6 +141,10 @@ def main() -> None:
     # fixed cost amortized in any long-lived session.
     # The first (compile) run is ALSO timed and reported as the cold
     # number — the latency a one-shot user pays, plan codegen included.
+    # The steady number is the MIN of two post-compile runs: wall-clock
+    # on a shared host has multi-second transient noise (observed 3x
+    # swings on identical plans), and min-of-N measures the plan's
+    # capability rather than the host's worst moment.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     throughput: dict[str, int] = {}
@@ -148,10 +152,12 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            dt = min(dt, time.perf_counter() - t0)
         timings[name] = round(dt, 3)
         throughput[name] = int(input_rows[PRIMARY_INPUT[name]] / dt)
         spark.catalog.clearCache()
