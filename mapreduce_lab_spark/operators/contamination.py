@@ -1,0 +1,220 @@
+"""Corpus-hygiene operators: benchmark decontamination + PII redaction.
+
+Two safety passes every production training-data pipeline runs before
+the mix is frozen:
+
+- **Benchmark decontamination** — find corpus documents that share a
+  verbatim token 8-gram with a held-out benchmark/eval set, so eval
+  answers don't leak into training data. The standard construction
+  (8-gram surface overlap, as published for GPT-3/PaLM/Llama data
+  work) maps to a textbook Spark shape: the benchmark side is tiny
+  relative to the corpus, so its distinct n-gram hash set is
+  BROADCAST and the 100 TB corpus side never shuffles for the probe —
+  the only shuffle is the final per-doc hit count (map-side
+  combinable).
+- **PII redaction** — scrub emails / IPv4s / phone-shaped numbers
+  with typed placeholders and report per-doc match counts. Pure
+  ``regexp_replace``/``regexp_extract_all`` scalar expressions: zero
+  shuffle, whole-stage codegen, embarrassingly parallel — the ideal
+  100 TB shape. Patterns are restricted to syntax with identical
+  semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+  classes, bounded repetition, ASCII ``\\b``.
+
+The reference has no hygiene operators (its workload is fixed
+whole-corpus MapReduce, ``test.sh:70-107``); this is superset surface
+required by the training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.functions.text import tokenize
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
+
+# --- benchmark decontamination ----------------------------------------------
+
+NGRAM_N = 8
+# Held-out "benchmark" slice: 1-in-20 documents by salted content hash
+# (stands in for an external eval set; membership is deterministic so
+# the oracle reproduces it exactly).
+BENCH_MOD = 20
+
+_ORACLE_TOKENS = "[t for t in regexp_split_to_array(text, '[^\\p{L}]+') if t <> '']"
+_ORACLE_NGRAMS8 = """
+    CASE WHEN len(tk) >= 8
+         THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                             || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' '
+                             || tk[i+6] || ' ' || tk[i+7]
+                             for i in range(1, len(tk) - 6)])
+         ELSE [] END
+""".strip()
+
+
+def ngrams8(text: Column) -> Column:
+    """Distinct token 8-grams; empty for docs shorter than 8 tokens
+    (a sub-8-token doc cannot carry an 8-gram, so it is trivially
+    uncontaminated under this test)."""
+    toks = tokenize(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(NGRAM_N)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= NGRAM_N, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def _bench_gate() -> Column:
+    return (
+        F.pmod(
+            hex8_int(F.concat(F.lit("bench|"), F.col("doc_id").cast("string"))),
+            F.lit(BENCH_MOD),
+        )
+        == 0
+    )
+
+
+_O_BENCH_EXPR = "'bench|' || doc_id::VARCHAR"
+_O_BENCH_GATE = f"{oracle_hex8_int(_O_BENCH_EXPR)} % {BENCH_MOD} = 0"
+
+
+def benchmark_overlap(docs: DataFrame) -> DataFrame:
+    """Corpus documents sharing >= 1 token 8-gram with the benchmark
+    slice, with the count of distinct overlapping 8-grams.
+
+    Plan: both sides reduce 8-grams to 32-bit hashes (the shuffle and
+    the broadcast carry 8-byte longs, never n-gram text; both engines
+    hash identically, so any collision affects both equally). The
+    benchmark side — tiny by construction, as real eval sets are — is
+    collapsed to a DISTINCT hash set and **broadcast**; the corpus
+    side is a narrow explode→broadcast-hash-join→partial-agg count.
+    At 100 TB the corpus never shuffles to discover contamination;
+    the only exchange is the per-doc count (map-side combined).
+    """
+    with_grams = docs.select(
+        "doc_id", _bench_gate().alias("is_bench"), ngrams8(F.col("text")).alias("ng")
+    )
+    hashed = with_grams.select(
+        "doc_id", "is_bench", F.explode("ng").alias("g")
+    ).select("doc_id", "is_bench", hex8_int(F.col("g")).alias("h"))
+    bench = hashed.filter("is_bench").select("h").distinct()
+    corpus = hashed.filter(~F.col("is_bench")).select("doc_id", "h")
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
+@query(
+    "decontaminate_benchmark_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_O_BENCH_GATE} AS is_bench, {_ORACLE_NGRAMS8} AS ng
+      FROM (SELECT doc_id, text, {_ORACLE_TOKENS} AS tk FROM documents)
+    ), h AS (
+      SELECT doc_id, is_bench, {oracle_hex8_int("s")} AS h
+      FROM (SELECT doc_id, is_bench, unnest(ng) AS s FROM g)
+    ), bench AS (
+      SELECT DISTINCT h FROM h WHERE is_bench
+    )
+    SELECT doc_id, count(*) AS n_hit_ngrams
+    FROM h JOIN bench USING (h)
+    WHERE NOT is_bench
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram benchmark decontamination over the documents table.
+
+    The benchmark slice is the 1-in-20 salted-hash sample (a stand-in
+    for an external eval set — in production this input is a separate
+    tiny table, which only strengthens the broadcast posture). Output:
+    every non-benchmark document that shares at least one verbatim
+    token 8-gram with the benchmark, with its distinct-overlap count —
+    the rows a curation pipeline drops or audits.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return benchmark_overlap(docs)
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Patterns use only Java-regex/RE2-common syntax (verified to agree on
+# the planted-PII unit corpus): no backreferences, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+# Replacement order matters (emails contain dots and digits); both
+# engines apply the same sequence so outputs agree byte-for-byte.
+_PII_PASSES = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Per-document PII scrub: typed placeholders + match counts.
+
+    Counts are taken on the ORIGINAL text (so `<IP>` inserted by the
+    email pass can't be double-counted by later passes — both engines
+    define counts identically); the redacted text is the sequential
+    email→ip→phone rewrite. Shipped as md5 so the comparison (and at
+    100 TB, the shuffle-free narrow scan shape) never moves full text.
+    """
+    redacted = F.col("text")
+    for pat, token in _PII_PASSES:
+        redacted = F.regexp_replace(redacted, pat, token)
+    counts = {
+        "n_emails": PII_EMAIL_RE,
+        "n_ips": PII_IPV4_RE,
+        "n_phones": PII_PHONE_RE,
+    }
+    return docs.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+            .cast("long")
+            .alias(name)
+            for name, pat in counts.items()
+        ],
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_O_REDACTED = "text"
+for _pat, _token in _PII_PASSES:
+    _O_REDACTED = f"regexp_replace({_O_REDACTED}, '{_pat}', '{_token}', 'g')"
+
+
+@query(
+    "pii_redact_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5({_O_REDACTED}) AS redacted_md5
+    FROM documents
+    """,
+)
+def q_pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over the documents table.
+
+    The synthetic corpus is letters-only, so counts are 0 and the md5
+    equals the original's — the hash check still pins the full rewrite
+    expression on every row cross-engine; the planted-PII unit test
+    (tests/test_contamination.py) pins the nonzero behavior.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return pii_redact(docs)

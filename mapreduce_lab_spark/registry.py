@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.clustering",
     "mapreduce_lab_spark.operators.textstats",
     "mapreduce_lab_spark.operators.curation",
+    "mapreduce_lab_spark.operators.contamination",
     "mapreduce_lab_spark.operators.mapreduce_contract",
     "mapreduce_lab_spark.multimodal.binary_ops",
     "mapreduce_lab_spark.operators.pipeline",

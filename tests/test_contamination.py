@@ -1,0 +1,103 @@
+"""Planted-data tests for the corpus-hygiene operators.
+
+The registered queries run against the synthetic corpus (letters-only,
+no contamination) via test_oracle_parity; these tests plant actual PII
+and benchmark overlap so the nonzero paths are pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.operators.contamination import (
+    BENCH_MOD,
+    benchmark_overlap,
+    ngrams8,
+    pii_redact,
+)
+from mapreduce_lab_spark.functions.hashing import hex8_int
+
+
+def test_pii_redact_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or bob.smith@corp.co.uk today"),
+            (2, "server 192.168.1.100 and 10.0.0.1 are up"),
+            (3, "call 555-123-4567 or 555 987 6543 now"),
+            (4, "no pii here at all"),
+            (5, "mixed: a@b.io from 8.8.8.8 dialing 555-000-1111"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (2, 0, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_phones"]) == (0, 2, 0)
+    assert (rows[3]["n_emails"], rows[3]["n_ips"], rows[3]["n_phones"]) == (0, 0, 2)
+    assert (rows[4]["n_emails"], rows[4]["n_ips"], rows[4]["n_phones"]) == (0, 0, 0)
+    assert (rows[5]["n_emails"], rows[5]["n_ips"], rows[5]["n_phones"]) == (1, 1, 1)
+
+
+def test_pii_redact_rewrites_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.co or 10.0.0.1 x 555-123-4567")], ["doc_id", "text"]
+    )
+    redacted = F.col("text")
+    from mapreduce_lab_spark.operators.contamination import _PII_PASSES
+
+    for pat, token in _PII_PASSES:
+        redacted = F.regexp_replace(redacted, pat, token)
+    out = docs.select(redacted.alias("r")).collect()[0]["r"]
+    assert out == "mail <EMAIL> or <IP> x <PHONE>"
+
+
+def test_ngrams8_short_doc_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "only seven tokens are in this doc"), (2, "now this one has exactly eight tokens yes")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["ng"]
+        for r in docs.select("doc_id", ngrams8(F.col("text")).alias("ng")).collect()
+    }
+    assert rows[1] == []
+    assert rows[2] == ["now this one has exactly eight tokens yes"]
+
+
+def _bench_doc_id(spark):
+    """Find small doc_ids on each side of the benchmark gate."""
+    ids = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.pmod(
+                hex8_int(F.concat(F.lit("bench|"), F.col("id").cast("string"))),
+                F.lit(BENCH_MOD),
+            )
+            == 0
+        ).alias("is_bench"),
+    )
+    rows = ids.collect()
+    bench = [r["doc_id"] for r in rows if r["is_bench"]]
+    corpus = [r["doc_id"] for r in rows if not r["is_bench"]]
+    return bench, corpus
+
+
+def test_benchmark_overlap_planted(spark):
+    bench_ids, corpus_ids = _bench_doc_id(spark)
+    bench_id = bench_ids[0]
+    hit_id, clean_id, short_id = corpus_ids[0], corpus_ids[1], corpus_ids[2]
+    eval_text = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [
+            (bench_id, eval_text),
+            # shares the full 8-gram window with the benchmark doc
+            (hit_id, "prefix words " + eval_text + " suffix words"),
+            (clean_id, "a completely different document with plenty of tokens to spare here"),
+            (short_id, "too short for any"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_hit_ngrams"] for r in benchmark_overlap(docs).collect()}
+    assert hit_id in out and out[hit_id] >= 1
+    assert clean_id not in out
+    assert short_id not in out
+    assert bench_id not in out  # benchmark docs are not reported
