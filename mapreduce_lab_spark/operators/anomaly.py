@@ -1,0 +1,150 @@
+"""Outlier / anomaly detection over grouped numeric columns.
+
+Superset surface: the data-quality gate of a training pipeline
+(drop price anomalies before aggregation, flag telemetry spikes).
+Two classic detectors, both exact and engine-portable:
+
+- ``iqr_outlier_orders``: Tukey fences per group — q1/q3 via exact
+  type-7 percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+  bit-for-bit, see exact_percentiles_lineitem), fence arithmetic on
+  doubles with identical expression trees.
+- ``zscore_outlier_events``: |x − μ| > 2σ per group, decided ENTIRELY
+  in integer arithmetic. With x in fixed-point units, the test
+  |x−μ|>kσ is equivalent to n²·(x·n − S)² > k²·n²·(n·Q − S²)/n …
+  reduced here to (n·x − S)² > k²·(n·Q − S²) with S=Σx, Q=Σx² —
+  integer sums only, so the result is order-independent and
+  hash-exact (a float mean/stddev differs between engines in the
+  last ulp depending on summation order). Overflow envelope: with
+  unit values ≤1e4 the comparison stays inside int64 up to ~4e10
+  rows per group; past that the sums cast to DECIMAL(38,0) — same
+  trade documented in functions/numeric.py.
+
+Scale shape: one map-side-combinable aggregation per group for the
+stats, then a broadcast join of the tiny per-group stats frame back
+onto the facts — no second full shuffle, no window over fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.numeric import (
+    exact_avg,
+    oracle_exact_avg,
+    oracle_units,
+    to_units,
+)
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+ZSCORE_K = 2
+
+
+def iqr_outliers(orders: DataFrame) -> DataFrame:
+    """Per-priority Tukey-fence outlier counts on o_totalprice."""
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    flagged = orders.join(F.broadcast(fences), "o_orderpriority").where(
+        (F.col("o_totalprice") > F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1")))
+        | (
+            F.col("o_totalprice")
+            < F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+        )
+    )
+    counts = flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_outliers"),
+        F.max("o_totalprice").alias("max_outlier_price"),
+    )
+    # Left join keeps priorities with zero outliers in the report.
+    return (
+        fences.join(F.broadcast(counts), "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "q1",
+            "q3",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            "max_outlier_price",
+        )
+    )
+
+
+@query(
+    "iqr_outlier_orders",
+    oracle="""
+    WITH fences AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY o_orderpriority
+    ),
+    counts AS (
+        SELECT o.o_orderpriority,
+               count(*) AS n_outliers,
+               max(o.o_totalprice) AS max_outlier_price
+        FROM orders o JOIN fences f USING (o_orderpriority)
+        WHERE o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+           OR o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+        GROUP BY o.o_orderpriority
+    )
+    SELECT f.o_orderpriority, f.q1, f.q3,
+           coalesce(c.n_outliers, 0) AS n_outliers,
+           c.max_outlier_price
+    FROM fences f LEFT JOIN counts c USING (o_orderpriority)
+    """,
+)
+def q_iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iqr_outliers(load_table(spark, sf_dir, "orders"))
+
+
+def zscore_outliers(events: DataFrame) -> DataFrame:
+    """Per-type count of events with |value − μ| > 2σ, integer-exact."""
+    ev = events.select("event_type", to_units("value", 100).alias("u"))
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("s"),
+        F.sum(F.col("u") * F.col("u")).alias("q"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    # (n·x − S)² > k²·(n·Q − S²)  ⇔  |x − μ| > kσ (population σ).
+    # Squared via explicit multiply — Column**2 lowers to pow(), which
+    # returns DOUBLE and would break the all-integer exactness.
+    dev = F.col("n") * F.col("u") - F.col("s")
+    lhs = dev * dev
+    rhs = F.lit(ZSCORE_K * ZSCORE_K) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(F.when(lhs > rhs, 1).otherwise(0)).alias("n_outliers"),
+            exact_avg(F.max("s"), F.max("n"), 100).alias("mean_value"),
+        )
+    )
+
+
+@query(
+    "zscore_outlier_events",
+    oracle=f"""
+    WITH u AS (SELECT event_type, {oracle_units("value", 100)} AS u FROM events),
+    stats AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(u) AS BIGINT) AS s,
+               CAST(sum(u * u) AS BIGINT) AS q
+        FROM u GROUP BY event_type
+    )
+    SELECT u.event_type,
+           max(s.n) AS n_events,
+           CAST(sum(CASE WHEN (s.n * u.u - s.s) * (s.n * u.u - s.s)
+                          > {ZSCORE_K * ZSCORE_K} * (s.n * s.q - s.s * s.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           {oracle_exact_avg("max(s.s)", "max(s.n)", 100)} AS mean_value
+    FROM u JOIN stats s USING (event_type)
+    GROUP BY u.event_type
+    """,
+)
+def q_zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zscore_outliers(load_table(spark, sf_dir, "events"))

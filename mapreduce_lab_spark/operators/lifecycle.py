@@ -1,0 +1,190 @@
+"""User-lifecycle analytics: SCD2 history, funnels, cohort retention.
+
+Superset surface (the reference has no users, time, or state — its
+workload is whole-corpus MapReduce, ``test.sh:70-107``). These are
+the warehouse-side primitives an event platform needs:
+
+- SCD2 (slowly-changing-dimension type 2): collapse each user's
+  event stream into validity intervals — one row per run of equal
+  status with ``valid_from``/``valid_to``/``is_current``. This is
+  the batch construction that ``MERGE``-based dimension maintenance
+  incrementalizes.
+- Ordered funnel: users who did signup → view → purchase in that
+  temporal order, counted per stage.
+- Cohort retention: users bucketed by first-seen week, distinct
+  actives per (cohort, week-offset).
+
+Scale shape: everything partitions by ``user_id`` (high cardinality,
+no global windows). SCD2 is lag/lead windows over user partitions;
+the funnel is three min-aggregations on the same user key — Catalyst
+reuses one hash partitioning for all three, so it costs ONE shuffle
+of the filtered event slice, not three; retention joins each event
+to its user's first-seen row on the already-partitioned key.
+Determinism: (ts, event_id) is a unique order within a user, so
+lag/lead and stage minima are reproducible under ts ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_O_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def scd2_user_status(events: DataFrame) -> DataFrame:
+    """Type-2 dimension of each user's event_type runs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.date_format("ts", _TS_FMT).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), _TS_FMT).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "scd2_user_status",
+    oracle=f"""
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (
+            SELECT *, lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type AS status,
+           strftime(ts, '{_O_TS_FMT}') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '{_O_TS_FMT}') AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_user_status(load_table(spark, sf_dir, "events"))
+
+
+def funnel_counts(events: DataFrame) -> DataFrame:
+    """Users completing signup → view → purchase, in temporal order.
+
+    Stage timestamps are per-user conditional minima computed in
+    sequence: t2 is the first view AFTER t1, t3 the first purchase
+    AFTER t2 — three aggregations on the same user_id partitioning
+    (one physical shuffle). The final stage counts are a tiny rollup.
+    """
+    ev = events.where(F.col("event_type").isin(*FUNNEL_STAGES)).select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count("*").alias("n"))
+        .select(F.lit(1).alias("stage"), F.lit("signup").alias("event_type"), "n")
+        .unionAll(
+            t2.agg(F.count("*").alias("n")).select(
+                F.lit(2).alias("stage"), F.lit("view").alias("event_type"), "n"
+            )
+        )
+        .unionAll(
+            t3.agg(F.count("*").alias("n")).select(
+                F.lit(3).alias("stage"), F.lit("purchase").alias("event_type"), "n"
+            )
+        )
+    )
+
+
+@query(
+    "funnel_signup_view_purchase",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n FROM t1
+    UNION ALL
+    SELECT 2 AS stage, 'view' AS event_type, count(*) AS n FROM t2
+    UNION ALL
+    SELECT 3 AS stage, 'purchase' AS event_type, count(*) AS n FROM t3
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+def weekly_retention(events: DataFrame) -> DataFrame:
+    """Distinct active users per (first-seen-week cohort, week offset)."""
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = events.join(first_seen, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.floor(
+            F.datediff(F.date_trunc("week", "ts"), F.date_trunc("week", "first_ts"))
+            / F.lit(7)
+        ).alias("week_offset"),
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', date_trunc('week', f.first_ts),
+                          date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weekly_retention(load_table(spark, sf_dir, "events"))

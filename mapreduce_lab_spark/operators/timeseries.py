@@ -1,0 +1,147 @@
+"""Time-series operators: gap-filling with LOCF and OHLC downsampling.
+
+The reference has no notion of time at all (its inputs are static
+text files, ``test.sh:70-107``); this is superset surface for the
+metrics/telemetry half of a data platform — the batch twins of what
+a hypertable engine calls ``time_bucket_gapfill`` and ``candlestick``
+rollups.
+
+Scale shape (100 TB of events):
+
+- Per-bucket aggregation is an ordinary groupBy on the bucket key —
+  map-side combinable, value payload reduced to exact integer units
+  before the shuffle.
+- The bucket *spine* (one row per 15-minute interval) is generated
+  with ``sequence()`` from the observed min/max bucket — its size is
+  bounded by the TIME RANGE, not the data volume (a decade of 15-min
+  buckets is ~350k rows), so spine-side operations — the gap left
+  join and the LOCF window — are dimension-sized no matter how many
+  events feed them. The LOCF window is a single global sort over that
+  spine; that is deliberate and safe for the same reason (time-
+  bounded cardinality), unlike a global window over event rows.
+- OHLC open/close use min/max over a (ts, event_id, value) struct —
+  lexicographic struct ordering gives deterministic first/last under
+  ts ties, stays map-side combinable, and never materializes a
+  per-group row list.
+
+Exactness: gap-filled sums use the fixed-point unit conventions of
+``functions/numeric.py`` (integer sums, order-independent); OHLC
+moves raw values without arithmetic, so doubles are hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.numeric import oracle_units, to_units
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+GAPFILL_STEP = "15 minutes"
+GAPFILL_EVENT_TYPE = "signup"
+
+
+def gapfill_locf(events: DataFrame, step: str = GAPFILL_STEP) -> DataFrame:
+    """Complete 15-min series of signup counts; value sums carried
+    forward (LOCF) across empty buckets, zeros for gap counts."""
+    per_bucket = (
+        events.where(F.col("event_type") == GAPFILL_EVENT_TYPE)
+        .groupBy(F.window("ts", step).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(to_units("value", 100)).alias("sum_units"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n_events", "sum_units")
+    )
+    bounds = per_bucket.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias("bucket")
+    )
+    filled = spine.join(per_bucket, "bucket", "left")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return filled.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (
+            F.last("sum_units", ignorenulls=True).over(w).cast("double") / F.lit(100)
+        ).alias("locf_sum_value"),
+    )
+
+
+@query(
+    "gapfill_locf_signups",
+    oracle=f"""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+               count(*) AS n_events,
+               CAST(sum({oracle_units("value", 100)}) AS BIGINT) AS sum_units
+        FROM events
+        WHERE event_type = '{GAPFILL_EVENT_TYPE}'
+        GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                      (SELECT max(bucket) FROM b),
+                                      INTERVAL 15 MINUTE)) AS bucket
+    ),
+    filled AS (
+        SELECT s.bucket, coalesce(b.n_events, 0) AS n_events, b.sum_units
+        FROM spine s LEFT JOIN b USING (bucket)
+    )
+    SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+           n_events,
+           CAST(last_value(sum_units IGNORE NULLS) OVER (
+                    ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS locf_sum_value
+    FROM filled
+    """,
+)
+def q_gapfill_locf_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_locf(load_table(spark, sf_dir, "events"))
+
+
+def ohlc_daily(events: DataFrame) -> DataFrame:
+    """Daily open/high/low/close of ``value`` per event type."""
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        events.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "ohlc_daily_by_type",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+               row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM ranked
+    GROUP BY event_type, day
+    """,
+)
+def q_ohlc_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_daily(load_table(spark, sf_dir, "events"))

@@ -35,10 +35,15 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.tpch_rest",
     "mapreduce_lab_spark.operators.windows",
     "mapreduce_lab_spark.operators.events",
+    "mapreduce_lab_spark.operators.timeseries",
+    "mapreduce_lab_spark.operators.lifecycle",
     "mapreduce_lab_spark.operators.dedup",
     "mapreduce_lab_spark.operators.similarity",
     "mapreduce_lab_spark.operators.clustering",
     "mapreduce_lab_spark.operators.textstats",
+    "mapreduce_lab_spark.operators.retrieval",
+    "mapreduce_lab_spark.operators.graph",
+    "mapreduce_lab_spark.operators.anomaly",
     "mapreduce_lab_spark.operators.curation",
     "mapreduce_lab_spark.operators.contamination",
     "mapreduce_lab_spark.operators.mapreduce_contract",

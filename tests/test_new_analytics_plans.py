@@ -1,0 +1,64 @@
+"""Scale-posture assertions for the retrieval / timeseries /
+lifecycle / graph / anomaly operator families."""
+
+from __future__ import annotations
+
+from mapreduce_lab_spark.operators.anomaly import q_iqr_outlier_orders, q_zscore_outlier_events
+from mapreduce_lab_spark.operators.lifecycle import q_funnel
+from mapreduce_lab_spark.operators.retrieval import q_bm25_search, q_tfidf_top_terms
+from mapreduce_lab_spark.operators.timeseries import q_gapfill_locf_signups
+from mapreduce_lab_spark.plans import inspect
+
+
+def test_bm25_filters_terms_before_joins(spark, sf_dir):
+    # The query-term IN-filter must reach the postings side before any
+    # join: the plan joins |Q| terms' postings, never the full corpus.
+    df = q_bm25_search(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # The |Q|-term IN filter is a post-explode Filter node feeding the
+    # postings aggregation — it must exist (the join inputs are the
+    # filtered slice, not the full posting list).
+    assert "term" in plan and "IN (" in plan.upper().replace("IN(", "IN ("), plan
+    # Doc-frequency and corpus stats are tiny: both must broadcast.
+    assert inspect.broadcast_join_count(df) >= 2, plan
+
+
+def test_tfidf_topk_window_partitions_by_doc(spark, sf_dir):
+    # The top-k window must partition by doc_id — a global window
+    # (empty partition spec) would serialize on one task. (The plan
+    # does contain one SinglePartition exchange: the one-row corpus
+    # count that broadcasts; that one is legitimate.)
+    df = q_tfidf_top_terms(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "windowspecdefinition(doc_id" in plan, plan
+    # Spark 4 pushes the rank limit into the shuffle (WindowGroupLimit)
+    # so only k+ties rows per doc survive to the Window — pin it.
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_gapfill_aggregates_before_spine_join(spark, sf_dir):
+    # Gap-fill LOCF sorts only the bucket spine (time-bounded), and
+    # the per-bucket aggregation is map-side combinable.
+    df = q_gapfill_locf_signups(spark, sf_dir)
+    assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
+
+
+def test_funnel_reuses_user_partitioning(spark, sf_dir):
+    # Three stage aggregations all hash by user_id; Catalyst must not
+    # re-shuffle the same keying three extra times. The filtered event
+    # slice is scanned per stage (3 scans) but each stage adds at most
+    # one exchange; allow the final tiny stage-count rollup too.
+    df = q_funnel(spark, sf_dir)
+    assert inspect.exchange_count(df) <= 8, inspect.formatted_plan(df)
+
+
+def test_zscore_stats_broadcast_back(spark, sf_dir):
+    # Per-group stats frame is dimension-sized: must broadcast, so the
+    # fact side never shuffles for the join.
+    df = q_zscore_outlier_events(spark, sf_dir)
+    assert inspect.broadcast_join_count(df) >= 1, inspect.formatted_plan(df)
+
+
+def test_iqr_fences_broadcast_back(spark, sf_dir):
+    df = q_iqr_outlier_orders(spark, sf_dir)
+    assert inspect.broadcast_join_count(df) >= 2, inspect.formatted_plan(df)
