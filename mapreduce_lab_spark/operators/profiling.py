@@ -1,0 +1,281 @@
+"""Dataset profiling and multi-objective selection operators.
+
+Superset surface: the first and last steps of a data pipeline —
+profiling what arrived, and selecting the efficient frontier.
+
+- ``profile_orders_columns``: one-pass column profile (null count,
+  exact distinct count, min/max rendered as strings) unpivoted to a
+  row per column — the data-quality report a 100 TB ingest job emits.
+- ``skyline_parts``: the Pareto frontier of parts minimizing
+  ``p_retailprice`` while maximizing ``p_size``. Computed by the
+  sort-based sweep: aggregate per price (max size), running max of
+  size over strictly-cheaper prices, then a part survives iff no
+  cheaper part has size ≥ its own and no equal-priced part has size
+  strictly greater. The running-max window runs over the PER-PRICE
+  aggregate (price-dimension cardinality), not over part rows; the
+  oracle is the O(n²) NOT EXISTS definition — independent algorithm,
+  same set.
+- ``incremental_daily_revenue``: re-aggregable partial aggregation —
+  per-day revenue computed as merge(old-half partials, new-half
+  partials) with the oracle recomputing from scratch. This is the
+  associativity contract that makes incremental materialized-view
+  maintenance (and Spark's own map-side combine) correct; pinning it
+  cross-engine guards the fixed-point unit conventions under
+  re-aggregation.
+
+Scale shape: profile is a single map-side-combinable aggregation pass
+(distinct counts expand to per-column shuffles planned by Catalyst);
+skyline shuffles per-price aggregates only; incremental merge is two
+grouped scans unioned then re-grouped on the same day key — Catalyst
+aligns the partitioning, so the merge adds one dimension-sized
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.numeric import (
+    exact_ratio,
+    oracle_exact_ratio,
+    oracle_exact_sum,
+)
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+INCR_SPLIT_DATE = "1998-01-01"
+
+
+def profile_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           min(CAST({c} AS VARCHAR)) AS min_value,
+           max(CAST({c} AS VARCHAR)) AS max_value
+    FROM orders
+    """
+    for c in PROFILE_COLS
+)
+
+
+@query("profile_orders_columns", oracle=_PROFILE_ORACLE)
+def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(load_table(spark, sf_dir, "orders"), PROFILE_COLS)
+
+
+SKYLINE_RANGE_PARTITIONS = 32
+
+
+def skyline(parts: DataFrame, spark: SparkSession) -> DataFrame:
+    """Pareto frontier: minimize p_retailprice, maximize p_size.
+
+    A part survives iff no strictly-cheaper price level reaches its
+    size (``best_cheaper < p_size``) and no same-price part beats it
+    (``p_size == best_size``). The prefix-max over cheaper prices is
+    computed with the distributed ranking composition of
+    ``window_ntile_share`` (windows.py): range-partition the per-price
+    aggregate, running max WITHIN each range partition, then combine
+    with the P-row per-partition prefix maxima (metadata collect, not
+    a data collect) — no single-task global window anywhere.
+    """
+    per_price = parts.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    ranked = (
+        per_price.repartitionByRange(
+            SKYLINE_RANGE_PARTITIONS, F.asc("p_retailprice")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_run_excl",
+            F.max("best_size").over(
+                Window.partitionBy("_pid")
+                .orderBy("p_retailprice")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .cache()
+    )
+    pmax = {
+        r["_pid"]: r["mx"]
+        for r in ranked.groupBy("_pid").agg(F.max("best_size").alias("mx")).collect()
+    }
+    prefix: list[tuple[int, int | None]] = []
+    run: int | None = None
+    for pid in sorted(pmax):
+        prefix.append((pid, run))
+        run = pmax[pid] if run is None else max(run, pmax[pid])
+    off = spark.createDataFrame(prefix, "_pid int, _prefix int")
+    enriched = ranked.join(F.broadcast(off), "_pid").withColumn(
+        "best_cheaper", F.greatest("_run_excl", "_prefix")
+    )
+    return (
+        parts.join(enriched, "p_retailprice")
+        .where(
+            (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+            & (F.col("p_size") == F.col("best_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+@query(
+    "skyline_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skyline(load_table(spark, sf_dir, "part"), spark)
+
+
+def incremental_daily_revenue(orders: DataFrame) -> DataFrame:
+    """Merge per-day partials from an 'old' and a 'new' half."""
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_units"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+
+    old = partials(orders.where(F.col("o_orderdate") < F.lit(INCR_SPLIT_DATE)))
+    new = partials(orders.where(F.col("o_orderdate") >= F.lit(INCR_SPLIT_DATE)))
+    return (
+        old.unionAll(new)
+        .groupBy("day")
+        .agg(
+            (F.sum("rev_units").cast("double") / F.lit(100)).alias("revenue"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "incremental_daily_revenue",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           {oracle_exact_sum("o_totalprice", 100)} AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_daily_revenue(load_table(spark, sf_dir, "orders"))
+
+
+def key_skew_report(lineitem: DataFrame) -> DataFrame:
+    """Key-distribution diagnostics for a prospective join/agg key.
+
+    The pre-flight check for the salting/AQE decisions the skew
+    operators make (functions/skew.py): rows per key → one-row report
+    of cardinality, max key share (exact fixed-point), and the
+    p99/median per-key count ratio. Two map-side-combinable
+    aggregations — the second runs over the key-count frame
+    (key-dimension sized).
+    """
+    counts = lineitem.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        exact_ratio(F.max("cnt"), F.sum("cnt")).alias("top_key_share"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_key_rows"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_key_rows"),
+    )
+
+
+@query(
+    "key_skew_report",
+    oracle=f"""
+    WITH counts AS (
+        SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           max(cnt) AS max_key_rows,
+           {oracle_exact_ratio("max(cnt)", "sum(cnt)")} AS top_key_share,
+           quantile_cont(cnt, 0.5) AS p50_key_rows,
+           quantile_cont(cnt, 0.99) AS p99_key_rows
+    FROM counts
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_report(load_table(spark, sf_dir, "lineitem"))
+
+
+def ship_latency_percentiles(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Order-to-ship latency percentiles per priority (fact-fact join
+    on the natural key, exact type-7 percentiles on integer days)."""
+    j = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lat_days"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.percentile("lat_days", F.lit(0.5)).alias("lat_p50"),
+        F.percentile("lat_days", F.lit(0.9)).alias("lat_p90"),
+        F.percentile("lat_days", F.lit(0.99)).alias("lat_p99"),
+        F.max("lat_days").alias("lat_max"),
+    )
+
+
+@query(
+    "ship_latency_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5) AS lat_p50,
+           quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9) AS lat_p90,
+           quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.99) AS lat_p99,
+           max(date_diff('day', o_orderdate, l_shipdate)) AS lat_max
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ship_latency_percentiles(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )

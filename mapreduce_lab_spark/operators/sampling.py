@@ -1,0 +1,67 @@
+"""Weighted deterministic sampling (Poisson design).
+
+Extends the repo's reproducible-sampling story (uniform:
+``deterministic_sample_orders``; stratified: curation.py) with
+weight-proportional inclusion: row i is kept with probability
+min(1, n · wᵢ / Σw) — the classic Poisson πps design — gated by the
+same cross-engine md5 hash as every other sampling operator, so
+membership is reproducible across runs, engines, partitionings, and
+incremental loads (new rows never reshuffle old membership).
+
+Determinism: the inclusion test compares hash32/2³² against
+n·wᵢ/Σw in IEEE doubles with identical expression trees in Spark and
+the DuckDB oracle (the all-integer form n·wᵢ·2³² vs hash·Σw would
+overflow int64 at fleet scale). Both sides of the comparison are
+single correctly-rounded operations, so the engines agree exactly.
+
+Scale shape: one global aggregate for Σw (broadcast scalar), then a
+narrow filter — no shuffle of the fact table at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.functions.numeric import oracle_units, to_units
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+TARGET_SAMPLE_SIZE = 500
+
+
+def weighted_sample(orders: DataFrame, n_target: int = TARGET_SAMPLE_SIZE) -> DataFrame:
+    """~n_target orders sampled ∝ o_totalprice, hash-deterministic."""
+    w_units = to_units("o_totalprice", 100)
+    tot = orders.agg(F.sum(w_units).alias("sum_w"))
+    gate = hex8_int(F.col("o_orderkey").cast("string")).cast("double") / F.lit(
+        4294967296
+    )
+    thresh = (
+        F.lit(n_target)
+        * (w_units.cast("double") / F.col("sum_w"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(tot))
+        .where(gate < thresh)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@query(
+    "weighted_sample_orders",
+    oracle=f"""
+    WITH tot AS (
+        SELECT CAST(sum({oracle_units("o_totalprice", 100)}) AS BIGINT) AS sum_w
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders, tot
+    WHERE CAST({oracle_hex8_int("o_orderkey::VARCHAR")} AS DOUBLE) / 4294967296
+          < {TARGET_SAMPLE_SIZE}
+            * (CAST({oracle_units("o_totalprice", 100)} AS DOUBLE) / sum_w)
+    """,
+)
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(load_table(spark, sf_dir, "orders"))

@@ -43,6 +43,11 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.textstats",
     "mapreduce_lab_spark.operators.retrieval",
     "mapreduce_lab_spark.operators.graph",
+    "mapreduce_lab_spark.operators.paths",
+    "mapreduce_lab_spark.operators.ngrams",
+    "mapreduce_lab_spark.operators.profiling",
+    "mapreduce_lab_spark.operators.sampling",
+    "mapreduce_lab_spark.operators.attribution",
     "mapreduce_lab_spark.operators.anomaly",
     "mapreduce_lab_spark.operators.curation",
     "mapreduce_lab_spark.operators.contamination",

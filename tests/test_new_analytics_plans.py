@@ -62,3 +62,31 @@ def test_zscore_stats_broadcast_back(spark, sf_dir):
 def test_iqr_fences_broadcast_back(spark, sf_dir):
     df = q_iqr_outlier_orders(spark, sf_dir)
     assert inspect.broadcast_join_count(df) >= 2, inspect.formatted_plan(df)
+
+
+def test_skyline_has_no_global_window(spark, sf_dir):
+    # The prefix-max must run inside range partitions (window keyed by
+    # _pid); a plan with an empty-partition-spec Window would be the
+    # single-task global sort this operator exists to avoid.
+    from mapreduce_lab_spark.operators.profiling import q_skyline_parts
+
+    df = q_skyline_parts(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "windowspecdefinition(_pid" in plan, plan
+
+
+def test_bigram_counts_partial_aggregation(spark, sf_dir):
+    # The bigram shuffle must carry (bigram, partial-count), not one
+    # row per occurrence.
+    from mapreduce_lab_spark.operators.ngrams import q_bigram_top_counts
+
+    df = q_bigram_top_counts(spark, sf_dir)
+    assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
+
+
+def test_markov_partitions_by_user(spark, sf_dir):
+    from mapreduce_lab_spark.operators.paths import q_markov_event_transitions
+
+    df = q_markov_event_transitions(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "windowspecdefinition(user_id" in plan, plan
