@@ -46,6 +46,11 @@ HEADLINE = [
     "text_quality_scores",
     "multimodal_frame_sample",
     "mapreduce_wordcount",
+    "bm25_search",
+    "session_top_paths",
+    "attribution_linear",
+    "embedding_covariance",
+    "skyline_parts",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -70,6 +75,11 @@ PRIMARY_INPUT = {
     "text_quality_scores": "documents",
     "multimodal_frame_sample": "documents",
     "mapreduce_wordcount": "documents",
+    "bm25_search": "documents",
+    "session_top_paths": "events",
+    "attribution_linear": "events",
+    "embedding_covariance": "embeddings",
+    "skyline_parts": "part",
 }
 
 

@@ -1,0 +1,119 @@
+"""Distributed linear algebra over the embedding column: the exact
+covariance matrix.
+
+The d×d covariance of a 100 TB embedding table is the front door to
+PCA whitening, Mahalanobis outlier scoring, and IVF/OPQ training —
+and it is exactly the kind of operator that tempts a collect():
+the CORRECT distributed shape is "one pass of map-side-combinable
+partial sums, d(d+1)/2 groups", which is what this computes.
+
+Shape: per row, a NARROW nested-transform expands the upper-triangle
+coordinate products (d(d+1)/2 structs per row, generated inside
+codegen — no self-join of the exploded long form, no shuffle of
+vector payloads); the only shuffle carries (i, j, partial integer
+sums) into 2080 groups (d=64). Per-coordinate sums (for the mean
+correction) are a second 64-group aggregate broadcast back.
+
+Exactness: coordinates quantize to 1e-4 units (BIGINT); covariance is
+the all-integer kernel  n·Σxy − Σx·Σy  divided once in IEEE doubles —
+identical in both engines. Overflow envelope at unit scale 1e4 and
+|x|≤1: n ≲ 2.5e10 rows per partial product; past that the sums cast
+to DECIMAL(38,0) (same trade as functions/numeric.py documents).
+
+Reference parity note: the reference has no vector operators at all;
+this extends the similarity/clustering family (similarity.py,
+clustering.py) with the training-side statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
+
+COV_UNIT_SCALE = 10_000
+
+
+def embedding_covariance(embs: DataFrame) -> DataFrame:
+    """Upper-triangular exact covariance entries (i <= j) of the
+    embedding coordinates."""
+    scale = F.lit(COV_UNIT_SCALE)
+    units = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    d = F.size("embedding")
+    # Upper-triangle products, flattened: struct(i, j, x_i * x_j).
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (F.element_at(units, i + 1) * F.element_at(units, j + 1)).alias(
+                        "xy"
+                    ),
+                ),
+            ),
+        )
+    )
+    moments = (
+        embs.select(F.explode(tri).alias("t"))
+        .select("t.i", "t.j", "t.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("q"))
+    )
+    sums = (
+        embs.select(F.posexplode(units).alias("i", "xu"))
+        .groupBy("i")
+        .agg(F.sum("xu").alias("s"), F.count("*").alias("n"))
+    )
+    si = sums.select(F.col("i"), F.col("s").alias("s_i"), "n")
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        moments.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("n") * F.col("q") - F.col("s_i") * F.col("s_j")).cast("double")
+                / (F.col("n") * F.col("n"))
+                / F.lit(float(COV_UNIT_SCALE * COV_UNIT_SCALE))
+            ).alias("cov"),
+        )
+    )
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH long AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {COV_UNIT_SCALE}) AS BIGINT)
+                   AS xu
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    moments AS (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.xu * b.xu) AS BIGINT) AS q
+        FROM long a JOIN long b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ),
+    sums AS (
+        SELECT i, CAST(sum(xu) AS BIGINT) AS s, count(*) AS n
+        FROM long GROUP BY i
+    )
+    SELECT m.i, m.j,
+           CAST(si.n * m.q - si.s * sj.s AS DOUBLE)
+               / (si.n * si.n) / {float(COV_UNIT_SCALE * COV_UNIT_SCALE)} AS cov
+    FROM moments m
+    JOIN sums si ON m.i = si.i
+    JOIN sums sj ON m.j = sj.i
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_covariance(fan_out(load_table(spark, sf_dir, "embeddings"), spark))

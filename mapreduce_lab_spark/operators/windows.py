@@ -235,3 +235,46 @@ def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         quartile.alias("quartile"),
         exact_ratio(F.col("_bal_u"), F.sum("_bal_u").over(w_nation)).alias("nation_share"),
     )
+
+
+@query(
+    "window_range_30d_revenue",
+    oracle=f"""
+    -- RANGE frame over integer day numbers: peers (same customer,
+    -- same day) aggregate together regardless of row order — the
+    -- frame semantics rows-frames can't express. Integer ordering
+    -- keys keep the frame boundaries engine-exact.
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', DATE '1992-01-01', o_orderdate) AS day_num,
+           (CAST(sum({oracle_units('o_totalprice', 100)}) OVER (
+                PARTITION BY o_custkey
+                ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100)
+             AS rev_30d
+    FROM orders
+    """,
+)
+def window_range_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per customer via a RANGE frame.
+
+    The ordering key is an integer day number, so `rangeBetween(-29, 0)`
+    is a value-based frame (all orders in the trailing 30 days,
+    including same-day peers) — deterministic under intra-day ties
+    where a rows-frame would not be. Partitioned by customer: high
+    cardinality, no global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.alias("day_num"))
+        .rangeBetween(-29, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("day_num"),
+        (F.sum(to_units("o_totalprice", 100)).over(w).cast("double") / F.lit(100)).alias(
+            "rev_30d"
+        ),
+    )

@@ -167,3 +167,55 @@ def compact_parquet(
     return sum(
         1 for f in os.listdir(out_path) if f.endswith(".parquet")
     )
+
+
+def zorder_value(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int keys.
+
+    Pure bit arithmetic built as a codegen expression tree (2·bits
+    shift/mask/or terms, no Python in the hot path): bit i of c1
+    lands at position 2i+1, bit i of c2 at 2i. Sorting by the result
+    clusters rows so BOTH columns' per-file min/max ranges stay
+    narrow — the multi-column data-skipping layout (OPTIMIZE
+    ZORDER-style) that single-key range clustering can't provide.
+    """
+    from pyspark.sql import functions as F
+
+    a = (F.col(c1) if isinstance(c1, str) else c1).cast("long")
+    b = (F.col(c2) if isinstance(c2, str) else c2).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet over two keys.
+
+    repartitionByRange on the Morton value gives each file one
+    contiguous Z-curve segment (balanced via sampled boundaries);
+    the within-file sort tightens parquet row-group min/max on both
+    source columns. A scan filtering EITHER key then prunes most
+    files by footer stats — see tests/test_sources_sinks.py for the
+    bounding-box measurement versus a naive layout.
+    """
+    from pyspark.sql import functions as F
+
+    z = zorder_value(col1, col2, bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -206,3 +206,41 @@ def test_register_views_raw_sql_surface(spark, sf_dir):
 
     probe = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 40")
     assert any("l_quantity" in p for p in inspect.pushed_filters(probe))
+
+
+def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering must shrink the per-file bounding-box volume
+    over BOTH keys versus a naive (round-robin) layout — the footer
+    min/max stats a scan prunes with."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.sources.sinks import write_zorder_parquet
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    n_files = 16
+    naive, zord = str(tmp_path / "naive"), str(tmp_path / "zorder")
+    li.repartition(n_files).write.mode("overwrite").parquet(naive)
+    write_zorder_parquet(li, zord, "l_partkey", "l_suppkey", n_files)
+
+    def bbox_volume(path: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey") + 1).alias("r1"),
+                (F.max("l_suppkey") - F.min("l_suppkey") + 1).alias("r2"),
+            )
+            .select(F.sum(F.col("r1") * F.col("r2")).alias("v"))
+            .collect()
+        )
+        return float(per_file[0]["v"])
+
+    v_naive, v_z = bbox_volume(naive), bbox_volume(zord)
+    # Same rows either way.
+    assert spark.read.parquet(zord).count() == li.count()
+    # Naive files each span ~the full key space; Z-order files cover a
+    # curve segment. Require at least a 4x volume reduction (observed
+    # reduction is far larger; 4x keeps the assertion robust).
+    assert v_z * 4 < v_naive, (v_z, v_naive)
