@@ -1,0 +1,316 @@
+"""Data-quality and data-integrity operators: expectation suites,
+snapshot diffing (CDC), and order-independent table fingerprints.
+
+A 100 TB lake needs gatekeeping before training pipelines consume a
+drop: constraint suites (a Deequ-style expectations pass), change
+detection between snapshot versions, and cheap whole-table checksums
+that prove two copies are identical without moving either. The
+reference has no quality surface at all (its contract is "the output
+file matches mrsequential", ``test.sh:70-107``) — this family is the
+engine-native generalization of that differential check.
+
+Scale shapes, by operator:
+
+- ``dq_expectations_orders``: ALL single-table constraints ride ONE
+  map-side-combinable aggregate pass (one scan, one 1-row result);
+  the referential-integrity check is the only join and it aggregates
+  the fact side down to distinct keys before the anti-join. Adding a
+  constraint adds a column to the agg, not a job.
+- ``snapshot_diff_orders``: the full-outer join shuffles only
+  ``(key, 60-bit row hash)`` — never row payloads — so diffing two
+  100 TB snapshots moves ~16 bytes/row. Co-partitioning both sides
+  on the join key is the bucketed-table fast path.
+- ``table_fingerprints``: per-row md5 → 60-bit int, combined with
+  the commutative/associative ``bit_xor`` aggregate: order- and
+  partitioning-independent, no overflow at any row count (unlike an
+  integer sum, which wraps int64 in Spark but promotes to HUGEINT in
+  DuckDB — an engine divergence this operator must avoid since the
+  whole point is cross-engine agreement). One narrow scan per table,
+  one 1-row result, zero shuffle beyond the final partial merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.hashing import oracle_hex8_int
+from mapreduce_lab_spark.functions.numeric import oracle_units, to_units
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Expectations suite
+
+
+def dq_expectations(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """One-pass constraint suite over ``orders`` (+ FK check vs
+    ``customer``): long-form (constraint, metric, passed) rows."""
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("o_orderkey").alias("n_key"),
+        F.count("o_custkey").alias("n_cust"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).alias(
+            "n_domain"
+        ),
+        F.min(to_units("o_totalprice", 100)).alias("min_price_u"),
+    )
+    orphans = (
+        orders.select("o_custkey")
+        .distinct()
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphan"))
+    )
+    scalars = agg.crossJoin(F.broadcast(orphans))
+    n = F.col("n").cast("double")
+    checks = F.array(
+        F.struct(
+            F.lit("row_count_positive").alias("constraint"),
+            F.col("n").cast("double").alias("metric"),
+            (F.col("n") > 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("unique_o_orderkey").alias("constraint"),
+            (F.col("n_key").cast("double") / n).alias("metric"),
+            (F.col("n_key") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("complete_o_custkey").alias("constraint"),
+            (F.col("n_cust").cast("double") / n).alias("metric"),
+            (F.col("n_cust") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("domain_o_orderstatus").alias("constraint"),
+            (F.col("n_domain").cast("double") / n).alias("metric"),
+            (F.col("n_domain") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("nonneg_o_totalprice").alias("constraint"),
+            (F.col("min_price_u").cast("double") / F.lit(100)).alias("metric"),
+            (F.col("min_price_u") >= 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("fk_o_custkey_customer").alias("constraint"),
+            F.col("n_orphan").cast("double").alias("metric"),
+            (F.col("n_orphan") == 0).alias("passed"),
+        ),
+    )
+    return scalars.select(F.explode(checks).alias("c")).select(
+        "c.constraint", "c.metric", "c.passed"
+    )
+
+
+_DQ_ORACLE = f"""
+WITH agg AS (
+    SELECT count(*) AS n,
+           count(DISTINCT o_orderkey) AS n_key,
+           count(o_custkey) AS n_cust,
+           sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS n_domain,
+           min({oracle_units('o_totalprice', 100)}) AS min_price_u
+    FROM orders
+),
+orph AS (
+    SELECT count(*) AS n_orphan FROM (
+        SELECT DISTINCT o_custkey FROM orders
+    ) o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+    )
+),
+s AS (SELECT * FROM agg, orph)
+SELECT 'row_count_positive' AS constraint, CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM s
+UNION ALL
+SELECT 'unique_o_orderkey', CAST(n_key AS DOUBLE) / CAST(n AS DOUBLE), n_key = n FROM s
+UNION ALL
+SELECT 'complete_o_custkey', CAST(n_cust AS DOUBLE) / CAST(n AS DOUBLE), n_cust = n FROM s
+UNION ALL
+SELECT 'domain_o_orderstatus', CAST(n_domain AS DOUBLE) / CAST(n AS DOUBLE), n_domain = n FROM s
+UNION ALL
+SELECT 'nonneg_o_totalprice', CAST(min_price_u AS DOUBLE) / 100, min_price_u >= 0 FROM s
+UNION ALL
+SELECT 'fk_o_custkey_customer', CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM s
+"""
+
+
+@query("dq_expectations_orders", oracle=_DQ_ORACLE)
+def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_expectations(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC)
+#
+# Two snapshot versions are derived deterministically from orders so
+# the oracle sees the identical inputs:
+#   old = rows with o_orderkey % 4 != 0
+#   new = rows with o_orderkey % 4 != 1, price +$1.00 where key % 7 == 0
+# so keys ≡ 1 (mod 4) are deletes, keys ≡ 0 (mod 4) are inserts, and
+# within the intersection every key ≡ 0 (mod 7) is an update.
+
+
+def _row_hash(price_u, status):
+    """60-bit engine-portable hash of the compared columns."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", price_u.cast("string"), status)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Classify keys as insert/delete/update between two snapshots.
+
+    Both inputs must already be projected to (key, row_hash): the
+    join — the only shuffle — moves 16 bytes per row regardless of
+    snapshot width.
+    """
+    o = old.select(F.col(key), F.col("row_hash").alias("h_old"))
+    n = new.select(F.col(key), F.col("row_hash").alias("h_new"))
+    joined = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), F.lit("insert"))
+        .when(F.col("h_new").isNull(), F.lit("delete"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("update"))
+    )
+    return (
+        joined.select(F.col(key), change.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+    )
+
+
+_DIFF_ORACLE = f"""
+WITH old AS (
+    SELECT o_orderkey,
+           ('0x' || substr(md5(concat_ws('|',
+                CAST({oracle_units('o_totalprice', 100)} AS VARCHAR),
+                o_orderstatus)), 1, 15))::BIGINT AS row_hash
+    FROM orders WHERE o_orderkey % 4 != 0
+),
+new AS (
+    SELECT o_orderkey,
+           ('0x' || substr(md5(concat_ws('|',
+                CAST({oracle_units('o_totalprice', 100)}
+                     + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS VARCHAR),
+                o_orderstatus)), 1, 15))::BIGINT AS row_hash
+    FROM orders WHERE o_orderkey % 4 != 1
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.row_hash != n.row_hash THEN 'update' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           WHEN o.row_hash != n.row_hash THEN 'update' END IS NOT NULL
+"""
+
+
+@query("snapshot_diff_orders", oracle=_DIFF_ORACLE)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price_u = to_units("o_totalprice", 100)
+    old = orders.where(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", _row_hash(price_u, F.col("o_orderstatus")).alias("row_hash")
+    )
+    new_price_u = price_u + F.when(F.col("o_orderkey") % 7 == 0, 100).otherwise(0)
+    new = orders.where(F.col("o_orderkey") % 4 != 1).select(
+        "o_orderkey", _row_hash(new_price_u, F.col("o_orderstatus")).alias("row_hash")
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Table fingerprints
+
+
+def _fingerprint(df: DataFrame, name: str, canonical) -> DataFrame:
+    """(table, n_rows, fingerprint): bit_xor of 60-bit row hashes."""
+    h = F.conv(F.substring(F.md5(canonical), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(h.alias("_h"))
+        .agg(F.count("*").alias("n_rows"), F.bit_xor("_h").alias("fingerprint"))
+        .select(F.lit(name).alias("table_name"), "n_rows", "fingerprint")
+    )
+
+
+_FP_ORACLE = f"""
+SELECT 'orders' AS table_name, count(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           CAST({oracle_units('o_totalprice', 100)} AS VARCHAR),
+           strftime(o_orderdate, '%Y-%m-%d'),
+           o_orderstatus, o_orderpriority)), 1, 15))::BIGINT) AS fingerprint
+FROM orders
+UNION ALL
+SELECT 'customer', count(*),
+       bit_xor(('0x' || substr(md5(concat_ws('|',
+           CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR),
+           CAST({oracle_units('c_acctbal', 100)} AS VARCHAR),
+           c_mktsegment)), 1, 15))::BIGINT)
+FROM customer
+UNION ALL
+SELECT 'part', count(*),
+       bit_xor(('0x' || substr(md5(concat_ws('|',
+           CAST(p_partkey AS VARCHAR), p_name, p_brand, p_type,
+           CAST(p_size AS VARCHAR),
+           CAST({oracle_units('p_retailprice', 100)} AS VARCHAR))), 1, 15))::BIGINT)
+FROM part
+"""
+
+
+@query("table_fingerprints", oracle=_FP_ORACLE)
+def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent checksums of three tables in one result.
+
+    Every value is canonicalized to an engine-exact string (integers,
+    fixed-point units, 'yyyy-MM-dd' dates) before hashing — raw
+    double→string or timestamp→string rendering differs between
+    engines and would poison the checksum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    fp_orders = _fingerprint(
+        orders,
+        "orders",
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            to_units("o_totalprice", 100).cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        ),
+    )
+    fp_customer = _fingerprint(
+        customer,
+        "customer",
+        F.concat_ws(
+            "|",
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("string"),
+            to_units("c_acctbal", 100).cast("string"),
+            F.col("c_mktsegment"),
+        ),
+    )
+    fp_part = _fingerprint(
+        part,
+        "part",
+        F.concat_ws(
+            "|",
+            F.col("p_partkey").cast("string"),
+            F.col("p_name"),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size").cast("string"),
+            to_units("p_retailprice", 100).cast("string"),
+        ),
+    )
+    return fp_orders.unionByName(fp_customer).unionByName(fp_part)

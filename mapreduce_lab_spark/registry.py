@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.dedup",
     "mapreduce_lab_spark.operators.similarity",
     "mapreduce_lab_spark.operators.clustering",
+    "mapreduce_lab_spark.operators.linalg",
     "mapreduce_lab_spark.operators.textstats",
     "mapreduce_lab_spark.operators.retrieval",
     "mapreduce_lab_spark.operators.graph",
@@ -51,6 +52,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.anomaly",
     "mapreduce_lab_spark.operators.curation",
     "mapreduce_lab_spark.operators.contamination",
+    "mapreduce_lab_spark.operators.quality",
     "mapreduce_lab_spark.operators.mapreduce_contract",
     "mapreduce_lab_spark.multimodal.binary_ops",
     "mapreduce_lab_spark.operators.pipeline",

@@ -1,0 +1,102 @@
+"""Scale-posture and semantics tests for the data-quality family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.operators.quality import (
+    q_dq_expectations_orders,
+    q_snapshot_diff_orders,
+    q_table_fingerprints,
+    snapshot_diff,
+)
+from mapreduce_lab_spark.plans import inspect
+
+
+def test_dq_expectations_single_pass(spark, sf_dir):
+    # All single-table constraints must ride one aggregate over one
+    # scan of orders; only the FK check may add a second orders scan
+    # (distinct keys) + the customer side. More scans = a per-
+    # constraint job, the anti-pattern this operator exists to avoid.
+    df = q_dq_expectations_orders(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert len(inspect.scan_read_schemas(df)) <= 3, plan
+    assert inspect.has_partial_aggregation(df)
+    rows = {r["constraint"]: r for r in df.collect()}
+    assert len(rows) == 6
+    # The synthetic tables are clean: every constraint passes.
+    assert all(r["passed"] for r in rows.values()), rows
+
+
+def test_snapshot_diff_shuffles_hashes_not_rows(spark, sf_dir):
+    # The join input must be projected to (key, 60-bit hash) BEFORE
+    # the exchange: diffing wide snapshots moves 16 bytes/row. The
+    # scan itself must only read the compared columns.
+    df = q_snapshot_diff_orders(spark, sf_dir)
+    for cols in inspect.scan_read_schemas(df):
+        assert set(cols) <= {"o_orderkey", "o_totalprice", "o_orderstatus"}, cols
+    plan = inspect.formatted_plan(df)
+    # No payload column survives into the join: priority/date/custkey
+    # never appear anywhere in the physical plan.
+    assert "o_orderpriority" not in plan and "o_custkey" not in plan, plan
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["k", "row_hash"]
+    )
+    new = spark.createDataFrame(
+        [(2, 20), (3, 31), (4, 40)], ["k", "row_hash"]
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_fingerprint_is_order_and_partitioning_independent(spark, sf_dir):
+    base = q_table_fingerprints(spark, sf_dir)
+    want = {r["table_name"]: (r["n_rows"], r["fingerprint"]) for r in base.collect()}
+
+    # Recompute with a hostile layout: different partition count and a
+    # shuffled row order must yield the identical checksum.
+    from mapreduce_lab_spark.operators.quality import _fingerprint
+    from mapreduce_lab_spark.sources.tables import load_table
+    from mapreduce_lab_spark.functions.numeric import to_units
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .repartition(7, "p_brand")
+        .sortWithinPartitions(F.desc("p_partkey"))
+    )
+    fp = _fingerprint(
+        part,
+        "part",
+        F.concat_ws(
+            "|",
+            F.col("p_partkey").cast("string"),
+            F.col("p_name"),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size").cast("string"),
+            to_units("p_retailprice", 100).cast("string"),
+        ),
+    ).collect()[0]
+    assert (fp["n_rows"], fp["fingerprint"]) == want["part"]
+    # And it detects a single-cell change.
+    mutated = part.withColumn(
+        "p_size",
+        F.when(F.col("p_partkey") == 17, F.col("p_size") + 1).otherwise(F.col("p_size")),
+    )
+    fp2 = _fingerprint(
+        mutated,
+        "part",
+        F.concat_ws(
+            "|",
+            F.col("p_partkey").cast("string"),
+            F.col("p_name"),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size").cast("string"),
+            to_units("p_retailprice", 100).cast("string"),
+        ),
+    ).collect()[0]
+    assert fp2["fingerprint"] != fp["fingerprint"]
