@@ -38,31 +38,43 @@ COV_UNIT_SCALE = 10_000
 
 def embedding_covariance(embs: DataFrame) -> DataFrame:
     """Upper-triangular exact covariance entries (i <= j) of the
-    embedding coordinates."""
+    embedding coordinates.
+
+    The O(d^2)-per-row moment work runs as an Arrow-batched numpy
+    Gramian (`mapInPandas`): a pure-codegen expression tree for the
+    d(d+1)/2 products evaluates ~2080 interpreted element_at calls per
+    row and benched 9 s at sf0.1 where this shape takes <1 s — the
+    one hot loop in the repo where Python-with-BLAS beats built-ins.
+    The per-coordinate first moments stay JVM-side (posexplode into d
+    groups). Both shuffles carry only (i, j, int64 partial): at 100 TB
+    the moment shuffle is d(d+1)/2 rows per map task, never vectors.
+    """
     scale = F.lit(COV_UNIT_SCALE)
     units = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * scale).cast("long")
     )
-    d = F.size("embedding")
-    # Upper-triangle products, flattened: struct(i, j, x_i * x_j).
-    tri = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), d - 1),
-            lambda i: F.transform(
-                F.sequence(i, d - 1),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (F.element_at(units, i + 1) * F.element_at(units, j + 1)).alias(
-                        "xy"
-                    ),
-                ),
-            ),
-        )
-    )
+
+    # Self-contained closure (imports inside, no module references) so
+    # cloudpickle ships it by value — workers never import this repo.
+    def gram_partials(batches):
+        # One X.T @ X per batch (numpy int64, exact) collapses a batch
+        # of B rows to d(d+1)/2 partial-product rows — the map-side
+        # combine for the second moment. int64 products/sums are
+        # order-free, so any batching yields identical partials.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["units"].to_numpy()).astype(np.int64)
+            iu, ju = np.triu_indices(X.shape[1])
+            G = X.T @ X
+            yield pd.DataFrame({"i": iu, "j": ju, "xy": G[iu, ju]})
+
     moments = (
-        embs.select(F.explode(tri).alias("t"))
-        .select("t.i", "t.j", "t.xy")
+        embs.select(units.alias("units"))
+        .mapInPandas(gram_partials, "i int, j int, xy long")
         .groupBy("i", "j")
         .agg(F.sum("xy").alias("q"))
     )
