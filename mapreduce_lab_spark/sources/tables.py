@@ -57,20 +57,38 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-    Parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
-    nanos as a raw long and floor-divide to microseconds — integer
-    arithmetic, because int64 nanos (~1.7e18) exceed double's 2^53
-    exact range, so `/ 1000.0` would corrupt low digits. Truncation
-    (not rounding) matches how microsecond engines (e.g. DuckDB)
-    ingest nanos. The conversion happens in the scan projection, so
-    column pruning and predicate pushdown on other columns are
-    unaffected."""
+    """Normalize events.ts to session-zoned TIMESTAMP across data vintages.
+
+    The generator has emitted two physical types for ``ts``:
+
+    - TIMESTAMP(NANOS), which the Spark Parquet reader rejects outright
+      (PARQUET_TYPE_ILLEGAL). With the legacy conf the nanos arrive as a
+      raw long; floor-divide to microseconds — integer arithmetic,
+      because int64 nanos (~1.7e18) exceed double's 2^53 exact range, so
+      ``/ 1000.0`` would corrupt low digits. Truncation (not rounding)
+      matches how microsecond engines (e.g. DuckDB) ingest nanos.
+    - TIMESTAMP(MICROS) without timezone metadata, which Spark reads as
+      TIMESTAMP_NTZ. Cast to TIMESTAMP: the session timezone is pinned
+      UTC (session.py), so the wall-clock value is unchanged and every
+      downstream window/date_format/watermark sees the same type either
+      way.
+
+    Both conversions happen in the scan projection, so column pruning
+    and predicate pushdown on other columns are unaffected."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
+
+
+def _normalize_ts(dtype):  # -> Column
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(dtype, LongType):  # raw nanos via legacy conf
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -45,8 +45,12 @@ try:
 except (ImportError, AttributeError):  # pragma: no cover - old pyspark
     pass
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+EVENTS_SCHEMA_MICROS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
 )
 
 WATERMARK = "30 minutes"
@@ -61,19 +65,28 @@ def events_stream(
 ) -> DataFrame:
     """Streaming source over events parquet file(s) in ``path``.
 
-    Mirrors ``sources.tables._load_events``: the files store
-    nanosecond timestamps, read as raw longs (legacy conf) and
-    floor-divided to microseconds.
+    Mirrors ``sources.tables._load_events``: the streaming reader needs
+    an explicit schema, so probe the batch footer once to learn which
+    physical ts type this data vintage carries (raw nanos long vs
+    micros TIMESTAMP_NTZ) and normalize to session-zoned TIMESTAMP the
+    same way the batch loader does.
     """
+    from pyspark.sql.types import LongType
+
+    from ..sources.tables import _normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.option("pathGlobFilter", glob).parquet(path)
+    ts_type = probe.schema["ts"].dataType
+    schema = EVENTS_SCHEMA_NANOS if isinstance(ts_type, LongType) else EVENTS_SCHEMA_MICROS
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", _normalize_ts(ts_type))
 
 
 # --- shared-plan streaming twins ------------------------------------------

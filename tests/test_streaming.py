@@ -61,7 +61,7 @@ def stream_dir(spark, sf_dir, tmp_path_factory):
 
 def _batch_events(spark, stream_dir, with_sentinel: bool):
     df = (
-        spark.read.schema(jobs.EVENTS_SCHEMA)
+        spark.read.schema(jobs.EVENTS_SCHEMA_NANOS)
         .parquet(stream_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
@@ -316,7 +316,7 @@ def test_foreach_batch_bucketed_merge_sink(spark, stream_dir, tmp_path):
         stream = jobs.events_stream(
             spark, stream_dir, glob="*.parquet", max_files_per_trigger=1
         )
-        n_input = spark.read.schema(jobs.EVENTS_SCHEMA).parquet(stream_dir).count()
+        n_input = spark.read.schema(jobs.EVENTS_SCHEMA_NANOS).parquet(stream_dir).count()
         t0 = time.perf_counter()
         q = jobs.start_bucketed_merge_sink(
             jobs.streaming_running_totals(stream),
