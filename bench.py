@@ -151,26 +151,31 @@ def main() -> None:
     # fixed cost amortized in any long-lived session.
     # The first (compile) run is ALSO timed and reported as the cold
     # number — the latency a one-shot user pays, plan codegen included.
-    # The steady number is the MIN of two post-compile runs: wall-clock
+    # The steady number is the MIN across post-compile runs. Wall-clock
     # on a shared host has multi-second transient noise (observed 3x
-    # swings on identical plans), and min-of-N measures the plan's
-    # capability rather than the host's worst moment.
-    timings: dict[str, float] = {}
+    # swings on identical plans, and multi-minute slow windows right
+    # after boot), so the runs of each query are spread across FULL
+    # PASSES over the whole headline set — back-to-back runs of one
+    # query all land inside the same slow window, while passes are
+    # 30-60 s apart, so the per-query min across passes measures the
+    # plan's capability rather than the host's worst moment.
     cold: dict[str, float] = {}
-    throughput: dict[str, int] = {}
+    best: dict[str, float] = {name: float("inf") for name in names}
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        dt = float("inf")
-        for _ in range(2):
-            spark.catalog.clearCache()
+        spark.catalog.clearCache()
+    for _ in range(3):
+        for name in names:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).count()
-            dt = min(dt, time.perf_counter() - t0)
-        timings[name] = round(dt, 3)
-        throughput[name] = int(input_rows[PRIMARY_INPUT[name]] / dt)
-        spark.catalog.clearCache()
+            best[name] = min(best[name], time.perf_counter() - t0)
+            spark.catalog.clearCache()
+    timings = {name: round(best[name], 3) for name in names}
+    throughput = {
+        name: int(input_rows[PRIMARY_INPUT[name]] / best[name]) for name in names
+    }
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

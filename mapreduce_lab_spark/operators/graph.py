@@ -55,6 +55,119 @@ def copurchase_degree_hist(lineitem: DataFrame) -> DataFrame:
     )
 
 
+# --- PageRank -------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_UNITS = 10**12  # total rank mass, in integer units
+# damping d = 0.85 as the integer pair (85, 100): all rank arithmetic
+# is BIGINT multiply + floor-div, so Spark and the oracle agree bit-
+# for-bit (double summation would be order-dependent across engines).
+_D_NUM, _D_COMP = 85, 15
+
+
+def pagerank_copurchase(lineitem: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected copurchase graph.
+
+    Rank mass is carried as exact integer units (PAGERANK_UNITS total):
+    each step is ``rank div deg`` per edge, an integer sum per node,
+    then ``(15 * (U div N)) div 100 + (85 * sum) div 100`` — floor
+    divisions of positive BIGINTs, identical in Spark and DuckDB, so
+    the iterative result is exactly reproducible cross-engine (the
+    oracle unrolls the same three steps as chained CTEs).
+
+    Scale shape: the classic distributed PageRank loop — per
+    iteration, one join of the edge list with the current rank vector
+    on ``src`` and one groupBy(``dst``); the shuffle carries (key,
+    BIGINT) pairs only. The degree column rides along with the edge
+    list (joined once, cached) so each iteration is exactly one join +
+    one aggregation. On a real cluster the edge list would be
+    bucketed by ``src`` so the per-iteration join is shuffle-free on
+    the edge side; every node has deg >= 1 by construction (nodes are
+    edge endpoints) so there is no dangling-mass term.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(deg, "src").cache()
+    nodes = edges_deg.select(F.col("src").alias("part")).distinct()
+    # One deliberate scalar materialization: N is needed as an exact
+    # integer inside every iteration's rank formula, and folding it in
+    # as a literal keeps each iteration to exactly one join + one agg
+    # (a broadcast-joined scalar would re-derive the whole graph-
+    # construction subtree per iteration). This count also materializes
+    # the edge-list cache every later step reads.
+    n_nodes = nodes.count()
+    base_units = PAGERANK_UNITS // n_nodes
+    teleport_units = (_D_COMP * base_units) // 100
+    ranks = nodes.select("part", F.lit(base_units).alias("rank_units"))
+    for _ in range(iters):
+        contrib = edges_deg.join(
+            ranks.select(F.col("part").alias("src"), "rank_units"), "src"
+        ).select(
+            F.col("dst").alias("part"),
+            F.expr("rank_units div deg").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("part")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "part",
+                (F.lit(teleport_units) + F.expr(f"({_D_NUM} * s) div 100")).alias(
+                    "rank_units"
+                ),
+            )
+        )
+    return ranks.select("part", "rank_units")
+
+
+def _oracle_pagerank(iters: int = PAGERANK_ITERS) -> str:
+    u = PAGERANK_UNITS
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT e.dst AS part,
+               CAST(({_D_COMP} * ({u} // n.n_nodes)) // 100
+                    + ({_D_NUM} * sum(r.rank_units // e.deg)) // 100 AS BIGINT)
+                   AS rank_units
+        FROM edges_deg e JOIN {prev} r ON e.src = r.part, n
+        GROUP BY e.dst, n.n_nodes
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    edges_deg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS part, ({u} // n_nodes) AS rank_units FROM deg, n),
+    {chain}
+    SELECT part, rank_units FROM {prev}
+    """
+
+
+@query("pagerank_copurchase", oracle=_oracle_pagerank())
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_copurchase(load_table(spark, sf_dir, "lineitem"))
+
+
 @query(
     "copurchase_degree_hist",
     oracle="""

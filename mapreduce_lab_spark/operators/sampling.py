@@ -49,6 +49,64 @@ def weighted_sample(orders: DataFrame, n_target: int = TARGET_SAMPLE_SIZE) -> Da
     )
 
 
+# --- train/val/test split -------------------------------------------------
+
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10  # train 80 / val 10 / test 10
+
+
+def train_val_test_split(docs: DataFrame) -> DataFrame:
+    """Deterministic hash-based corpus split with per-split stats.
+
+    Assignment is ``hash32(doc_id) mod 100`` against fixed percentage
+    boundaries — the standard ML-pipeline split discipline: membership
+    is a pure function of the row key, so it is stable across runs,
+    engines, partitionings, and incremental loads (new documents never
+    reshuffle old ones between splits, unlike ``randomSplit``).
+
+    Scale shape: a narrow per-row expression, then one aggregation
+    whose shuffle carries only (split, lang) keys and integer partial
+    sums — the split itself never moves data. Char mass is summed as
+    exact BIGINT so the stats hash-match cross-engine.
+    """
+    bucket = hex8_int(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CASE
+                 WHEN {oracle_hex8_int("doc_id::VARCHAR")} % 100
+                      < {SPLIT_TRAIN_PCT} THEN 'train'
+                 WHEN {oracle_hex8_int("doc_id::VARCHAR")} % 100
+                      < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang, n_chars
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "weighted_sample_orders",
     oracle=f"""

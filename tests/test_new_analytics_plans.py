@@ -90,3 +90,40 @@ def test_markov_partitions_by_user(spark, sf_dir):
     df = q_markov_event_transitions(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "windowspecdefinition(user_id" in plan, plan
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    # Rank mass starts at PAGERANK_UNITS and each iteration can only
+    # lose floor residue: < deg per node at the contribution split,
+    # plus < 2 units per node at the damping combine. Everything else
+    # would indicate dropped or double-counted edges.
+    from mapreduce_lab_spark.operators.graph import (
+        PAGERANK_ITERS,
+        PAGERANK_UNITS,
+        q_pagerank_copurchase,
+    )
+
+    ranks = q_pagerank_copurchase(spark, sf_dir).collect()
+    total = sum(r.rank_units for r in ranks)
+    n = len(ranks)
+    assert n > 0 and all(r.rank_units > 0 for r in ranks)
+    # 2E = sum(deg) bounded by n*(n-1); use the loose-but-sound bound
+    # from the actual initial division loss + per-iter caps.
+    max_loss_per_iter = 2 * n + sum(1 for _ in ranks) * n  # deg < n
+    assert PAGERANK_UNITS - PAGERANK_ITERS * max_loss_per_iter - n <= total <= PAGERANK_UNITS
+
+
+def test_pagerank_iterations_read_edge_cache(spark, sf_dir):
+    # Each iteration must join against the CACHED edge list — without
+    # the cache every iteration re-derives the whole graph-construction
+    # subtree (distinct + self-join + union + degree agg), tripling the
+    # most expensive stage. The textual plan still prints the cached
+    # relation's stored subtree per use, so bound the exchange count at
+    # that level rather than the executed one.
+    from mapreduce_lab_spark.operators.graph import q_pagerank_copurchase
+    from mapreduce_lab_spark.plans import inspect
+
+    df = q_pagerank_copurchase(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert inspect.exchange_count(df) <= 20, plan
