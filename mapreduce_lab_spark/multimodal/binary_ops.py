@@ -276,3 +276,82 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(
         blobify(fan_out(load_table(spark, sf_dir, "documents"), spark))
     )
+
+
+# --- audio-shaped windowed energy ------------------------------------------
+
+AUDIO_WINDOW = 256  # samples (bytes) per energy window
+
+
+def audio_energy(blobs: DataFrame) -> DataFrame:
+    """Windowed energy over a PCM-shaped payload: the audio analog of
+    frame sampling.
+
+    Treats the payload as a stream of unsigned 8-bit samples and emits
+    one row per AUDIO_WINDOW-sample window with its sample count,
+    total energy (integer sum), and peak amplitude — the UDTF-shaped
+    row explosion of a real audio feature extractor (VAD, loudness
+    normalization), with the codec seam swapped for raw bytes exactly
+    like ``decode_image``. The numpy path is fully vectorized
+    (``np.add.reduceat`` per batch, no per-sample Python), Arrow-
+    batched, and narrow — payloads never shuffle.
+    """
+    schema = "doc_id long, window_idx int, n_samples int, energy long, peak int"
+
+    def windows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, widx, ns, en, pk = [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if a.size == 0:
+                    continue
+                starts = np.arange(0, a.size, AUDIO_WINDOW)
+                ids.extend([did] * starts.size)
+                widx.extend(range(starts.size))
+                sizes = np.diff(np.append(starts, a.size))
+                ns.extend(sizes.tolist())
+                en.extend(np.add.reduceat(a.astype(np.int64), starts).tolist())
+                pk.extend(np.maximum.reduceat(a, starts).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy": pd.Series(en, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return blobs.mapInPandas(windows, schema=schema)
+
+
+@query(
+    "multimodal_audio_energy",
+    # The corpus is ASCII (TESTDATA.md), so per-char code points equal
+    # payload bytes and DuckDB can recompute the windows exactly.
+    oracle=f"""
+    WITH positions AS (
+        SELECT doc_id, unnest(generate_series(1, len(text))) AS i, text
+        FROM documents
+    ),
+    samples AS (
+        SELECT doc_id,
+               CAST((i - 1) // {AUDIO_WINDOW} AS INT) AS window_idx,
+               ord(substr(text, i, 1)) AS b
+        FROM positions
+    )
+    SELECT doc_id, window_idx,
+           count(*)::INT AS n_samples,
+           CAST(sum(b) AS BIGINT) AS energy,
+           max(b)::INT AS peak
+    FROM samples
+    GROUP BY doc_id, window_idx
+    """,
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_energy(
+        blobify(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    )

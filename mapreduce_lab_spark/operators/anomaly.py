@@ -148,3 +148,72 @@ def zscore_outliers(events: DataFrame) -> DataFrame:
 )
 def q_zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(load_table(spark, sf_dir, "events"))
+
+
+# --- winsorization ---------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_price_stats(lineitem: DataFrame) -> DataFrame:
+    """Per-group winsorized price aggregate: clamp to [p05, p95], then
+    sum in exact integer units.
+
+    The standard heavy-tail guard before computing training statistics:
+    per-group exact percentiles (type-7, bit-identical in Spark and
+    DuckDB — see exact_percentiles_lineitem), broadcast back to the
+    fact rows, clamp, and aggregate. The clamped value is scaled to
+    integer cents BEFORE the sum, so the total is order-free; the
+    clamp comparisons are exact double compares of identical inputs.
+
+    Scale shape: one fact-side aggregation for the bounds (map-side
+    partial), a broadcast join back (fact table never shuffles for
+    it), then one final grouped aggregation.
+    """
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, {WINSOR_LO})").alias("p_lo"),
+        F.expr(f"percentile(l_extendedprice, {WINSOR_HI})").alias("p_hi"),
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        lineitem.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("p_lo"), 1).otherwise(0)
+            ).alias("n_clamped_low"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("p_hi"), 1).otherwise(0)
+            ).alias("n_clamped_high"),
+            (F.sum(to_units(clamped, 100)).cast("double") / F.lit(100)).alias(
+                "sum_winsorized"
+            ),
+        )
+    )
+
+
+@query(
+    "winsorized_price_stats",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, {WINSOR_LO}) AS p_lo,
+               quantile_cont(l_extendedprice, {WINSOR_HI}) AS p_hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_low,
+           CAST(sum(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_high,
+           (CAST(sum({oracle_units("least(greatest(l_extendedprice, p_lo), p_hi)", 100)})
+                 AS DOUBLE) / 100) AS sum_winsorized
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorized_price_stats(load_table(spark, sf_dir, "lineitem"))

@@ -185,9 +185,7 @@ def bm25_search(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY_TERMS) -> D
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
 
-@query(
-    "bm25_search",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH doclen AS (
         SELECT doc_id, len({_ORACLE_TOKENS}) AS dl FROM documents
     ),
@@ -228,7 +226,98 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
           FROM scored GROUP BY doc_id)
     ORDER BY score_units DESC, doc_id ASC
     LIMIT {BM25_TOP_K}
-    """,
-)
+    """
+
+
+@query("bm25_search", oracle=_BM25_ORACLE)
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- reciprocal-rank fusion ------------------------------------------------
+
+RRF_K = 60
+RRF_UNITS = 1_000_000_000
+RRF_QUALITY_TOP = 20
+
+
+def rrf_hybrid(bm25_top: DataFrame, quality_top: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings of the same corpus.
+
+    The classic hybrid-retrieval combiner: each list contributes
+    1/(K + rank) for the documents it ranks; documents appearing in
+    both lists accumulate both terms. Contributions are floored to
+    integer units (``RRF_UNITS div (K + rank)``) so the fused score is
+    an exact integer sum — rank boundaries cannot drift cross-engine.
+    A missing rank is reported as 0 (not NULL) so every output column
+    stays a non-nullable integer.
+
+    Scale shape: both inputs are top-k lists (bounded by construction
+    — BM25_TOP_K and RRF_QUALITY_TOP), so the rank windows are global
+    but k-bounded, and the fusion is a join of two k-row frames —
+    driver-trivial at any corpus size; all the heavy lifting happened
+    inside the two upstream rankings.
+    """
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    wq = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    a = bm25_top.select("doc_id", F.row_number().over(wb).alias("rank_bm25"))
+    b = quality_top.select("doc_id", F.row_number().over(wq).alias("rank_quality"))
+
+    def unit(rank_col: str) -> F.Column:
+        return F.coalesce(
+            F.expr(f"{RRF_UNITS} div ({RRF_K} + {rank_col})"), F.lit(0)
+        )
+
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (unit("rank_bm25") + unit("rank_quality")).alias("rrf_units"),
+            F.coalesce("rank_bm25", F.lit(0)).alias("rank_bm25"),
+            F.coalesce("rank_quality", F.lit(0)).alias("rank_quality"),
+        )
+    )
+
+
+def _oracle_rrf() -> str:
+    from mapreduce_lab_spark.operators.textstats import _QUALITY_ORACLE
+
+    u, k = RRF_UNITS, RRF_K
+    return f"""
+    WITH bm AS ({_BM25_ORACLE}),
+    bmr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+        FROM bm
+    ),
+    qs AS ({_QUALITY_ORACLE}),
+    qt AS (SELECT doc_id, quality_score FROM qs
+           ORDER BY quality_score DESC, doc_id LIMIT {RRF_QUALITY_TOP}),
+    qr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY quality_score DESC, doc_id)
+                   AS rank_quality
+        FROM qt
+    )
+    SELECT doc_id,
+           CAST(COALESCE({u} // ({k} + rank_bm25), 0)
+                + COALESCE({u} // ({k} + rank_quality), 0) AS BIGINT)
+               AS rrf_units,
+           COALESCE(rank_bm25, 0)::INT AS rank_bm25,
+           COALESCE(rank_quality, 0)::INT AS rank_quality
+    FROM bmr FULL JOIN qr USING (doc_id)
+    """
+
+
+@query("rrf_hybrid_search", oracle=_oracle_rrf())
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_lab_spark.operators.textstats import quality_scores
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    quality_top = (
+        quality_scores(docs)
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        .limit(RRF_QUALITY_TOP)
+        .select("doc_id", "quality_score")
+    )
+    return rrf_hybrid(bm25_search(docs), quality_top)

@@ -114,9 +114,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 _O_STOP = "list_filter(" + _ORACLE_TOKENS + ", t -> t IN ('" + "','".join(STOPWORDS) + "'))"
 
 
-@query(
-    "text_quality_scores",
-    oracle=f"""
+_QUALITY_ORACLE = f"""
     WITH c AS (
       SELECT doc_id,
              len({_ORACLE_TOKENS}) AS n_tokens,
@@ -133,8 +131,10 @@ _O_STOP = "list_filter(" + _ORACLE_TOKENS + ", t -> t IN ('" + "','".join(STOPWO
                   + 3 * (1000 - floor(punct_cnt * 1000 / n_chars))) / 10) / 1000.0
              AS quality_score
     FROM c
-    """,
-)
+    """
+
+
+@query("text_quality_scores", oracle=_QUALITY_ORACLE)
 def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(fan_out(load_table(spark, sf_dir, "documents"), spark))
 
@@ -239,3 +239,78 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- intra-document repetition (Gopher-style quality filters) --------------
+
+
+def _dup_ratio_m(grams: F.Column) -> F.Column:
+    """Duplicate-n-gram fraction in milli-units: floor((n - distinct)*1000/n)."""
+    n = F.size(grams)
+    return F.when(
+        n > 0, F.floor((n - F.size(F.array_distinct(grams))) * 1000 / n)
+    ).otherwise(F.lit(0))
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals: duplicate bigram/trigram fractions.
+
+    The repetition family of quality filters (fraction of n-gram slots
+    occupied by a repeated n-gram) — a standard pre-training heuristic
+    for detecting templated/spammy text. Entirely intra-document: a
+    narrow per-row expression over the token array, zero shuffle, no
+    Python. Ratios are floored to milli-units so both engines emit the
+    identical rational number.
+    """
+    toks = tokenize(F.col("text"))
+
+    def grams(k: int) -> F.Column:
+        n = F.size(toks)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return docs.select(
+        "doc_id",
+        (_dup_ratio_m(grams(2)) / 1000.0).alias("dup_bigram_frac"),
+        (_dup_ratio_m(grams(3)) / 1000.0).alias("dup_trigram_frac"),
+    )
+
+
+def _o_grams(k: int) -> str:
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len(t) >= {k}"
+        f" THEN list_transform(generate_series(1, len(t) - {k - 1}), i -> {parts})"
+        f" ELSE [] END"
+    )
+
+
+def _o_dup_m(grams: str) -> str:
+    return (
+        f"CASE WHEN len({grams}) > 0"
+        f" THEN floor((len({grams}) - len(list_distinct({grams}))) * 1000"
+        f" / len({grams}))"
+        f" ELSE 0 END"
+    )
+
+
+@query(
+    "doc_repetition_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents),
+    g AS (SELECT doc_id, {_o_grams(2)} AS bi, {_o_grams(3)} AS tri FROM toks)
+    SELECT doc_id,
+           {_o_dup_m('bi')} / 1000.0 AS dup_bigram_frac,
+           {_o_dup_m('tri')} / 1000.0 AS dup_trigram_frac
+    FROM g
+    """,
+)
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(fan_out(load_table(spark, sf_dir, "documents"), spark))
