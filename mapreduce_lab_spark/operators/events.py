@@ -283,3 +283,80 @@ def q_map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.size(m).alias("n_keys"),
     )
+
+
+# --- cogroup as-of twin ----------------------------------------------------
+
+
+def asof_join_cogroup(events: DataFrame) -> DataFrame:
+    """The same as-of join via ``cogroup().applyInPandas`` + merge_asof.
+
+    The cogroup route exists for per-key merge logic the built-in
+    operators can't express (custom matching windows, per-key model
+    state); here it re-implements the as-of match so its output is
+    pinned to the same DuckDB ASOF JOIN oracle as the window-based
+    ``asof_join_purchase_to_view`` — two independent algorithms, one
+    answer. Each user's two event slices arrive as pandas frames and
+    ``pd.merge_asof`` does the backward match.
+
+    Scale shape: one shuffle of each side on user_id (the cogroup
+    key), then Arrow-batched per-group Python. Per-GROUP invocation
+    cost makes this the wrong tool for millions of tiny groups — use
+    the union+running-last composition for that — but the right one
+    when the per-key logic is genuinely imperative.
+    """
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    schema = (
+        "event_id long, user_id long, purchase_ts string, view_ts string,"
+        " lag_seconds long"
+    )
+
+    def merge(key, pdf_p, pdf_v):  # noqa: ANN001
+        import numpy as np
+        import pandas as pd
+
+        if pdf_p.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_ts", "view_ts", "lag_seconds"]
+            )
+        p = pdf_p.sort_values("ts")
+        v = pdf_v.sort_values("ts").copy()
+        v["vts"] = v["ts"]
+        m = pd.merge_asof(p, v[["ts", "vts"]], on="ts", direction="backward")
+        lag_us = (m["ts"] - m["vts"]).dt.total_seconds()
+        matched = m["vts"].notna()
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "purchase_ts": m["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "view_ts": m["vts"].dt.strftime("%Y-%m-%d %H:%M:%S").where(matched, None),
+                "lag_seconds": np.floor(lag_us).astype("Int64").where(matched, None),
+            }
+        )
+
+    return (
+        purchases.groupby("user_id")
+        .cogroup(views.groupby("user_id"))
+        .applyInPandas(merge, schema=schema)
+    )
+
+
+@query(
+    "asof_join_cogroup",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS lag_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_cogroup(load_table(spark, sf_dir, "events"))

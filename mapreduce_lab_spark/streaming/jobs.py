@@ -25,6 +25,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 from mapreduce_lab_spark.operators.events import (
     session_windows,
@@ -217,6 +218,58 @@ def streaming_running_totals(stream: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) ----------------------
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of _running_totals.
+
+    The typed-state successor to applyInPandasWithState: named state
+    variables (ValueState here; ListState/MapState and event/processing
+    timers exist on the handle), schema'd per variable, backed by the
+    RocksDB state store. Same exact-cent arithmetic as the GroupState
+    version so both APIs pin to the same batch oracle.
+
+    Environment gate: constructing the PLAN needs only pyspark, but
+    EXECUTING it spawns a TWS driver worker that imports protobuf —
+    absent in this container, so execution is test-gated (see
+    streaming/replay.py::run_running_totals_tws).
+    """
+
+    def init(self, handle) -> None:  # noqa: ANN001
+        self._state = handle.getValueState("totals", "n long, cents long")
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        import pandas as pd
+
+        n, cents = self._state.get() if self._state.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(sum(int(round(v * 100)) for v in pdf["value"]))
+        self._state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_events": [n], "total_cents": [cents]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_running_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas.
+
+    Requires the RocksDB state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass`` before start);
+    the caller manages that conf (see streaming/replay.py).
+    """
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

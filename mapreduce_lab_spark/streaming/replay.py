@@ -110,3 +110,33 @@ def q_streaming_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataF
     Structured Streaming: per-user exact-cent running totals, update
     mode over one batch → one final row per user."""
     return _drain(jobs.streaming_running_totals(_stream(spark, sf_dir)), "update")
+
+
+_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def run_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (the Spark 4 typed-state API) through
+    Structured Streaming on the RocksDB state store — same per-user
+    exact-cent totals and batch oracle as the applyInPandasWithState
+    replay: two arbitrary-state APIs, one answer.
+
+    NOT a registered query: the TWS Python driver worker requires
+    protobuf, which this container does not ship — the same gated-seam
+    policy as the PIL decode stub (multimodal/binary_ops.py). The
+    parity test (tests/test_streaming.py::test_tws_running_totals_matches_batch)
+    skips unless ``google.protobuf`` imports; everything up to the
+    worker handshake — plan construction, state schema, processor
+    wiring — is exercised unconditionally by building the plan."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB)
+    try:
+        return _drain(
+            jobs.streaming_running_totals_tws(_stream(spark, sf_dir)), "update"
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)

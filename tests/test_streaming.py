@@ -370,3 +370,38 @@ def test_streaming_running_totals_match_batch(spark, stream_dir):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
     )
     assert _rows(got) == _rows(want)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_plan_builds(spark, stream_dir):
+    """transformWithStateInPandas PLAN construction (processor wiring,
+    state schema, output mode) needs no protobuf — pin it analyzable
+    even where the runtime worker can't start."""
+    stream = jobs.events_stream(spark, stream_dir, glob="real.parquet")
+    sdf = jobs.streaming_running_totals_tws(stream)
+    assert sdf.isStreaming
+    assert [f.name for f in sdf.schema.fields] == ["user_id", "n_events", "total_cents"]
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason="TWS driver worker requires protobuf")
+def test_tws_running_totals_matches_batch(spark, stream_dir):
+    """Where protobuf exists, the TWS replay must equal the batch
+    aggregation — the same contract as the applyInPandasWithState
+    parity test."""
+    from mapreduce_lab_spark.streaming.replay import run_running_totals_tws
+
+    got = run_running_totals_tws(spark, stream_dir)
+    batch = _batch_events(spark, stream_dir, with_sentinel=True)
+    want = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    assert _rows(got) == _rows(want)
