@@ -314,3 +314,80 @@ def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return fp_orders.unionByName(fp_customer).unionByName(fp_part)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (batch MERGE)
+
+
+def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Apply insert/update/delete change rows to a snapshot — the batch
+    MERGE INTO. Survivors are the snapshot minus touched keys (one
+    anti join, the only shuffle of snapshot data, and Catalyst/AQE
+    broadcasts the touched-key side when the change batch is small —
+    the common CDC shape); upserted payloads union in shuffle-free.
+    The inverse of ``snapshot_diff``: applying a diff to the old
+    snapshot must reproduce the new one exactly, which is what the
+    registered query's oracle asserts end-to-end.
+    """
+    touched = changes.where(
+        F.col("change_type").isin("delete", "update")
+    ).select(key)
+    survivors = snapshot.join(touched, key, "left_anti")
+    upserts = changes.where(
+        F.col("change_type").isin("insert", "update")
+    ).drop("change_type")
+    return survivors.unionByName(upserts)
+
+
+@query(
+    "cdc_apply_orders",
+    # The expected result of applying the change stream to the old
+    # snapshot is, by construction, exactly the new snapshot — so the
+    # oracle is the direct definition of "new", making the MERGE
+    # correctness audit trivial to read.
+    oracle=f"""
+    SELECT o_orderkey,
+           (CAST({oracle_units('o_totalprice', 100)}
+                 + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS DOUBLE)
+            / 100) AS price,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 4 != 1
+    """,
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """old snapshot (keys % 4 != 0) + change rows (inserts: keys % 4 == 0;
+    deletes: keys % 4 == 1; updates: +$1.00 where key % 7 == 0) — the
+    same deterministic derivation as snapshot_diff_orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_u = to_units("o_totalprice", 100)
+    new_price_u = price_u + F.when(F.col("o_orderkey") % 7 == 0, 100).otherwise(0)
+    price = price_u.cast("double") / F.lit(100)
+    new_price = new_price_u.cast("double") / F.lit(100)
+
+    old = orders.where(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", price.alias("price"), "o_orderstatus"
+    )
+    inserts = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.lit("insert").alias("change_type"),
+        new_price.alias("price"),
+        "o_orderstatus",
+    )
+    deletes = orders.where(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey",
+        F.lit("delete").alias("change_type"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    updates = (
+        orders.where((F.col("o_orderkey") % 4).isin(2, 3) & (F.col("o_orderkey") % 7 == 0))
+        .select(
+            "o_orderkey",
+            F.lit("update").alias("change_type"),
+            new_price.alias("price"),
+            "o_orderstatus",
+        )
+    )
+    changes = inserts.unionByName(deletes).unionByName(updates)
+    return cdc_apply(old, changes, "o_orderkey")

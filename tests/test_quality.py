@@ -100,3 +100,30 @@ def test_fingerprint_is_order_and_partitioning_independent(spark, sf_dir):
         ),
     ).collect()[0]
     assert fp2["fingerprint"] != fp["fingerprint"]
+
+
+def test_cdc_apply_semantics(spark):
+    """MERGE semantics on a hand-built case: delete removes, update
+    replaces, insert appends, untouched rows survive unchanged."""
+    from mapreduce_lab_spark.operators.quality import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "delete", None), (3, "update", "C"), (4, "insert", "d")],
+        "k int, change_type string, v string",
+    )
+    got = sorted(tuple(r) for r in cdc_apply(snap, changes, "k").collect())
+    assert got == [(1, "a"), (3, "C"), (4, "d")]
+
+
+def test_cdc_apply_broadcasts_touched_keys(spark, sf_dir):
+    """The anti join's touched-key side is change-batch-sized: it must
+    broadcast so the snapshot never shuffles."""
+    from mapreduce_lab_spark.operators.quality import q_cdc_apply_orders
+    from mapreduce_lab_spark.plans import inspect
+
+    df = q_cdc_apply_orders(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
