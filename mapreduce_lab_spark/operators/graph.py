@@ -106,6 +106,8 @@ def pagerank_copurchase(lineitem: DataFrame, iters: int = PAGERANK_ITERS) -> Dat
     # construction subtree per iteration). This count also materializes
     # the edge-list cache every later step reads.
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: no nodes, no ranks — not a crash
+        return nodes.select("part", F.lit(0).cast("long").alias("rank_units"))
     base_units = PAGERANK_UNITS // n_nodes
     teleport_units = (_D_COMP * base_units) // 100
     ranks = nodes.select("part", F.lit(base_units).alias("rank_units"))

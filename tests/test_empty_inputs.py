@@ -1,0 +1,82 @@
+"""Empty-input robustness: every operator family must handle a
+zero-row lake without raising.
+
+At fleet scale, empty inputs are routine — a partition-pruned date
+range, a filter that matches nothing, a cold-start table. A driver-
+side scalar derived from data (counts used as divisors, collected
+centroids) is where operators crash; this suite pins graceful empty
+behavior (0+ rows, no exception) for one representative query per
+family."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mapreduce_lab_spark import registry
+
+# One representative per family, weighted toward operators with
+# driver-side scalars, caches, iterative loops, or Python workers.
+REPRESENTATIVES = [
+    "wordcount",
+    "q1_pricing_summary",
+    "q2_cheapest_supplier_per_part",
+    "window_top_orders_per_customer",
+    "tumbling_window_hourly",
+    "asof_join_purchase_to_view",
+    "asof_join_cogroup",
+    "dedup_exact",
+    "near_dup_minhash_lsh",
+    "near_dup_simhash",
+    "near_dup_clusters",
+    "knn_cosine_bruteforce",
+    "ann_lsh_cosine",
+    "kmeans_clusters",
+    "pagerank_copurchase",
+    "copurchase_degree_hist",
+    "text_quality_scores",
+    "doc_repetition_scores",
+    "bm25_search",
+    "rrf_hybrid_search",
+    "tfidf_top_terms",
+    "multimodal_blob_stats",
+    "multimodal_audio_energy",
+    "train_val_test_split",
+    "weighted_sample_orders",
+    "winsorized_price_stats",
+    "attribution_linear",
+    "embedding_covariance",
+    "cdc_apply_orders",
+    "snapshot_diff_orders",
+    "pipeline_quality_dedup_stats",
+    "mapreduce_wordcount",
+    "session_top_paths",
+    "markov_event_transitions",
+    "incremental_daily_revenue",
+    "key_skew_report",
+    "exact_percentiles_lineitem",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("empty_lake")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        schema = pq.read_schema(os.path.join(sf_dir, f"{t}.parquet"))
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+_QUERIES = registry.queries()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_runs_on_empty_lake(name, spark, empty_dir):
+    df = _QUERIES[name](spark, empty_dir)
+    assert df.count() >= 0
