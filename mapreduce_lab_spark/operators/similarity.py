@@ -410,3 +410,132 @@ _O_PROBES = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(LSH_
 )
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_multiprobe(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
+
+
+# --- int8-quantized distance ----------------------------------------------
+
+
+def quantize_int8(e: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the UNIT-NORMALIZED
+    vector: q = round(x̂ * 127 / maxabs(x̂)), with the scale kept
+    alongside the codes for dequantization.
+
+    The standard memory/bandwidth lever for fleet-scale vector stores
+    (4x smaller than float32, SIMD-friendly integer dot products).
+    Normalizing first makes the dequantized dot approximate COSINE;
+    scaling by the normalized vector's own max-abs uses the full int8
+    range per vector. sqrt is IEEE-correctly-rounded (unlike ln/exp),
+    so normalization is engine-exact — the same reason knn_bruteforce
+    may use it. A zero vector quantizes to zeros (guarded divides).
+    """
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    df = e.select("vec_id", v.alias("v")).withColumn(
+        "l2",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+    vn = F.when(
+        F.col("l2") > 0, F.transform("v", lambda x: x / F.col("l2"))
+    ).otherwise(F.col("v"))
+    df = df.select("vec_id", vn.alias("vn"))
+    maxabs = F.array_max(F.transform("vn", F.abs))
+    q8 = F.when(
+        maxabs > 0,
+        F.transform("vn", lambda x: F.round(x * 127 / maxabs).cast("int")),
+    ).otherwise(F.transform("vn", lambda x: F.lit(0)))
+    # scale dequantizes a code back to the normalized component:
+    # x̂ ≈ q * (maxabs / 127)
+    return df.select("vec_id", q8.alias("q8"), (maxabs / 127).alias("scale"))
+
+
+def ann_int8(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    """Top-k by int8-quantized approximate cosine.
+
+    The integer dot product is exact arithmetic; the dequantized score
+    ``dot_q * scale_a * scale_b`` (two double multiplies of exact
+    inputs, identical expression tree in the oracle) approximates the
+    cosine of the unit-normalized vectors, making scores comparable
+    across neighbors with different quantization scales.
+
+    This demonstrates the quantized DISTANCE kernel on the broadcast
+    brute-force shape; at 100 TB the same kernel drops into any
+    bucketed candidate generator (ann_lsh_cosine / ann_ivf_trained) —
+    quantization cuts the bytes each candidate comparison touches,
+    bucketing cuts the number of comparisons; they compose. Recall vs
+    the exact float baseline is pinned in tests/test_similarity.py.
+    """
+    base = quantize_int8(e)
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qa"),
+        F.col("scale").alias("sa"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q8").alias("qb"),
+        F.col("scale").alias("sb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_q", dot)
+        .withColumn("score", F.col("dot_q") * F.col("sa") * F.col("sb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", "dot_q", F.round("score", 6).alias("score")
+        )
+    )
+
+
+@query(
+    "ann_int8_quantized",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, v, sqrt({_O_FOLD.format(a='v', b='v')}) AS l2 FROM e
+    ), unit AS (
+      SELECT vec_id,
+             CASE WHEN l2 > 0 THEN list_transform(v, x -> x / l2) ELSE v END AS vn
+      FROM nrm
+    ), m AS (
+      SELECT vec_id, vn, list_max(list_transform(vn, x -> abs(x))) AS maxabs
+      FROM unit
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(vn, x -> CAST(round(x * 127 / maxabs) AS INT))
+                  ELSE list_transform(vn, x -> 0) END AS q8,
+             maxabs / 127 AS scale
+      FROM m
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({_O_FOLD.format(a='q.q8', b='c.q8')} AS BIGINT) AS dot_q,
+             CAST({_O_FOLD.format(a='q.q8', b='c.q8')} AS BIGINT)
+                 * q.scale * c.scale AS score
+      FROM qz q JOIN qz c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT query_id, neighbor_id, dot_q, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank::INT AS rank, dot_q, round(score, 6) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_int8(fan_out(load_table(spark, sf_dir, "embeddings"), spark))

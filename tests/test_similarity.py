@@ -25,3 +25,18 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     multi = _pairs(q_ann_lsh_multiprobe(spark, sf_dir))
     assert len(multi & truth) >= len(single & truth)
     assert len(multi & truth) > 0
+
+
+def test_int8_recall_vs_exact(spark, sf_dir):
+    """Quantization costs bytes-precision, not much recall: the int8
+    approximate-cosine top-k must recover >= 80% of the exact float
+    baseline's neighbor set (measured 96% on the synthetic corpus;
+    the bound leaves slack for data regeneration, not for regression
+    to unnormalized ranking, which scores 64%)."""
+    from mapreduce_lab_spark.operators.similarity import ann_int8, knn_bruteforce
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in ann_int8(e).collect()}
+    assert len(exact & quant) >= 0.8 * len(exact)
