@@ -632,9 +632,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select("doc_id", F.col("comp").alias("cluster_id"))
 
 
-@query(
-    "near_dup_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, {_ORACLE_SHINGLES} AS sh
       FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
@@ -658,8 +656,10 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
     FROM reach
     GROUP BY src
-    """,
-)
+    """
+
+
+@query("near_dup_clusters", oracle=_CLUSTERS_ORACLE)
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over Jaccard>=0.5
     pairs, labeled by min doc_id.
@@ -675,3 +675,69 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components(pairs)
+
+
+# --- cluster representative selection --------------------------------------
+
+
+def cluster_representatives(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Keep the best document per near-dup cluster.
+
+    The step a dedup pipeline actually ships: after pair mining and
+    component labeling, each cluster keeps exactly one representative
+    — highest quality score, ties to the smallest doc_id. One join of
+    two doc-keyed frames and one window over ``cluster_id`` (high
+    cardinality — no global sort); the window's rank limit is pushed
+    into the shuffle by Spark 4's WindowGroupLimit.
+    """
+    j = clusters.join(quality.select("doc_id", "quality_score"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("quality_score").alias("rep_quality"),
+        )
+    )
+
+
+def _oracle_cluster_reps() -> str:
+    from mapreduce_lab_spark.operators.textstats import _QUALITY_ORACLE
+
+    return f"""
+    WITH clus AS ({_CLUSTERS_ORACLE}),
+    q AS ({_QUALITY_ORACLE}),
+    j AS (
+        SELECT c.cluster_id, c.doc_id, q.quality_score
+        FROM clus c JOIN q USING (doc_id)
+    ),
+    r AS (
+        SELECT cluster_id, doc_id, quality_score,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM j
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, n_members,
+           quality_score AS rep_quality
+    FROM r WHERE rn = 1
+    """
+
+
+@query("cluster_representatives", oracle=_oracle_cluster_reps())
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_lab_spark.operators.textstats import quality_scores
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = _doc_shingles(docs).cache()
+    pairs = _pair_jaccard(prefix_filtered_pairs(doc_sh), doc_sh).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return cluster_representatives(connected_components(pairs), quality_scores(docs))
