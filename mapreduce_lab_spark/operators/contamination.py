@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
 from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
@@ -144,6 +145,93 @@ def q_decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataF
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return benchmark_overlap(docs)
+
+
+# --- cross-document duplicated-span fraction ---------------------------------
+
+SPAN_N = 13  # the published benchmark-contamination span length
+
+
+def span13_hashes(text: Column) -> Column:
+    """Positional (non-distinct) token 13-gram hashes; empty for short
+    docs. Positional because the output measures what FRACTION of the
+    document's span positions is duplicated elsewhere — a repeated
+    boilerplate block must count every position it covers."""
+    toks = tokenize(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_N)),
+    )
+    return F.when(F.size(toks) >= SPAN_N, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_span_fraction(docs: DataFrame) -> DataFrame:
+    """Per-document fraction of 13-gram positions whose span also
+    appears in at least one OTHER document — the cross-doc
+    counterpart of the within-doc repetition scores in textstats.py
+    (Gopher-style filters use both).
+
+    Plan: spans reduce to 32-bit hashes immediately (shuffles carry
+    8-byte longs, never text); one aggregate computes distinct-doc
+    counts per span hash; one equi-join back on the hash scores every
+    position. This is the same inverted-index join discipline as the
+    jaccard/minhash candidates in dedup.py — the join key is a hash
+    with bounded per-key fanout in natural text; a pathological hot
+    span (e.g. a boilerplate line across millions of docs) is exactly
+    what the operator measures, and its skew is handled by AQE
+    skew-join splitting since the per-span side is pre-aggregated to
+    one row per (hash, doc).
+    """
+    sh = docs.select(
+        "doc_id", F.explode(span13_hashes(F.col("text"))).alias("s")
+    ).select("doc_id", hex8_int(F.col("s")).alias("g"))
+    per_span = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        sh.join(per_span, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup",
+            exact_ratio(F.col("n_dup"), F.col("n_spans")).alias("dup_frac"),
+        )
+    )
+
+
+_ORACLE_SPANS13 = f"""
+    CASE WHEN len(tk) >= {SPAN_N}
+         THEN [array_to_string(list_slice(tk, i, i + {SPAN_N - 1}), ' ')
+               for i in range(1, len(tk) - {SPAN_N - 2})]
+         ELSE [] END
+""".strip()
+
+
+@query(
+    "dup_span_fraction_13gram",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, {oracle_hex8_int("s")} AS g
+      FROM (SELECT doc_id, unnest({_ORACLE_SPANS13}) AS s FROM tk)
+    ),
+    per_span AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY g)
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           {oracle_exact_ratio("sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)", "count(*)")}
+               AS dup_frac
+    FROM sh JOIN per_span USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_dup_span_fraction_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return dup_span_fraction(docs)
 
 
 # --- PII redaction -----------------------------------------------------------

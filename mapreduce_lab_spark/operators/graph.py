@@ -170,6 +170,56 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_copurchase(load_table(spark, sf_dir, "lineitem"))
 
 
+# --- bounded-hop reachability via WITH RECURSIVE --------------------------
+
+# One SQL text, two engines: Spark 4 executes recursive CTEs natively
+# (iterative union-loop under the hood, the same join-per-round shape
+# as the hand-rolled PageRank loop above), and DuckDB runs the
+# identical ANSI string as the oracle — the strongest parity check
+# available for the recursive surface.
+_REACH_SQL = """
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+),
+edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+reach(part_id, hop) AS (
+    SELECT p_partkey, 0 FROM part WHERE p_partkey % 97 = 0
+    UNION ALL
+    SELECT e.dst, r.hop + 1
+    FROM reach r JOIN edges e ON e.src = r.part_id
+    WHERE r.hop < 2
+)
+SELECT part_id, min(hop) AS hops, count(*) AS n_paths
+FROM reach GROUP BY part_id
+"""
+
+
+@query("recursive_reachable_parts", oracle=_REACH_SQL)
+def q_recursive_reachable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts reachable within 2 hops of a deterministic seed set in the
+    copurchase graph, with shortest hop and path count, via a recursive
+    CTE (new SQL surface in Spark 4.x).
+
+    Scale shape: each recursion level is one shuffle join of the
+    frontier with the edge list plus a union — identical physical
+    shape to the PageRank loop, but planned by the engine. The
+    recursion is HOP-BOUNDED (hop < 2 → 3 levels), which is the only
+    honest way to run transitive closure at 100 TB: an unbounded
+    closure on a dense co-occurrence graph is quadratic in reach. The
+    final GROUP BY collapses the path multiset into per-node
+    aggregates, so only the bounded frontier ever materializes.
+    Reference analog: none (no joins in the reference at all,
+    core/worker.go); pure superset surface.
+    """
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REACH_SQL)
+
+
 @query(
     "copurchase_degree_hist",
     oracle="""

@@ -129,3 +129,72 @@ def embedding_covariance(embs: DataFrame) -> DataFrame:
 )
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
+
+
+# --- signed random projection (dimensionality reduction) ------------------
+
+PROJ_OUT_DIMS = 8
+_HEX_LOW = "('0','1','2','3','4','5','6','7')"
+
+
+def _sign_case_spark(k: int) -> str:
+    return (
+        f"(CASE WHEN substring(md5(concat('rp:{k}:', CAST(j AS STRING))), 1, 1)"
+        f" IN {_HEX_LOW} THEN 1 ELSE -1 END)"
+    )
+
+
+def signed_projection(embs: DataFrame, out_dims: int = PROJ_OUT_DIMS) -> DataFrame:
+    """Achlioptas-style ±1 random projection of the embedding column to
+    ``out_dims`` dimensions.
+
+    The projection matrix is never materialized: sign(k, j) is a pure
+    function of the coordinates — the first md5 hex digit of
+    ``rp:<k>:<j>`` — so both engines (and every executor) derive the
+    identical matrix with zero driver state, zero broadcast, and
+    reproducibility across runs and cluster sizes. By the
+    Johnson-Lindenstrauss/Achlioptas result, ±1 entries preserve
+    pairwise distances in expectation just like Gaussians.
+
+    Exactness: coordinates quantize to integer units (the same 1e-4
+    scale as the covariance kernel); each output is a ±unit integer
+    sum — order-free, bit-identical cross-engine — converted to double
+    once at the end.
+
+    Scale shape: per-row ``aggregate`` over ``sequence(1, d)`` inside
+    codegen — a NARROW operator with no shuffle, no UDF, no explode;
+    out_dims × d work per row. This is the shape that feeds a 100 TB
+    embedding table into a low-dim index (LSH/IVF in similarity.py)
+    without ever moving the full vectors.
+    """
+    cols = [F.col("vec_id"), F.col("label")]
+    for k in range(out_dims):
+        units = F.expr(
+            f"aggregate(sequence(1, size(embedding)), CAST(0 AS BIGINT),"
+            f" (acc, j) -> acc"
+            f" + CAST(round(CAST(element_at(embedding, j) AS DOUBLE)"
+            f" * {COV_UNIT_SCALE}) AS BIGINT) * {_sign_case_spark(k)})"
+        )
+        cols.append((units.cast("double") / F.lit(COV_UNIT_SCALE)).alias(f"p{k}"))
+    return embs.select(*cols)
+
+
+def _oracle_signed_projection(out_dims: int = PROJ_OUT_DIMS) -> str:
+    terms = []
+    for k in range(out_dims):
+        sign = (
+            f"(CASE WHEN substr(md5('rp:{k}:' || CAST(j AS VARCHAR)), 1, 1)"
+            f" IN {_HEX_LOW} THEN 1 ELSE -1 END)"
+        )
+        terms.append(
+            f"CAST(CAST(list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(round(CAST(embedding[j] AS DOUBLE) * {COV_UNIT_SCALE}) AS BIGINT)"
+            f" * {sign})) AS BIGINT) AS DOUBLE) / {COV_UNIT_SCALE} AS p{k}"
+        )
+    cols = ",\n           ".join(terms)
+    return f"SELECT vec_id, label,\n           {cols}\nFROM embeddings"
+
+
+@query("embedding_signed_projection", oracle=_oracle_signed_projection())
+def q_embedding_signed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signed_projection(load_table(spark, sf_dir, "embeddings"))

@@ -107,6 +107,91 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(load_table(spark, sf_dir, "documents"))
 
 
+# --- temperature-scaled corpus mixing -------------------------------------
+
+MIX_W_UNITS = 1_000_000_000
+MIX_TARGET_DEN = 2  # sample ~N/2 documents overall
+
+
+def temperature_mix(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled language mixing (alpha = 0.5), the standard
+    multilingual-corpus rebalancing step: sampling weight per language
+    is share^alpha, which upsamples tail languages relative to their
+    raw share. Returns per-language sampled counts + exact char mass.
+
+    Exactness: w_l = floor(1e9 * sqrt(n_l / N)) — one exact IEEE sqrt
+    and one floor on identical operands in both engines — after which
+    everything is integer: target t_l = (T * w_l) div Σw, and the
+    membership gate is u32 · n_l < t_l · 2³² in BIGINT (u32 = md5-based
+    hash of doc_id), so ~t_l docs of language l are kept with zero
+    float comparisons. n_l·u32 ≤ 2³²·n_l stays under 2⁶³ through
+    n_l ≈ 2·10⁹ rows per language; past that the gate casts to
+    DECIMAL(38,0).
+
+    Scale shape: one tiny per-language aggregate (|langs| rows) joined
+    back broadcast, a narrow integer filter, then the final rollup —
+    the corpus itself shuffles only as (lang, partials).
+    """
+    stats = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_total = docs.agg(F.count("*").alias("n_total"))
+    lang_w = (
+        stats.crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            "n_l",
+            "n_total",
+            F.floor(
+                F.sqrt(F.col("n_l").cast("double") / F.col("n_total").cast("double"))
+                * F.lit(MIX_W_UNITS)
+            ).alias("w_units"),
+        )
+    )
+    sum_w = lang_w.agg(F.sum("w_units").alias("sum_w"))
+    targets = lang_w.crossJoin(F.broadcast(sum_w)).select(
+        "lang",
+        "n_l",
+        F.expr(f"((n_total div {MIX_TARGET_DEN}) * w_units) div sum_w").alias("t_l"),
+    )
+    gated = (
+        docs.join(F.broadcast(targets), "lang")
+        .where(
+            hex8_int(F.col("doc_id").cast("string")) * F.col("n_l")
+            < F.col("t_l") * F.lit(4294967296)
+        )
+    )
+    return gated.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
+    "temperature_mix_sample",
+    oracle=f"""
+    WITH stats AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) AS n_total FROM documents),
+    lang_w AS (
+        SELECT lang, n_l, n_total,
+               CAST(floor(sqrt(CAST(n_l AS DOUBLE) / CAST(n_total AS DOUBLE))
+                          * {MIX_W_UNITS}) AS BIGINT) AS w_units
+        FROM stats, tot
+    ),
+    sw AS (SELECT CAST(sum(w_units) AS BIGINT) AS sum_w FROM lang_w),
+    targets AS (
+        SELECT lang, n_l,
+               ((n_total // {MIX_TARGET_DEN}) * w_units) // sum_w AS t_l
+        FROM lang_w, sw
+    )
+    SELECT d.lang, count(*) AS n_sampled, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN targets t ON d.lang = t.lang
+    WHERE {oracle_hex8_int("d.doc_id::VARCHAR")} * t.n_l < t.t_l * 4294967296
+    GROUP BY d.lang
+    """,
+)
+def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mix(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "weighted_sample_orders",
     oracle=f"""

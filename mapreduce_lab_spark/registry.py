@@ -32,6 +32,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.relational",
     "mapreduce_lab_spark.operators.relational_extra",
     "mapreduce_lab_spark.operators.subqueries",
+    "mapreduce_lab_spark.operators.sql_surface",
     "mapreduce_lab_spark.operators.tpch_rest",
     "mapreduce_lab_spark.operators.windows",
     "mapreduce_lab_spark.operators.events",
@@ -52,6 +53,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.anomaly",
     "mapreduce_lab_spark.operators.curation",
     "mapreduce_lab_spark.operators.contamination",
+    "mapreduce_lab_spark.operators.chunking",
     "mapreduce_lab_spark.operators.quality",
     "mapreduce_lab_spark.operators.mapreduce_contract",
     "mapreduce_lab_spark.multimodal.binary_ops",

@@ -101,3 +101,27 @@ def test_benchmark_overlap_planted(spark):
     assert clean_id not in out
     assert short_id not in out
     assert bench_id not in out  # benchmark docs are not reported
+
+
+def test_dup_span_fraction_planted(spark):
+    from mapreduce_lab_spark.operators.contamination import dup_span_fraction
+
+    shared = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, shared + " other ending two kappa lam mu nu xi omicron pi rho sigma"),
+            (3, "completely different text " + " ".join(f"z{i}" for i in range(20))),
+            (4, "short doc"),  # < 13 tokens: no spans, absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dup_span_fraction(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    # Docs 1 and 2 share exactly the one leading 13-gram; every other
+    # span contains a word unique to its doc.
+    for d in (1, 2):
+        assert rows[d]["n_dup"] == 1, rows[d]
+        assert rows[d]["n_spans"] == 13  # 25 tokens -> 13 span positions
+        assert abs(rows[d]["dup_frac"] - 1 / 13) < 1e-6
+    assert rows[3]["n_dup"] == 0 and rows[3]["dup_frac"] == 0.0

@@ -127,3 +127,108 @@ def test_pagerank_iterations_read_edge_cache(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
     assert inspect.exchange_count(df) <= 20, plan
+
+
+# --- chunking -------------------------------------------------------------
+
+
+def test_chunk_production_is_narrow_zero_shuffle(spark, sf_dir):
+    # tokenize -> starts -> explode -> slice derives every chunk from
+    # its own row: the plan must contain no Exchange at all, and the
+    # scan must read only the two columns used.
+    from mapreduce_lab_spark.operators.chunking import q_chunk_documents_overlap
+
+    df = q_chunk_documents_overlap(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+    schemas = inspect.scan_read_schemas(df)
+    assert schemas and all(set(c) == {"doc_id", "text"} for c in schemas), schemas
+
+
+def test_chunk_dedup_two_phase_distinct_agg(spark, sf_dir):
+    # count_distinct(doc_id) plans as the standard two-phase distinct
+    # aggregate: shuffle on (hash, doc_id) then on hash — exactly 2
+    # exchanges, both carrying (16-byte hash, longs), never chunk
+    # text; with a map-side partial before the first.
+    from mapreduce_lab_spark.operators.chunking import q_chunk_level_dedup
+
+    df = q_chunk_level_dedup(spark, sf_dir)
+    assert inspect.exchange_count(df) == 2, inspect.formatted_plan(df)
+    assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
+
+
+# --- recursive CTE reachability -------------------------------------------
+
+
+def test_recursive_reachability_seeds_have_hop_zero(spark, sf_dir):
+    # Semantic pin alongside the oracle parity test: every seed part
+    # appears with hops=0, and every hops=1 part shares an order with
+    # some seed part.
+    from mapreduce_lab_spark.operators.graph import q_recursive_reachable_parts
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    rows = {r["part_id"]: r["hops"] for r in q_recursive_reachable_parts(spark, sf_dir).collect()}
+    part = load_table(spark, sf_dir, "part")
+    seeds = {r[0] for r in part.where("p_partkey % 97 = 0").select("p_partkey").collect()}
+    assert seeds, "seed set must be non-empty at test scale"
+    assert all(rows.get(s) == 0 for s in seeds), {s: rows.get(s) for s in seeds}
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    import pyspark.sql.functions as F
+
+    one_hop = {
+        r[0]
+        for r in a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey").isin(list(seeds)) & ~F.col("b.l_partkey").isin(list(seeds)))
+        .select(F.col("b.l_partkey"))
+        .distinct()
+        .collect()
+    }
+    assert {p for p, h in rows.items() if h == 1} == one_hop
+
+
+# --- signed projection / temperature mix ----------------------------------
+
+
+def test_signed_projection_is_narrow_zero_shuffle(spark, sf_dir):
+    # aggregate-over-sequence inside codegen: no Exchange, no Generate
+    # fan-out, scan reads only the three columns used.
+    from mapreduce_lab_spark.operators.linalg import q_embedding_signed_projection
+
+    df = q_embedding_signed_projection(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_temperature_mix_upsamples_tail_languages(spark, sf_dir):
+    # alpha=0.5 must give a rarer language a HIGHER sampling rate
+    # (n_sampled/n_l) than a more common one, up to hash noise; assert
+    # the rate of the rarest lang >= rate of the most common lang.
+    import pyspark.sql.functions as F
+
+    from mapreduce_lab_spark.operators.sampling import temperature_mix
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = {r["lang"]: r["n_sampled"] for r in temperature_mix(docs).collect()}
+    rare = min(n_by_lang, key=n_by_lang.get)
+    common = max(n_by_lang, key=n_by_lang.get)
+    assert n_by_lang[rare] < n_by_lang[common]
+    rate = lambda lang: sampled.get(lang, 0) / n_by_lang[lang]
+    assert rate(rare) >= rate(common), (rare, rate(rare), common, rate(common))
+
+
+def test_lateral_limit_decorrelates_to_window_group_limit(spark, sf_dir):
+    # The correlated LATERAL ... ORDER BY ... LIMIT 2 must decorrelate
+    # into a partitioned rank with WindowGroupLimit pushdown and a
+    # broadcast of the nation dimension — never a nested-loop re-run
+    # of the subquery per outer row.
+    from mapreduce_lab_spark.operators.sql_surface import (
+        q_lateral_top2_customers_per_nation,
+    )
+
+    df = q_lateral_top2_customers_per_nation(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert inspect.broadcast_join_count(df) >= 1, plan
