@@ -51,6 +51,8 @@ HEADLINE = [
     "attribution_linear",
     "embedding_covariance",
     "skyline_parts",
+    "chunk_documents_overlap",
+    "dup_span_fraction_13gram",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -59,6 +61,8 @@ HEADLINE = [
 PRIMARY_INPUT = {
     "wordcount": "documents",
     "inverted_index": "documents",
+    "chunk_documents_overlap": "documents",
+    "dup_span_fraction_13gram": "documents",
     "q1_pricing_summary": "lineitem",
     "q3_shipping_priority": "lineitem",
     "q5_local_supplier_volume": "lineitem",

@@ -168,3 +168,49 @@ def q_mapreduce_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index through the generic MR engine."""
     rdd = map_reduce(_doc_records(spark, sf_dir), indexer_map, indexer_reduce)
     return spark.createDataFrame(rdd, schema="key string, value string")
+
+
+@query(
+    "udtf_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (
+      SELECT unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference Map contract as a Spark 4 Python UDTF.
+
+    Modern-API twin of ``mapreduce_wordcount``: the reference's
+    ``Map(filename, contents) -> []KeyValue`` is literally a
+    user-defined TABLE function, and Spark 4 finally has that exact
+    construct (``@udtf`` + LATERAL correlated invocation). The Reduce
+    side intentionally goes through the DataFrame aggregate, showing
+    the contract decomposition a Spark user should actually write:
+    UDTF only for the 1→N generative step, Catalyst partial+final agg
+    for the algebraic reduce.
+
+    Scale posture: a Python UDTF is row-at-a-time across the Arrow
+    boundary — the documented slow path, quarantined to this
+    contract-parity module (the DataFrame `wordcount` is the fast
+    twin). The LATERAL join stays narrow (no shuffle until the agg).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class MrTokenize:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            for w in _WORD.findall(text or ""):
+                yield (w,)
+
+    spark.udtf.register("mr_tokenize", MrTokenize)
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("text"), spark)
+    docs.createOrReplaceTempView("_udtf_docs")
+    toks = spark.sql("SELECT t.word FROM _udtf_docs d, LATERAL mr_tokenize(d.text) t")
+    from pyspark.sql import functions as F
+
+    return toks.groupBy("word").agg(F.count("*").alias("n"))

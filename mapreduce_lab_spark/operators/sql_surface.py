@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_lab_spark.functions.numeric import oracle_exact_sum
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import load_table
 
@@ -91,3 +92,56 @@ def q_null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-safe join here).
     """
     return _sql(spark, sf_dir, _NULL_SEMANTICS_SQL, "orders")
+
+
+# --- collation-aware grouping ---------------------------------------------
+
+# Mixed-case segment values manufactured deterministically (the raw
+# table is single-case), so the collation has real work to do.
+_MIXED_SEG_SPARK = (
+    "CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END"
+)
+
+
+@query(
+    "collated_segment_rollup",
+    oracle=f"""
+    WITH src AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg_m,
+               c_acctbal
+        FROM customer
+    )
+    SELECT lower(seg_m) AS segment, count(*) AS n_customers,
+           ({oracle_exact_sum('c_acctbal', 100)}) AS total_acctbal
+    FROM src GROUP BY lower(seg_m)
+    """,
+)
+def q_collated_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via a COLLATE UTF8_LCASE key (new in
+    Spark 4) over a deterministically mixed-case column; the oracle
+    reproduces the grouping with lower().
+
+    Collated grouping beats normalize-then-group when the original
+    casing must survive alongside (here the representative is reduced
+    with min(lower(..)) so both engines emit identical keys). The
+    collation is carried in the column type, so the hash partitioning
+    and partial aggregation remain map-side combinable — same
+    scale shape as any single-key rollup.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.functions.numeric import exact_sum
+
+    src = load_table(spark, sf_dir, "customer").selectExpr(
+        f"{_MIXED_SEG_SPARK} AS seg_m", "c_acctbal"
+    )
+    return (
+        src.groupBy(F.expr("collate(seg_m, 'UTF8_LCASE')").alias("_ck"))
+        .agg(
+            F.min(F.lower("seg_m")).alias("segment"),
+            F.count("*").alias("n_customers"),
+            exact_sum("c_acctbal", 100).alias("total_acctbal"),
+        )
+        .select("segment", "n_customers", "total_acctbal")
+    )

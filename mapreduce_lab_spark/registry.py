@@ -59,6 +59,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.multimodal.binary_ops",
     "mapreduce_lab_spark.operators.pipeline",
     "mapreduce_lab_spark.streaming.replay",
+    "mapreduce_lab_spark.sources.pysource",
 ]
 
 

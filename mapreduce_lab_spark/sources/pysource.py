@@ -1,0 +1,120 @@
+"""Custom source connector via the Spark 4 Python DataSource API.
+
+The reference's only source is the whole-file text scan
+(`core/worker.go:122-142`), a fixed built-in. Spark 4's
+``pyspark.sql.datasource`` makes the source surface PLUGGABLE from
+Python: a DataSource declares a schema and a partition plan, and each
+InputPartition is read independently on an executor — the same
+split/scan contract the reference hard-codes (one map task per file,
+`core/coordinator.go:497-499`), now user-definable.
+
+``SyntheticKV`` is a deterministic generator source: row ``i`` is
+``(i, md5(i))``, split into ``parts`` disjoint ranges. Determinism
+makes it DuckDB-oracleable (generate_series + md5 produce the exact
+rows), so the correctness harness covers the connector path
+end-to-end: partition planning, per-partition generation, and the
+downstream aggregation.
+
+Scale shape: ``partitions()`` runs on the driver and returns only
+(lo, hi) bounds — O(parts) metadata, no data; every executor
+generates its slice locally, so the source scales linearly with no
+driver bottleneck and no skew (equal-width ranges). This is the
+blueprint for wrapping any external system (feature store, KV
+snapshot, proprietary format) as a first-class scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_lab_spark.registry import query
+
+SYNTH_N = 5_000
+SYNTH_PARTS = 8
+SYNTH_BUCKETS = 16
+
+
+def _make_datasource():
+    """Build the DataSource class lazily (import-gated so module import
+    never fails on an older pyspark)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SyntheticKV(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_kv"
+
+        def schema(self) -> str:
+            return "i bigint, h string"
+
+        def reader(self, schema):
+            n = int(self.options.get("n", SYNTH_N))
+            parts = int(self.options.get("parts", SYNTH_PARTS))
+
+            class Reader(DataSourceReader):
+                def partitions(self):
+                    step = (n + parts - 1) // parts
+                    return [
+                        InputPartition((lo, min(lo + step, n)))
+                        for lo in range(0, n, step)
+                    ]
+
+                def read(self, part):
+                    # Runs on the executor; self-contained (stdlib only).
+                    import hashlib
+
+                    lo, hi = part.value
+                    for i in range(lo, hi):
+                        yield (i, hashlib.md5(str(i).encode()).hexdigest())
+
+            return Reader()
+
+    return SyntheticKV
+
+
+def read_synthetic_kv(
+    spark: SparkSession, n: int = SYNTH_N, parts: int = SYNTH_PARTS
+) -> DataFrame:
+    spark.dataSource.register(_make_datasource())
+    return (
+        spark.read.format("synthetic_kv")
+        .option("n", str(n))
+        .option("parts", str(parts))
+        .load()
+    )
+
+
+@query(
+    "python_datasource_scan",
+    oracle=f"""
+    WITH s AS (
+        SELECT unnest(generate_series(0, {SYNTH_N - 1})) AS i
+    ), rows_ AS (
+        SELECT i, md5(i::VARCHAR) AS h FROM s
+    )
+    SELECT i % {SYNTH_BUCKETS} AS bucket,
+           count(*) AS n_rows,
+           min(h) AS min_h,
+           max(h) AS max_h
+    FROM rows_ GROUP BY i % {SYNTH_BUCKETS}
+    """,
+)
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom Python data source and roll it up per bucket.
+
+    The oracle regenerates the identical rows in DuckDB, so the hash
+    check pins the whole connector path: partition bounds cover
+    [0, n) exactly once (any gap/overlap changes counts), and the
+    generated payloads match byte-for-byte.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_synthetic_kv(spark)
+    return (
+        df.groupBy((F.col("i") % SYNTH_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )
