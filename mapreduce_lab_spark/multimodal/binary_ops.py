@@ -355,3 +355,58 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy(
         blobify(fan_out(load_table(spark, sf_dir, "documents"), spark))
     )
+
+
+# --- mapInArrow: the zero-copy fast path ----------------------------------
+
+
+def blob_stats_arrow(blobs: DataFrame) -> DataFrame:
+    """Arrow-native twin of blob_stats via ``mapInArrow`` (Spark 4):
+    RecordBatches in, RecordBatches out, no pandas materialization.
+
+    The length column is computed entirely inside Arrow
+    (``pc.binary_length`` — vectorized C++, zero copies of the
+    payloads); only the md5 digest touches Python, and it reads the
+    Arrow buffers directly. For wide binary columns this is the
+    shape that beats mapInPandas: pandas conversion would copy every
+    payload into Python objects first. Same narrow no-shuffle plan as
+    the pandas twin.
+    """
+
+    def stats(batches):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            payload = batch.column(batch.schema.get_field_index("payload"))
+            md5s = [
+                hashlib.md5(payload[i].as_py()).hexdigest()
+                for i in range(len(payload))
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(pc.binary_length(payload), pa.int64()),
+                    pa.array(md5s, type=pa.string()),
+                ],
+                names=["doc_id", "n_bytes", "payload_md5"],
+            )
+
+    return blobs.select("doc_id", "payload").mapInArrow(
+        stats, schema="doc_id long, n_bytes long, payload_md5 string"
+    )
+
+
+@query(
+    "multimodal_blob_stats_arrow",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_multimodal_blob_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blob_stats_arrow(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))

@@ -78,3 +78,81 @@ def q_pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFram
             / 1e6
         ).alias("avg_quality"),
     )
+
+
+# --- capstone #2: chunk-level dedup pipeline -------------------------------
+
+
+def _chunk_capstone_oracle() -> str:
+    from mapreduce_lab_spark.operators.chunking import _CHUNK_ORACLE_BODY
+    from mapreduce_lab_spark.functions.numeric import oracle_exact_ratio
+
+    return f"""
+    WITH chunks AS ({_CHUNK_ORACLE_BODY}),
+    keyed AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk_tokens,
+               md5(c.chunk_text) AS h, d.lang
+        FROM chunks c JOIN documents d USING (doc_id)
+    ),
+    keep AS (
+        SELECT h, min({{'doc_id': doc_id, 'chunk_idx': chunk_idx}}) AS k
+        FROM keyed GROUP BY h
+    ),
+    kept AS (
+        SELECT y.* FROM keyed y JOIN keep p
+          ON y.h = p.h AND y.doc_id = p.k.doc_id AND y.chunk_idx = p.k.chunk_idx
+    ),
+    tot AS (SELECT lang, count(*) AS n_chunks FROM keyed GROUP BY lang),
+    kt AS (SELECT lang, count(*) AS n_kept,
+                  CAST(sum(chunk_tokens) AS BIGINT) AS kept_tokens
+           FROM kept GROUP BY lang)
+    SELECT t.lang, t.n_chunks, kt.n_kept, kt.kept_tokens,
+           {oracle_exact_ratio('t.n_chunks - kt.n_kept', 't.n_chunks')} AS dup_frac
+    FROM tot t JOIN kt USING (lang)
+    """
+
+
+@query("pipeline_chunk_dedup_stats", oracle=_chunk_capstone_oracle())
+def q_pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #2 — the RAG-ingest pipeline in one plan: chunk every
+    document (narrow), dedup chunks corpus-wide by content hash
+    (first-occurrence keeper), and report per-language chunk retention.
+
+    Composition story: ``chunk_documents`` fuses into the scan
+    (zero-shuffle); the dedup keeper is one hash groupBy whose shuffle
+    carries (16-byte hash, two longs); the keeper join is hash-on-h
+    with the pre-aggregated keep side; the rollups carry (lang,
+    partials). The chunk TEXT never shuffles — at 100 TB the plan
+    moves ~24 bytes per chunk, not the corpus.
+    """
+    from mapreduce_lab_spark.functions.numeric import exact_ratio
+    from mapreduce_lab_spark.operators.chunking import chunk_documents
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    keyed = (
+        chunk_documents(docs)
+        .withColumn("h", F.md5("chunk_text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "chunk_idx", "chunk_tokens", "h", "lang")
+    )
+    keep = keyed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("k")
+    )
+    kept = keyed.join(keep, "h").where(
+        (F.col("doc_id") == F.col("k.doc_id"))
+        & (F.col("chunk_idx") == F.col("k.chunk_idx"))
+    )
+    tot = keyed.groupBy("lang").agg(F.count("*").alias("n_chunks"))
+    kt = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("chunk_tokens").alias("kept_tokens"),
+    )
+    return tot.join(kt, "lang").select(
+        "lang",
+        "n_chunks",
+        "n_kept",
+        "kept_tokens",
+        exact_ratio(F.col("n_chunks") - F.col("n_kept"), F.col("n_chunks")).alias(
+            "dup_frac"
+        ),
+    )

@@ -28,6 +28,7 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_lab_spark.operators.chunking import _CHUNK_ORACLE_BODY
 from mapreduce_lab_spark.operators.events import (
     SESSION_ORACLE,
     SLIDING_ORACLE,
@@ -140,3 +141,32 @@ def run_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+@query(
+    "streaming_chunking_replay",
+    oracle=_CHUNK_ORACLE_BODY,
+)
+def q_streaming_chunking_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking on the REAL streaming path: file-stream source
+    over documents parquet → the same narrow chunk_documents plan the
+    batch query uses → availableNow drain.
+
+    The point: a stateless narrow operator is streaming-ready with
+    ZERO changes — the logical plan is literally shared with
+    `chunk_documents_overlap`, and the hash match against the same
+    oracle proves the streaming source + sink deliver the identical
+    rows. At scale this is the continuous-ingest shape of a chunking
+    stage: each arriving file becomes chunks in its own microbatch,
+    no state, no watermark, unbounded throughput.
+    """
+    from mapreduce_lab_spark.operators.chunking import chunk_documents
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    sdocs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _drain(chunk_documents(sdocs), "append")
