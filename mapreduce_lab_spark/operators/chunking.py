@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.registry import query
-from mapreduce_lab_spark.sources.tables import load_table
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
 CHUNK_TOKENS = 40
 CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
@@ -97,7 +97,7 @@ FROM kept WHERE len(chunk) > 0
 
 @query("chunk_documents_overlap", oracle=_CHUNK_ORACLE_BODY)
 def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_documents(load_table(spark, sf_dir, "documents"))
+    return chunk_documents(fan_out(load_table(spark, sf_dir, "documents"), spark))
 
 
 def chunk_dedup(chunks: DataFrame) -> DataFrame:
@@ -143,4 +143,6 @@ FROM g WHERE n_copies > 1
 
 @query("chunk_level_dedup", oracle=_CHUNK_DEDUP_ORACLE)
 def q_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_dedup(chunk_documents(load_table(spark, sf_dir, "documents")))
+    return chunk_dedup(
+        chunk_documents(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    )

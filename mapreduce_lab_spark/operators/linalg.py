@@ -131,6 +131,116 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
 
 
+# --- exact correlation matrix ---------------------------------------------
+
+
+def embedding_correlation(embs: DataFrame) -> DataFrame:
+    """Upper-triangular Pearson correlation entries of the embedding
+    coordinates, from the same exact integer moments as the
+    covariance kernel.
+
+    corr(i,j) = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)):
+    numerator and both radicands are exact BIGINTs (order-free), and
+    the only float ops are two exact IEEE sqrts and one divide with
+    identical expression shape in both engines. The radicand product
+    would overflow int64 (~6e26 at 500×64), which is why the sqrts
+    are taken per-factor BEFORE multiplying. Zero-variance
+    coordinates yield NULL (both engines).
+
+    Scale shape: identical to embedding_covariance — one Arrow-batched
+    Gramian pass, d(d+1)/2 integer groups, diagonal joined back
+    broadcast. Nothing new moves.
+    """
+    scale = F.lit(COV_UNIT_SCALE)
+    units = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["units"].to_numpy()).astype(np.int64)
+            iu, ju = np.triu_indices(X.shape[1])
+            G = X.T @ X
+            yield pd.DataFrame({"i": iu, "j": ju, "xy": G[iu, ju]})
+
+    moments = (
+        embs.select(units.alias("units"))
+        .mapInPandas(gram_partials, "i int, j int, xy long")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("q"))
+    )
+    sums = (
+        embs.select(F.posexplode(units).alias("i", "xu"))
+        .groupBy("i")
+        .agg(F.sum("xu").alias("s"), F.count("*").alias("n"))
+    )
+    diag = moments.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("q").alias("qd")
+    )
+    si = sums.select("i", F.col("s").alias("s_i"), "n")
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    di = diag.select(F.col("d").alias("i"), F.col("qd").alias("q_i"))
+    dj = diag.select(F.col("d").alias("j"), F.col("qd").alias("q_j"))
+    num = (F.col("n") * F.col("q") - F.col("s_i") * F.col("s_j")).cast("double")
+    var_i = (F.col("n") * F.col("q_i") - F.col("s_i") * F.col("s_i")).cast("double")
+    var_j = (F.col("n") * F.col("q_j") - F.col("s_j") * F.col("s_j")).cast("double")
+    den = F.sqrt(var_i) * F.sqrt(var_j)
+    return (
+        moments.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            F.when(den > 0, num / den).alias("corr"),
+        )
+    )
+
+
+@query(
+    "embedding_correlation",
+    oracle=f"""
+    WITH long AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {COV_UNIT_SCALE}) AS BIGINT)
+                   AS xu
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    moments AS (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.xu * b.xu) AS BIGINT) AS q
+        FROM long a JOIN long b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ),
+    sums AS (
+        SELECT i, CAST(sum(xu) AS BIGINT) AS s, count(*) AS n
+        FROM long GROUP BY i
+    ),
+    diag AS (SELECT i AS d, q AS qd FROM moments WHERE i = j)
+    SELECT m.i, m.j,
+           CASE WHEN (si.n * di.qd - si.s * si.s) > 0
+                 AND (si.n * dj.qd - sj.s * sj.s) > 0
+                THEN CAST(si.n * m.q - si.s * sj.s AS DOUBLE)
+                     / (sqrt(CAST(si.n * di.qd - si.s * si.s AS DOUBLE))
+                        * sqrt(CAST(si.n * dj.qd - sj.s * sj.s AS DOUBLE)))
+           END AS corr
+    FROM moments m
+    JOIN sums si ON m.i = si.i
+    JOIN sums sj ON m.j = sj.i
+    JOIN diag di ON m.i = di.d
+    JOIN diag dj ON m.j = dj.d
+    """,
+)
+def q_embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_correlation(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
+
+
 # --- signed random projection (dimensionality reduction) ------------------
 
 PROJ_OUT_DIMS = 8
@@ -197,4 +307,4 @@ def _oracle_signed_projection(out_dims: int = PROJ_OUT_DIMS) -> str:
 
 @query("embedding_signed_projection", oracle=_oracle_signed_projection())
 def q_embedding_signed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return signed_projection(load_table(spark, sf_dir, "embeddings"))
+    return signed_projection(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
