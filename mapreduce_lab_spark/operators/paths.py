@@ -147,3 +147,114 @@ def markov_transitions(events: DataFrame) -> DataFrame:
 )
 def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+# --- sequence pattern matching (MATCH_RECOGNIZE-lite) ----------------------
+
+# Each session reduces to a compact string of event-type initials
+# (signup/click/error/view/purchase → s/c/e/v/p); funnel patterns are
+# ordinary regexes over that string. Restricted to RE2/Java-common
+# syntax (no lookaround/backrefs) so both engines agree.
+PATTERNS = [
+    ("view_then_purchase", "v.*p"),
+    ("signup_to_purchase", "s.*p"),
+    ("error_then_purchase", "e.*p"),
+    ("pure_browse", "^[vc]+$"),
+]
+
+
+def session_codes(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """One row per (user, session): the session as a compact string of
+    event-type initials, deterministically ordered by (ts, event_id)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: F.substring(s.getField("event_type"), 1, 1),
+                ),
+                "",
+            ).alias("code")
+        )
+        .select("user_id", "code")
+    )
+
+
+def event_pattern_match(events: DataFrame) -> DataFrame:
+    """Sessions matching each funnel regex, with exact match share.
+
+    The cheap, scalable core of MATCH_RECOGNIZE-style sequence
+    queries: sessionize once (bounded in-group sort, same params as
+    session_top_paths), collapse each session to a short code string,
+    then every pattern is a codegen regex over ~tens of characters.
+    The patterns frame (4 rows) cross-joins broadcast against session
+    strings — the corpus-side work is one narrow regexp per pattern,
+    and the rollup shuffles (pattern, partials) only.
+    """
+    spark = events.sparkSession
+    codes = session_codes(events)
+    pats = spark.createDataFrame(PATTERNS, ["pattern", "re"])
+    return (
+        codes.crossJoin(F.broadcast(pats))
+        .groupBy("pattern")
+        .agg(
+            F.sum(
+                F.when(F.expr("regexp_like(code, re)"), 1).otherwise(0)
+            ).alias("n_matched"),
+            F.count("*").alias("n_sessions"),
+        )
+        .select(
+            "pattern",
+            "n_matched",
+            "n_sessions",
+            exact_ratio(F.col("n_matched"), F.col("n_sessions")).alias("match_share"),
+        )
+    )
+
+
+_PATTERN_VALUES = ", ".join(f"('{n}', '{r}')" for n, r in PATTERNS)
+
+
+@query(
+    "event_pattern_match",
+    oracle=f"""
+    WITH numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR ts >= lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                            + INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    sessioned AS (
+        SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM numbered
+    ),
+    codes AS (
+        SELECT user_id, session_id,
+               string_agg(event_type[1:1], '' ORDER BY ts, event_id) AS code
+        FROM sessioned GROUP BY user_id, session_id
+    ),
+    pats AS (SELECT * FROM (VALUES {_PATTERN_VALUES}) t(pattern, re))
+    SELECT pattern,
+           CAST(sum(CASE WHEN regexp_matches(code, re) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           count(*) AS n_sessions,
+           {oracle_exact_ratio(
+               "sum(CASE WHEN regexp_matches(code, re) THEN 1 ELSE 0 END)",
+               "count(*)",
+           )} AS match_share
+    FROM codes, pats
+    GROUP BY pattern
+    """,
+)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_pattern_match(load_table(spark, sf_dir, "events"))

@@ -145,3 +145,75 @@ def q_collated_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("segment", "n_customers", "total_acctbal")
     )
+
+
+# --- ANSI error-safe arithmetic (try_* family) -----------------------------
+
+# Spark 4 runs in ANSI mode by default: bare division by zero or an
+# invalid cast is a runtime ERROR, and the try_* family is the
+# sanctioned NULL-on-failure escape hatch. DuckDB has TRY_CAST but no
+# try_divide/try_add, so the oracle reproduces the semantics with
+# guards — the point of the parity check is that "NULL on failure"
+# lands on the same rows with the same types.
+_TRY_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN (o_orderkey % 7) = 0 THEN NULL
+            ELSE CAST(o_totalprice AS DOUBLE) / (o_orderkey % 7) END AS safe_ratio,
+       TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                     ELSE o_orderpriority[1:1] END AS INTEGER) AS pri_digit,
+       CASE WHEN o_orderkey > 9223372036854775807 - 1000000 THEN NULL
+            ELSE o_orderkey + 1000000 END AS shifted
+FROM orders
+"""
+
+
+@query("try_functions_probe", oracle=_TRY_ORACLE)
+def q_try_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: try_divide on a manufactured
+    zero denominator, try_cast on mixed parseable/garbage strings,
+    try_add near the int64 edge. Under default ANSI mode the bare
+    forms would THROW on these rows — the query proves the engine's
+    documented NULL-on-failure surface row-for-row against emulated
+    oracle semantics.
+
+    Scale note: try_* are pure codegen scalar expressions — identical
+    cost to the unsafe forms, no shuffle, so "safe by default" costs
+    nothing at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice").cast("double"), F.col("o_orderkey") % 7
+        ).alias("safe_ratio"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-number")).otherwise(
+                F.substring("o_orderpriority", 1, 1)
+            ),
+            F.lit("9"),
+        )
+        .cast("int")
+        .alias("pri_digit"),
+        F.try_add(F.col("o_orderkey"), F.lit(1_000_000)).alias("shifted"),
+    )
+
+
+# --- GROUP BY ALL (shared SQL) --------------------------------------------
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY ALL
+"""
+
+
+@query("group_by_all_rollup", oracle=_GROUP_BY_ALL_SQL)
+def q_group_by_all_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the engine infers the grouping keys from the
+    non-aggregate select items; one ANSI-adjacent convenience string
+    accepted verbatim by both engines. Plans identically to the
+    explicit GROUP BY (partial+final hash agg)."""
+    return _sql(spark, sf_dir, _GROUP_BY_ALL_SQL, "orders")
