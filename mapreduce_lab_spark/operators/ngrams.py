@@ -93,3 +93,81 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
 )
 def q_bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_counts(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- rare-bigram rate (LM-free perplexity proxy) ---------------------------
+
+RARE_BIGRAM_MAX_COUNT = 2  # a bigram seen <= this many times is "rare"
+
+
+def rare_bigram_rate(docs: DataFrame) -> DataFrame:
+    """Per-document fraction of bigram positions whose bigram is rare
+    corpus-wide (count <= RARE_BIGRAM_MAX_COUNT).
+
+    The LM-free stand-in for a perplexity filter: documents whose
+    word-pair distribution diverges from the corpus (garbled text,
+    boilerplate soup, wrong language) score high without evaluating
+    any model — and with zero transcendental functions, so the score
+    is exact integers until one floor-division (cross-engine
+    bit-stable, unlike an actual log-prob).
+
+    Scale shape: the same inverted-index discipline as
+    dup_span_fraction — bigrams reduce to 32-bit hashes, one
+    map-side-combinable count per hash, one equi-join back. At 100 TB
+    the bigram-count table is the persisted corpus-statistics
+    artifact every downstream scoring pass reuses.
+    """
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+
+    pos = docs.select(
+        "doc_id", F.explode(_bigrams()).alias("bg")
+    ).select("doc_id", hex8_int(F.col("bg")).alias("g"))
+    counts = pos.groupBy("g").agg(F.count("*").alias("n_g"))
+    return (
+        pos.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("n_g") <= RARE_BIGRAM_MAX_COUNT, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            exact_ratio(F.col("n_rare"), F.col("n_bigrams")).alias("rare_rate"),
+        )
+    )
+
+
+@query(
+    "rare_bigram_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(bg), 1, 8))::BIGINT AS g
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ts) - 1),
+                                         i -> ts[i] || ' ' || ts[i + 1])) AS bg
+            FROM toks WHERE len(ts) >= 2
+        )
+    ),
+    counts AS (SELECT g, count(*) AS n_g FROM pos GROUP BY g)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN n_g <= {RARE_BIGRAM_MAX_COUNT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           {oracle_exact_ratio(
+               f"sum(CASE WHEN n_g <= {RARE_BIGRAM_MAX_COUNT} THEN 1 ELSE 0 END)",
+               "count(*)",
+           )} AS rare_rate
+    FROM pos JOIN counts USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rare_bigram_rate(fan_out(load_table(spark, sf_dir, "documents"), spark))

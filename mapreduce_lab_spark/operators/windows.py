@@ -278,3 +278,53 @@ def window_range_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_30d"
         ),
     )
+
+
+# --- IGNORE NULLS frame navigation (shared SQL) ---------------------------
+
+# Sparse column manufactured with CASE (only 'F'-status orders carry
+# a value); last_value ... IGNORE NULLS forward-fills it along each
+# customer's order history — the classic LOCF idiom as a pure window
+# (vs the spine-join LOCF in timeseries.py). The IGNORE NULLS
+# modifier is the one dialect split: Spark takes it AFTER the call
+# (`last_value(x) IGNORE NULLS OVER`), DuckDB INSIDE the parens
+# (`last_value(x IGNORE NULLS) OVER`) — same semantics, two spellings.
+_IGNORE_NULLS_TEMPLATE = """
+SELECT o_orderkey, o_custkey,
+       {lv} OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_price,
+       CASE WHEN filled_price IS NULL THEN 1 ELSE 0 END AS was_filled
+FROM (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CASE WHEN o_orderstatus = 'F' THEN round(o_totalprice, 2) END
+             AS filled_price
+    FROM orders
+) src
+"""
+
+_IGNORE_NULLS_SQL = _IGNORE_NULLS_TEMPLATE.format(
+    lv="last_value(filled_price) IGNORE NULLS"
+)
+_IGNORE_NULLS_ORACLE = _IGNORE_NULLS_TEMPLATE.format(
+    lv="last_value(filled_price IGNORE NULLS)"
+)
+
+
+@query("window_ignore_nulls_locf", oracle=_IGNORE_NULLS_ORACLE)
+def q_window_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill via ``last_value ... IGNORE NULLS`` over each
+    customer's order history — the window-native LOCF.
+
+    Scale shape: partitioned by o_custkey (high cardinality), ordered
+    within partition — a single hash shuffle plus per-partition sort,
+    no spine join, no global window. The frame is
+    UNBOUNDED PRECEDING..CURRENT ROW, which Spark evaluates in one
+    running pass (no per-row re-scan). IGNORE NULLS navigation is the
+    dialect corner this probes: both engines must skip nulls, not
+    propagate them.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_IGNORE_NULLS_SQL)

@@ -58,6 +58,25 @@ REPRESENTATIVES = [
     "incremental_daily_revenue",
     "key_skew_report",
     "exact_percentiles_lineitem",
+    # round-2 continuation families
+    "chunk_documents_overlap",
+    "chunk_level_dedup",
+    "pipeline_chunk_dedup_stats",
+    "dup_span_fraction_13gram",
+    "rare_bigram_rate",
+    "embedding_signed_projection",
+    "embedding_correlation",
+    "temperature_mix_sample",
+    "recursive_reachable_parts",
+    "event_pattern_match",
+    "lateral_top2_customers_per_nation",
+    "null_semantics_probe",
+    "collated_segment_rollup",
+    "try_functions_probe",
+    "variant_props_stats",
+    "udtf_wordcount",
+    "window_ignore_nulls_locf",
+    "multimodal_blob_stats_arrow",
 ]
 
 
