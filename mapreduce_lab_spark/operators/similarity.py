@@ -539,3 +539,96 @@ def ann_int8(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFr
 )
 def q_ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_int8(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
+
+
+# --- hard-negative mining --------------------------------------------------
+
+
+def hard_negatives(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    """Top-k most-similar OTHER-LABEL vectors per query — the hard
+    negatives a contrastive training pipeline mines: negatives the
+    model is most likely to confuse with the anchor.
+
+    Same bucketed construction as ann_lsh_cosine (the output is
+    algorithm-defined; the oracle reproduces the buckets), with the
+    label-inequality predicate pushed into the candidate join — so at
+    100 TB the pruning applies BEFORE scoring and the corpus shuffles
+    once on bucket, exactly like the plain ANN path. Near-boundary
+    negatives missed by bucketing are the standard LSH recall trade;
+    the multiprobe variant widens the net when that matters.
+    """
+    base = (
+        _with_norm_labeled(e)
+        .withColumn("bucket", _bucket(F.col("v")))
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("qlabel") != F.col("clabel"))
+        .withColumn("cos_raw", _cosine("qv", "cv", "qnorm", "cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("clabel").alias("neg_label"),
+            "rank",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def _with_norm_labeled(e: DataFrame) -> DataFrame:
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    df = e.select("vec_id", "label", v.alias("v"))
+    return df.withColumn(
+        "norm",
+        F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
+    )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             {_O_FOLD.format(a='v', b='v')} AS norm,
+             {_O_BUCKET.replace('v[', 'v[')} AS bucket
+      FROM e
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neg_label,
+             {_O_FOLD.format(a='q.v', b='c.v')} / sqrt(q.norm * c.norm) AS cos_raw
+      FROM n q JOIN n c ON q.bucket = c.bucket AND q.label <> c.label
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label, rank, round(cos_raw, 6) AS cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negatives(fan_out(load_table(spark, sf_dir, "embeddings"), spark))

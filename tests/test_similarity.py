@@ -40,3 +40,16 @@ def test_int8_recall_vs_exact(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e).collect()}
     quant = {(r.query_id, r.neighbor_id) for r in ann_int8(e).collect()}
     assert len(exact & quant) >= 0.8 * len(exact)
+
+
+def test_hard_negatives_bucket_join_not_cartesian(spark, sf_dir):
+    # The label-inequality predicate must ride on the bucket equi-join
+    # (broadcast query side), never degrade the join to a cartesian
+    # over the corpus.
+    from mapreduce_lab_spark.operators.similarity import q_hard_negative_mining
+    from mapreduce_lab_spark.plans import inspect
+
+    df = q_hard_negative_mining(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert inspect.broadcast_join_count(df) >= 1, plan
