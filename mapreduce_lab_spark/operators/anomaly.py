@@ -217,3 +217,81 @@ def winsorized_price_stats(lineitem: DataFrame) -> DataFrame:
 )
 def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_price_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- MAD (median absolute deviation) robust outliers -----------------------
+
+MAD_K_PERMILLE = 3_000  # flag |x - median| > 3.0 * MAD (permille exact)
+
+
+def mad_outlier_events(events: DataFrame) -> DataFrame:
+    """Per-event-type robust outliers: |x − median| > 3·MAD.
+
+    The estimator breakdown point is 50% — unlike mean/stddev, a
+    minority of wild values cannot drag the fences, which is why
+    telemetry pipelines prefer MAD. Two exact passes: (1) per-group
+    median (type-7 percentile, bit-identical cross-engine), broadcast
+    back; (2) per-group median of |x − m| the same way. The decision
+    comparison is safe on raw doubles here — unlike the z-score's
+    order-dependent float sums, every input to it (median, MAD,
+    deviation) is an order-independent percentile or a single
+    subtraction, so both engines compare identical bit patterns.
+
+    Scale shape: two map-side-combinable grouped aggregations over
+    the facts with the tiny stats frames broadcast back — the fact
+    table shuffles zero times (stats travel to the data). Exact
+    medians at 100 TB group sizes are the one honest cost; the scale
+    relief valve is percentile_approx with a pinned error bound,
+    which changes the estimator, not the plan shape.
+    """
+    m = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").where(
+        F.col("adev") > F.lit(MAD_K_PERMILLE / 1000.0) * F.col("mad")
+    )
+    return flagged.select(
+        "event_type",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+@query(
+    "mad_outlier_events",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value,
+               abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.event_id,
+           round(d.value, 2) AS value,
+           round(d.med, 6) AS med,
+           round(md.mad, 6) AS mad
+    FROM dev d JOIN mad md USING (event_type)
+    WHERE d.adev > {MAD_K_PERMILLE / 1000.0} * md.mad
+    """,
+)
+def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outlier_events(load_table(spark, sf_dir, "events"))

@@ -170,3 +170,38 @@ def q_streaming_chunking_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return _drain(chunk_documents(sdocs), "append")
+
+
+@query(
+    "streaming_variant_replay",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_streaming_variant_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT path extraction + aggregation on the streaming path
+    (complete mode): parse_json/variant_get run per-microbatch and the
+    grouped state finalizes to exactly the batch answer — semi-
+    structured ingest is streaming-ready with the same typed plan.
+    """
+    from pyspark.sql import functions as F
+
+    ev = _stream(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    agg = (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+    return _drain(agg, "complete")
