@@ -181,6 +181,21 @@ def main() -> None:
         name: int(input_rows[PRIMARY_INPUT[name]] / best[name]) for name in names
     }
 
+    # Round-1 headline subset: the 18 queries benched since r1, so the
+    # cross-round trend stays apples-to-apples as the headline set
+    # grows with new families.
+    r01_subset = [
+        "wordcount", "inverted_index", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q18_large_volume_customers",
+        "window_top_orders_per_customer", "tumbling_window_hourly",
+        "session_window_10min", "asof_join_purchase_to_view",
+        "dedup_exact", "near_dup_minhash_lsh", "near_dup_simhash",
+        "knn_cosine_bruteforce", "text_quality_scores",
+        "multimodal_frame_sample", "mapreduce_wordcount",
+    ]
+    r01_total = round(sum(timings[n] for n in r01_subset if n in timings), 3)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -193,6 +208,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "r01_subset_total_sec": r01_total,
                 "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "input_rows_per_s": throughput,

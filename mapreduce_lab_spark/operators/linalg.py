@@ -308,3 +308,92 @@ def _oracle_signed_projection(out_dims: int = PROJ_OUT_DIMS) -> str:
 @query("embedding_signed_projection", oracle=_oracle_signed_projection())
 def q_embedding_signed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signed_projection(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
+
+
+# --- exact least-squares trend (the DECIMAL(38,0) wide path) --------------
+
+TREND_EPOCH = "1995-01-01"
+
+
+def revenue_trend_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-market-segment OLS slope of order value (cents) against
+    order date (days since 1995-01-01): the classic revenue-trend
+    regression, computed from exact integer moments.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the per-group sums
+    are BIGINT (order-free), but the MOMENT PRODUCTS overflow int64
+    at scale (n·Σxy ≈ 1.4e20 already at sf0.1), so this operator
+    demonstrates the wide path functions/numeric.py documents: cast
+    the sums to DECIMAL(38,0) for the products (Spark decimal
+    arithmetic is exact; DuckDB promotes BIGINT products to HUGEINT),
+    convert to DOUBLE once for the final division. Both engines round
+    the same exact integer to the same double, so parity holds at any
+    group size.
+
+    Scale shape: one broadcast of the customer (custkey, segment)
+    slice, one map-side-combinable grouped aggregation — 5 output
+    rows from any input size, no second shuffle.
+    """
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit(TREND_EPOCH).cast("date"))
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    agg = joined.select(
+        "c_mktsegment", x.alias("x"), y.alias("y")
+    ).groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    slope = F.when(den != 0, num.cast("double") / den.cast("double"))
+    intercept = F.when(
+        den != 0,
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n"),
+    )
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").alias("n_orders"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+@query(
+    "revenue_trend_by_segment",
+    oracle=f"""
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment,
+               date_diff('day', DATE '{TREND_EPOCH}', CAST(o.o_orderdate AS DATE)) AS x,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    agg AS (
+        SELECT segment, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM j GROUP BY segment
+    )
+    SELECT segment, n AS n_orders,
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_day,
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                THEN (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                     / n END AS intercept_cents
+    FROM agg
+    """,
+)
+def q_revenue_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_trend_by_segment(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
