@@ -1,0 +1,111 @@
+"""Model-based document scoring: hashed-feature linear classifier.
+
+Superset surface for the LLM-data pipeline: the fastText-style
+quality filter — hash token bigrams into a fixed feature space, look
+up a weight per bucket, sum into a per-document score, threshold into
+keep/drop. The real-world variant loads trained weights; here the
+weight table is DERIVED deterministically from the bucket id (md5 →
+integer in [-1000, 1000]) so the DuckDB oracle can rebuild it exactly
+— the plumbing (feature hashing, broadcast weight lookup, map-side
+combinable score aggregation) is the production shape either way.
+
+Scale shape: feature extraction is a narrow array transform; the
+weight table is O(buckets) and BROADCAST (a trained fastText bigram
+table is a few MB — always broadcastable); the only shuffle carries
+(doc_id, integer partials) for the score sum. Docs with fewer than
+two tokens score 0 via the left join back to the corpus — no row is
+silently dropped by the explode.
+
+All-integer scoring: weights and sums are exact int64, so keep/drop
+decisions are bit-stable across engines and partitionings (a float
+dot product could flip the threshold at the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.operators.ngrams import _ORACLE_TOKENS, _bigrams
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
+
+N_BUCKETS = 1024
+WEIGHT_SPAN = 2001  # weights in [-1000, 1000]
+
+
+def hashed_weights(spark: SparkSession, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """The (bucket, weight) table, derived from md5('w:<bucket>')."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            hex8_int(F.concat(F.lit("w:"), F.col("id").cast("string")))
+            % F.lit(WEIGHT_SPAN)
+            - F.lit((WEIGHT_SPAN - 1) // 2)
+        ).alias("w"),
+    )
+
+
+def classify_documents(docs: DataFrame, spark: SparkSession,
+                       n_buckets: int = N_BUCKETS) -> DataFrame:
+    feats = docs.select(
+        "doc_id", F.explode(_bigrams()).alias("bg")
+    ).select("doc_id", F.pmod(hex8_int(F.col("bg")), F.lit(n_buckets)).alias("bucket"))
+    scored = (
+        feats.join(F.broadcast(hashed_weights(spark, n_buckets)), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("w").alias("score"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("score", F.lit(0)).alias("score"),
+            (F.coalesce("score", F.lit(0)) >= 0).alias("keep"),
+        )
+    )
+
+
+_HALF_SPAN = (WEIGHT_SPAN - 1) // 2
+
+@query(
+    "quality_classifier_hashed",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               ({oracle_hex8_int("bg")} % {N_BUCKETS} + {N_BUCKETS}) % {N_BUCKETS}
+                   AS bucket
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ts) - 1),
+                                         i -> ts[i] || ' ' || ts[i + 1])) AS bg
+            FROM toks WHERE len(ts) >= 2
+        )
+    ),
+    weights AS (
+        SELECT i AS bucket,
+               ({oracle_hex8_int("'w:' || i")} % {WEIGHT_SPAN}) - {_HALF_SPAN} AS w
+        FROM generate_series(0, {N_BUCKETS - 1}) t(i)
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS score
+        FROM feats JOIN weights USING (bucket)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_feats, 0) AS n_feats,
+           coalesce(s.score, 0) AS score,
+           coalesce(s.score, 0) >= 0 AS keep
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the hashed bigram linear model."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return classify_documents(docs, spark)

@@ -1,0 +1,123 @@
+"""Exact frequent-items (heavy hitters) via bounded-memory candidates.
+
+Superset surface: "which tokens exceed φ of the corpus" — the query
+behind stop-word lists, boilerplate detection, and hot-key discovery.
+The naive answer (count every distinct token, filter) is exactly the
+word count the reference computes (``plugin/word_count/wc.go:21-34``)
+— fine when the vocabulary fits the shuffle, ruinous when the key
+space is unbounded (URLs, n-grams, user ids at 100 TB).
+
+Two-phase exact algorithm:
+
+1. **Candidates** — one narrow pass running Misra-Gries summaries with
+   k counters per partition (``mapInPandas``, Arrow batches, O(k)
+   memory regardless of partition size). MG guarantees every item
+   with local frequency > n_p/k survives partition p's summary; any
+   global φ-heavy item (φ ≥ 1/k) is ≥ φ-heavy in at least one
+   partition, so the union of partition summaries is a SUPERSET of
+   the true heavy hitters. Candidate count is bounded by k·P —
+   broadcastable by construction.
+2. **Verify** — exact recount restricted to candidates: a broadcast
+   semi-join gate on the token stream, a map-side-combinable count,
+   and an integer threshold compare against the corpus total (one-row
+   frame, broadcast cross join — no driver collect on the data path).
+
+The result is EXACT (the sketch only generates candidates; counts
+come from the verify pass), which is why a plain SQL oracle can check
+it. Shuffle payload: one row per candidate token — never one per
+distinct token, the whole point at an unbounded key space.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
+
+HH_INV_PHI = 25  # heavy = frequency >= 1/25 of all tokens
+HH_COUNTERS = 64  # MG counters per partition; must be >= HH_INV_PHI
+
+_ORACLE_TOKENS = (
+    "[t for t in regexp_split_to_array(lower(text), '[^\\p{L}]+') if t <> '']"
+)
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda t: t != F.lit("")
+    )
+    return docs.select(F.explode(toks).alias("word"))
+
+
+def misra_gries_candidates(words: DataFrame, k: int = HH_COUNTERS) -> DataFrame:
+    """Distinct per-partition Misra-Gries survivors (k counters)."""
+    n_counters = int(k)
+
+    def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < n_counters:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    return words.mapInPandas(mg, schema="word string").distinct()
+
+
+def heavy_hitters(words: DataFrame, inv_phi: int = HH_INV_PHI,
+                  k: int = HH_COUNTERS) -> DataFrame:
+    """Tokens with count * inv_phi >= total token count, with exact counts."""
+    if k < inv_phi:
+        raise ValueError(f"need k >= inv_phi for the superset guarantee ({k} < {inv_phi})")
+    cand = misra_gries_candidates(words, k)
+    counts = (
+        words.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_word"))
+    )
+    total = words.agg(F.count("*").alias("_n_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("n_word") * F.lit(inv_phi) >= F.col("_n_total"))
+        .select("word", "n_word")
+    )
+
+
+@query(
+    "heavy_hitter_words",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_ORACLE_TOKENS}) AS word FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT word, count(*) AS n_word
+    FROM toks, tot
+    GROUP BY word, n_total
+    HAVING count(*) * {HH_INV_PHI} >= n_total
+    """,
+)
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokens at/above 4% frequency, exact counts.
+
+    The oracle is the unbounded-memory definition (count everything,
+    filter) — the operator must reach the same set through the
+    bounded candidate pass.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return heavy_hitters(_words(docs))

@@ -32,6 +32,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.relational",
     "mapreduce_lab_spark.operators.relational_extra",
     "mapreduce_lab_spark.operators.subqueries",
+    "mapreduce_lab_spark.operators.skewjoin",
     "mapreduce_lab_spark.operators.sql_surface",
     "mapreduce_lab_spark.operators.tpch_rest",
     "mapreduce_lab_spark.operators.windows",
@@ -43,11 +44,13 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.clustering",
     "mapreduce_lab_spark.operators.linalg",
     "mapreduce_lab_spark.operators.textstats",
+    "mapreduce_lab_spark.operators.classify",
     "mapreduce_lab_spark.operators.retrieval",
     "mapreduce_lab_spark.operators.graph",
     "mapreduce_lab_spark.operators.paths",
     "mapreduce_lab_spark.operators.ngrams",
     "mapreduce_lab_spark.operators.profiling",
+    "mapreduce_lab_spark.operators.heavy_hitters",
     "mapreduce_lab_spark.operators.sampling",
     "mapreduce_lab_spark.operators.attribution",
     "mapreduce_lab_spark.operators.anomaly",

@@ -205,3 +205,40 @@ def q_streaming_variant_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "streaming_join_replay",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.user_id AS p_user
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through Structured Streaming:
+    purchases matched to same-user views within the prior hour
+    (``jobs.streaming_view_purchase_join``), drained in append mode.
+
+    Inner interval-join matches emit as soon as both rows arrive; the
+    watermarks exist to BOUND STATE (each side retains only rows still
+    inside the other side's match window), which is what makes the
+    operator viable on unbounded streams — the state store holds ~1h
+    of views per user, not the stream's history. The oracle is the
+    batch theta join over the same predicate: a hash match proves the
+    streaming state machine emitted exactly the batch match set.
+    """
+    from pyspark.sql import functions as F
+
+    ev = _stream(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return _drain(
+        jobs.streaming_view_purchase_join(views, purchases), "append"
+    )
