@@ -53,6 +53,10 @@ HEADLINE = [
     "skyline_parts",
     "chunk_documents_overlap",
     "dup_span_fraction_13gram",
+    "skew_join_priority_revenue",
+    "heavy_hitter_words",
+    "quality_classifier_hashed",
+    "triangle_count_copurchase",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -84,6 +88,10 @@ PRIMARY_INPUT = {
     "attribution_linear": "events",
     "embedding_covariance": "embeddings",
     "skyline_parts": "part",
+    "skew_join_priority_revenue": "lineitem",
+    "heavy_hitter_words": "documents",
+    "quality_classifier_hashed": "documents",
+    "triangle_count_copurchase": "lineitem",
 }
 
 

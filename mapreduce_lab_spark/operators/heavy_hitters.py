@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
-HH_INV_PHI = 25  # heavy = frequency >= 1/25 of all tokens
+# The synthetic corpus has a small near-uniform vocabulary (~31 words
+# at ~3.2-3.5% each); φ = 1/29 ≈ 3.45% cuts through the top of that
+# distribution so the query returns a non-trivial strict subset at
+# every scale factor (a φ above 3.6% matches nothing, below 3.2%
+# matches everything).
+HH_INV_PHI = 29  # heavy = frequency >= 1/29 of all tokens
 HH_COUNTERS = 64  # MG counters per partition; must be >= HH_INV_PHI
 
 _ORACLE_TOKENS = (

@@ -171,3 +171,98 @@ def rare_bigram_rate(docs: DataFrame) -> DataFrame:
 )
 def q_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rare_bigram_rate(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- PMI collocations ------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+def bigram_pmi_top(docs: DataFrame) -> DataFrame:
+    """Top collocations by pointwise mutual information, transcendental-
+    free: the score is the exact-integer lift ratio
+    ``n_tokens * c(w1 w2) / (c(w1) * c(w2))`` in permille (PMI is its
+    log — monotone, so the RANKING is identical and stays bit-stable
+    cross-engine, the same rational-scoring discipline as BM25).
+
+    Scale shape: one token pass feeds both the unigram and bigram
+    counts (map-side combinable); the unigram frame joins the bigram
+    frame on each word — hash joins on the natural keys, vocabulary-
+    sized. The min-count filter runs BEFORE the joins, bounding the
+    candidate set the way the query-term filter bounds BM25 postings.
+    int64 envelope: c(w1 w2) * n_tokens must fit 2^63 (fine to ~1e9
+    bigram count x 1e9 tokens; past that, the DECIMAL(38,0) wide path).
+    """
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^\p{L}]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("word")
+    )
+    uni = toks.groupBy("word").agg(F.count("*").alias("c_w"))
+    total = toks.agg(F.count("*").alias("_n_tokens"))
+    bi = (
+        docs.where(F.size(_bigrams()) > 0)
+        .select(F.explode(_bigrams()).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+    )
+    return (
+        bi.join(uni.withColumnRenamed("word", "w1").withColumnRenamed("c_w", "c1"), "w1")
+        .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c_w", "c2"), "w2")
+        .join(F.broadcast(total))
+        .select(
+            "bigram",
+            "n",
+            exact_ratio(
+                F.col("n") * F.col("_n_tokens"),
+                F.col("c1") * F.col("c2"),
+                out_scale=1000,
+            ).alias("lift_permille"),
+        )
+        .orderBy(F.col("lift_permille").desc(), F.col("bigram").asc())
+        .limit(PMI_TOP_K)
+    )
+
+
+@query(
+    "bigram_pmi_top",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_ORACLE_TOKENS} AS ts FROM documents
+    ),
+    words AS (SELECT unnest(ts) AS word FROM toks),
+    uni AS (SELECT word, count(*) AS c_w FROM words GROUP BY word),
+    tot AS (SELECT count(*) AS n_tokens FROM words),
+    bi AS (
+        SELECT bigram, count(*) AS n,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2
+        FROM (
+            SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                         i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+            FROM toks WHERE len(ts) >= 2
+        )
+        GROUP BY bigram
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, n,
+           {oracle_exact_ratio("n * n_tokens", "u1.c_w * u2.c_w", out_scale=1000)}
+               AS lift_permille
+    FROM bi
+    JOIN uni u1 ON bi.w1 = u1.word
+    JOIN uni u2 ON bi.w2 = u2.word
+    CROSS JOIN tot
+    ORDER BY lift_permille DESC, bigram ASC
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations of the corpus by exact-integer PMI lift."""
+    return bigram_pmi_top(fan_out(load_table(spark, sf_dir, "documents"), spark))

@@ -51,3 +51,34 @@ def test_k_below_inv_phi_rejected(spark):
     except ValueError:
         return
     raise AssertionError("expected ValueError for k < inv_phi")
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=60),  # key id
+                  st.integers(min_value=1, max_value=40)),  # multiplicity
+        min_size=1, max_size=40,
+    ),
+    inv_phi=st.sampled_from([5, 10, 20]),
+    n_parts=st.sampled_from([1, 3, 7]),
+)
+def test_heavy_hitters_exact_under_random_distributions(
+    spark, data, inv_phi, n_parts
+):
+    """For any multiset, partitioning, and φ, the two-phase operator
+    equals the unbounded-memory definition exactly."""
+    from collections import Counter
+
+    rows = [(f"k{kid}",) for kid, mult in data for _ in range(mult)]
+    exact = Counter(w for (w,) in rows)
+    total = sum(exact.values())
+    want = {w: c for w, c in exact.items() if c * inv_phi >= total}
+
+    words = spark.createDataFrame(rows, "word string").repartition(n_parts)
+    got = {r["word"]: r["n_word"]
+           for r in heavy_hitters(words, inv_phi=inv_phi, k=2 * inv_phi).collect()}
+    assert got == want

@@ -239,3 +239,24 @@ def test_lateral_limit_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "NestedLoop" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert inspect.broadcast_join_count(df) >= 1, plan
+
+
+def test_classifier_weight_join_is_broadcast(spark, sf_dir):
+    # The hashed weight table is bounded (N_BUCKETS rows) and must ride
+    # a broadcast join; the only shuffle carries (doc_id, int partials)
+    # for the score aggregation, with a map-side partial.
+    from mapreduce_lab_spark.operators.classify import q_quality_classifier_hashed
+
+    df = q_quality_classifier_hashed(spark, sf_dir)
+    assert inspect.broadcast_join_count(df) >= 1, inspect.formatted_plan(df)
+    assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
+
+
+def test_heavy_hitters_verify_gate_is_broadcast(spark, sf_dir):
+    # Candidate gate (semi) and the one-row total both broadcast; the
+    # exact recount must keep its map-side partial aggregation.
+    from mapreduce_lab_spark.operators.heavy_hitters import q_heavy_hitter_words
+
+    df = q_heavy_hitter_words(spark, sf_dir)
+    assert inspect.broadcast_join_count(df) >= 2, inspect.formatted_plan(df)
+    assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
