@@ -741,3 +741,77 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return cluster_representatives(connected_components(pairs), quality_scores(docs))
+
+
+# --- incremental MinHash dedup (new batch vs existing corpus) --------------
+
+INCR_MOD = 10  # doc_id % INCR_MOD == 0 plays the "incoming batch"
+
+
+@query(
+    "near_dup_incremental_minhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
+    ), h AS (
+      SELECT doc_id, list_transform(sh, s -> {oracle_hex8_int('s')}) AS hx FROM t
+    ), sig AS (
+      SELECT doc_id, {_O_SIGS} FROM h
+    ), bands AS (
+      {_O_BANDS}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS corpus_doc, y.doc_id AS new_doc
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key
+      WHERE x.doc_id % {INCR_MOD} != 0 AND y.doc_id % {INCR_MOD} = 0
+    )
+    SELECT corpus_doc, new_doc,
+           floor(len(list_intersect(ta.sh, tb.sh)) * 1000000
+                 / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))))
+             / 1000000.0 AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.corpus_doc
+    JOIN t tb ON tb.doc_id = cand.new_doc
+    WHERE 2 * len(list_intersect(ta.sh, tb.sh))
+          >= len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))
+    """,
+)
+def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: an INCOMING batch (doc_id % 10 == 0 stands in
+    for today's crawl) is checked against the EXISTING corpus's
+    persisted LSH index without any corpus-vs-corpus work.
+
+    This is the production shape of minhash dedup at 100 TB: the
+    corpus band table is a materialized artifact (built once, appended
+    to per batch); each new batch computes signatures only for itself,
+    probes the band index with an equi-join — cost O(batch + bucket
+    collisions), never O(corpus²) — and Jaccard-verifies the
+    collisions. The self-join variant (``near_dup_minhash_lsh``) is
+    the backfill job; this is the daily one.
+
+    The oracle rebuilds the identical bands and splits by the same
+    modulus — construction-exact parity, as for the self-join.
+    """
+    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
+    sig = doc_sh.select(
+        "doc_id", *minhash_signature(F.transform("sh", hex8_int))
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+    )
+    # In production `corpus_bands` is read back from the persisted
+    # index; here both derive from one table split by the modulus.
+    corpus_bands = bands.where(F.col("doc_id") % INCR_MOD != 0)
+    new_bands = bands.where(F.col("doc_id") % INCR_MOD == 0)
+    cand = (
+        corpus_bands.alias("x")
+        .join(new_bands.alias("y"), ["band", "key"])
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(cand, doc_sh).withColumnsRenamed(
+        {"doc_a": "corpus_doc", "doc_b": "new_doc"}
+    )

@@ -1,0 +1,105 @@
+"""Mergeable cardinality sketches: HLL partial rollup + KMV estimate.
+
+The 100 TB pattern this module pins: distinct counts computed as
+RE-AGGREGABLE SKETCH PARTIALS (per day/partition) that union into
+coarser rollups without touching raw data again — the sketch analog
+of ``incremental_daily_revenue``'s partial-sum contract. An exact
+count_distinct cannot be merged (yesterday's count + today's count
+double-counts returning users); a sketch can.
+
+Two operators:
+
+- ``hll_union_users`` — Spark's native Datasketches HLL:
+  ``hll_sketch_agg`` per (event_type, day), ``hll_union_agg`` across
+  days, estimate per type. Registered rows-only (the sketch binary is
+  engine-specific, like ``approx_count_distinct``); the accuracy and
+  the merge-vs-direct consistency are pinned in tests instead.
+- ``kmv_distinct_users`` — a K-Minimum-Values sketch built from
+  first principles on the engine-portable md5 hash, so the ENTIRE
+  sketch pipeline is deterministic and oracle-checked: both engines
+  keep the k smallest 32-bit hash values per group and apply the
+  same floor-division estimator ``(k-1)·2^32 / h_k`` (exact count
+  when a group has fewer than k distinct hashes). Same estimator
+  family as HLL's cousin bottom-k; error ~1/√k.
+
+Scale shape: both sketches reduce users to integer hashes before any
+shuffle; the KMV k-smallest runs as a per-group rank over DISTINCT
+hashes (group count × k rows survive). At true scale the KMV partial
+per partition is its own k-smallest list merged associatively — the
+window form here is the compact equivalent at one level; the HLL
+path IS the production partial-merge (binary sketch partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+KMV_K = 256
+_2_32 = 4_294_967_296
+
+
+def hll_union_users(events: DataFrame) -> DataFrame:
+    """Daily HLL partials per event_type, unioned to a per-type
+    estimate — the rollup never rescans raw events."""
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+
+
+@query("hll_union_users")  # rows-only: sketch binaries are engine-specific
+def q_hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_union_users(load_table(spark, sf_dir, "events"))
+
+
+def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    h = hex8_int(F.col("user_id").cast("string"))
+    dh = events.select("event_type", h.alias("h")).distinct()
+    ranked = dh.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    ).where(F.col("rn") <= k)
+    kth = ranked.groupBy("event_type").agg(
+        F.max("h").alias("h_k"), F.count("*").alias("n_min")
+    )
+    est = F.when(F.col("n_min") < k, F.col("n_min")).otherwise(
+        F.floor(F.lit(float((k - 1) * _2_32)) / F.col("h_k"))
+    )
+    return kth.select("event_type", est.alias("est_users"))
+
+
+_KMV_SQL = f"""
+WITH dh AS (
+    SELECT DISTINCT event_type,
+           {oracle_hex8_int("CAST(user_id AS STRING)")} AS h
+    FROM events
+),
+ranked AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM dh
+),
+kth AS (
+    SELECT event_type, max(h) AS h_k, count(*) AS n_min
+    FROM ranked WHERE rn <= {KMV_K}
+    GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN n_min < {KMV_K} THEN n_min
+            ELSE CAST(floor({float((KMV_K - 1) * _2_32)} / h_k) AS BIGINT)
+       END AS est_users
+FROM kth
+"""
+
+
+@query("kmv_distinct_users", oracle=_KMV_SQL)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type, bit-identical in
+    both engines (portable hash + identical floor estimator)."""
+    return kmv_distinct_users(load_table(spark, sf_dir, "events"))

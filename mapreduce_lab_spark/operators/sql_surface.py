@@ -217,3 +217,72 @@ def q_group_by_all_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted verbatim by both engines. Plans identically to the
     explicit GROUP BY (partial+final hash agg)."""
     return _sql(spark, sf_dir, _GROUP_BY_ALL_SQL, "orders")
+
+
+# --- null-aware NOT IN (shared SQL) ---------------------------------------
+
+_NOT_IN_SQL = """
+WITH tainted AS (
+    -- building-segment customer keys, with NULLs injected for the
+    -- negative-balance rows: one NULL anywhere makes NOT IN
+    -- three-valued (x <> NULL is UNKNOWN, never TRUE)
+    SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+clean AS (
+    SELECT c_custkey AS k FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0
+)
+SELECT
+    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM tainted))
+        AS n_vs_tainted,
+    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM clean))
+        AS n_vs_clean,
+    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM clean c WHERE c.k = o.o_custkey))
+        AS n_not_exists
+"""
+
+
+@query("not_in_null_aware_probe", oracle=_NOT_IN_SQL)
+def q_not_in_null_aware_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned cross-engine as shared SQL.
+
+    One NULL in the subquery forces ``n_vs_tainted`` to 0 (every
+    comparison is UNKNOWN); the NULL-free list gives the intuitive
+    count, equal to the NOT EXISTS formulation. Spark plans the
+    tainted leg as a null-aware anti join (the streamed-side
+    ``(key = k) OR isnull(key = k)`` BroadcastHashJoin) rather than a
+    per-row subquery — the decorrelation that makes three-valued NOT
+    IN viable at scale."""
+    return _sql(spark, sf_dir, _NOT_IN_SQL, "customer", "orders")
+
+
+# --- max_by / min_by argmax aggregates (shared SQL) -----------------------
+
+_ARGMAX_SQL = """
+SELECT o_orderpriority,
+       max_by(o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+           AS priciest_order,
+       min_by(o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+           AS cheapest_order,
+       max_by(o_custkey, o_orderdate || '|' || lpad(CAST(o_orderkey AS STRING), 12, '0'))
+           AS latest_customer
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("argmax_orders_probe", oracle=_ARGMAX_SQL)
+def q_argmax_orders_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by argmax aggregates as shared SQL — the one-pass,
+    map-side-combinable way to answer "which row attains the max"
+    without a rank window. Determinism discipline (same as the
+    struct-ordered OHLC open/close): ties in the raw sort value are
+    engine-arbitrary, so every sort key here is made TOTAL by folding
+    in the unique order key — the price legs via exact-cent units
+    scaled past the key space (cents·1e7 + key fits int64 to ~$9T
+    order totals), the date leg via zero-padded string concatenation."""
+    return _sql(spark, sf_dir, _ARGMAX_SQL, "orders")

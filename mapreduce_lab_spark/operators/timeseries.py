@@ -145,3 +145,105 @@ def ohlc_daily(events: DataFrame) -> DataFrame:
 )
 def q_ohlc_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_daily(load_table(spark, sf_dir, "events"))
+
+
+def gapfill_interp(events: DataFrame, step: str = GAPFILL_STEP) -> DataFrame:
+    """Complete 15-min signup series with LINEAR interpolation across
+    empty buckets (the other half of ``time_bucket_gapfill``).
+
+    For a gap bucket at time t between observations (t0, v0) and
+    (t1, v1): v = v0 + floor((v1-v0)·(t-t0)/(t1-t0)) in integer cent
+    units — one floor of an exact double ratio, identical in both
+    engines (the same discipline as exact_ratio; a float slope
+    accumulated per step would drift and is order-sensitive).
+    Leading/trailing gaps (no neighbor on one side) carry the single
+    available neighbor. All four neighbor columns come from two
+    IGNORE NULLS window passes over the time-bounded spine — the
+    window is global but dimension-sized (see module docstring).
+    """
+    per_bucket = (
+        events.where(F.col("event_type") == GAPFILL_EVENT_TYPE)
+        .groupBy(F.window("ts", step).alias("w"))
+        .agg(F.sum(to_units("value", 100)).alias("sum_units"))
+        .select(F.col("w.start").alias("bucket"), "sum_units")
+    )
+    bounds = per_bucket.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias("bucket")
+    )
+    filled = spine.join(per_bucket, "bucket", "left").withColumn(
+        "t", F.unix_timestamp("bucket")
+    )
+    obs_t = F.when(F.col("sum_units").isNotNull(), F.col("t"))
+    back = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("sum_units", ignorenulls=True).over(back)
+    prev_t = F.last(obs_t, ignorenulls=True).over(back)
+    next_v = F.first("sum_units", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_t, ignorenulls=True).over(fwd)
+    interp_units = (
+        F.when(F.col("sum_units").isNotNull(), F.col("sum_units"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + F.floor(
+                (next_v - prev_v).cast("double")
+                * (F.col("t") - prev_t)
+                / (next_t - prev_t)
+            )
+        )
+    )
+    return filled.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("sum_units").isNotNull().alias("observed"),
+        (interp_units.cast("double") / F.lit(100)).alias("interp_sum_value"),
+    )
+
+
+@query(
+    "gapfill_interp_signups",
+    oracle=f"""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+               CAST(sum({oracle_units("value", 100)}) AS BIGINT) AS sum_units
+        FROM events
+        WHERE event_type = '{GAPFILL_EVENT_TYPE}'
+        GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                      (SELECT max(bucket) FROM b),
+                                      INTERVAL 15 MINUTE)) AS bucket
+    ),
+    filled AS (
+        SELECT s.bucket, b.sum_units, epoch(s.bucket) AS t
+        FROM spine s LEFT JOIN b USING (bucket)
+    ),
+    nbr AS (
+        SELECT bucket, sum_units, t,
+               last_value(sum_units IGNORE NULLS) OVER (
+                   ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               last_value(CASE WHEN sum_units IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+               first_value(sum_units IGNORE NULLS) OVER (
+                   ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               first_value(CASE WHEN sum_units IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        FROM filled
+    )
+    SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+           sum_units IS NOT NULL AS observed,
+           CAST(CASE
+                WHEN sum_units IS NOT NULL THEN sum_units
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + CAST(floor(CAST(next_v - prev_v AS DOUBLE)
+                                         * (t - prev_t) / (next_t - prev_t))
+                              AS BIGINT)
+           END AS DOUBLE) / 100 AS interp_sum_value
+    FROM nbr
+    """,
+)
+def q_gapfill_interp_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_interp(load_table(spark, sf_dir, "events"))

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.ngrams",
     "mapreduce_lab_spark.operators.profiling",
     "mapreduce_lab_spark.operators.heavy_hitters",
+    "mapreduce_lab_spark.operators.sketches",
     "mapreduce_lab_spark.operators.sampling",
     "mapreduce_lab_spark.operators.attribution",
     "mapreduce_lab_spark.operators.anomaly",

@@ -118,3 +118,117 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("max_h"),
         )
     )
+
+
+# --- streaming variant (SimpleDataSourceStreamReader) ----------------------
+
+import itertools as _it
+
+STREAM_CHUNK = 1_000
+_STREAM_SINK_IDS = _it.count()
+
+
+def _make_streaming_datasource():
+    """Same generator as SyntheticKV, exposed as a STREAMING source via
+    Spark 4's SimpleDataSourceStreamReader: offsets are row indices,
+    each microbatch reads the next chunk, and once the generator is
+    exhausted the offset stops advancing. The offset log gives
+    exactly-once delivery, so a full drain yields rows [0, n) exactly
+    once regardless of how the chunks landed in microbatches."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class SyntheticKVStream(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_kv_stream"
+
+        def schema(self) -> str:
+            return "i bigint, h string"
+
+        def simpleStreamReader(self, schema):
+            n = int(self.options.get("n", SYNTH_N))
+            chunk = int(self.options.get("chunk", STREAM_CHUNK))
+
+            class StreamReader(SimpleDataSourceStreamReader):
+                def initialOffset(self) -> dict:
+                    return {"i": 0}
+
+                def read(self, start: dict):
+                    import hashlib
+
+                    lo = int(start["i"])
+                    hi = min(lo + chunk, n)
+                    # A LIST iterator, not a generator: the engine's
+                    # prefetch cache both next()s and copy.copy()s the
+                    # returned iterator (generators support neither
+                    # copy nor pickle).
+                    rows = [
+                        (i, hashlib.md5(str(i).encode()).hexdigest())
+                        for i in range(lo, hi)
+                    ]
+                    return iter(rows), {"i": hi}
+
+                def readBetweenOffsets(self, start: dict, end: dict):
+                    import hashlib
+
+                    for i in range(int(start["i"]), int(end["i"])):
+                        yield (i, hashlib.md5(str(i).encode()).hexdigest())
+
+            return StreamReader()
+
+    return SyntheticKVStream
+
+
+@query(
+    "python_datasource_stream_replay",
+    oracle=f"""
+    WITH s AS (
+        SELECT unnest(generate_series(0, {SYNTH_N - 1})) AS i
+    ), rows_ AS (
+        SELECT i, md5(i::VARCHAR) AS h FROM s
+    )
+    SELECT i % {SYNTH_BUCKETS} AS bucket,
+           count(*) AS n_rows,
+           min(h) AS min_h,
+           max(h) AS max_h
+    FROM rows_ GROUP BY i % {SYNTH_BUCKETS}
+    """,
+)
+def q_python_datasource_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom PYTHON STREAMING source and roll it up — the
+    same oracle as the batch scan, so the hash match proves the
+    offset-tracked chunked delivery was exactly-once and complete
+    (a dropped or repeated chunk changes the counts).
+
+    The drain runs the real streaming engine: microbatches of
+    STREAM_CHUNK rows via the offset log, memory sink,
+    processAllAvailable() to quiesce (the offset stops advancing at
+    n, so availability stabilizes), then the rollup over the sink.
+    """
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(_make_streaming_datasource())
+    name = f"pysource_stream_sink_{next(_STREAM_SINK_IDS)}"
+    q = (
+        spark.readStream.format("synthetic_kv_stream")
+        .option("n", str(SYNTH_N))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy((F.col("i") % SYNTH_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )
