@@ -163,3 +163,154 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# --- product quantization + ADC --------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_K = 16         # centroids per subspace codebook
+PQ_ITERS = 3
+PQ_CANDIDATES = 64  # ADC shortlist size fed to the exact re-rank
+
+
+def _subvectors(pts: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, v) → (vec_id, sub, sv): the m disjoint slices."""
+    width = dim // PQ_M
+    slices = F.array(
+        *[F.slice("v", s * width + 1, width) for s in range(PQ_M)]
+    )
+    return pts.select("vec_id", F.posexplode(slices).alias("sub", "sv"))
+
+
+def pq_train(subvecs: DataFrame, n_iters: int = PQ_ITERS) -> DataFrame:
+    """Per-subspace k-means codebooks, all m trained in ONE joint
+    Lloyd loop keyed by (sub, cid) — each iteration is a single
+    broadcast join + argmin + one grouped average over every subspace
+    at once (m separate driver loops would m-fold the pass count).
+    Returns (sub, cid, cv)."""
+    cent = subvecs.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    for _ in range(n_iters):
+        scored = subvecs.join(F.broadcast(cent), "sub").withColumn(
+            "d", _sq_dist("sv", "cv")
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("cid"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "cid", "sv")
+        )
+        cent = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+@query("ann_pq_adc")
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-free product quantization search: train m=4 codebooks of 16
+    centroids, encode the corpus to m 4-bit codes (2 bytes/vector —
+    a 128x compression of the 64-dim float corpus), score queries
+    against CODES via asymmetric distance computation, then exact
+    re-rank a candidate shortlist.
+
+    Scale shape — the reason PQ is the 100 TB vector-search workhorse:
+
+    - Training touches subvectors (narrow explode), one broadcast
+      join + one grouped average per Lloyd round.
+    - Encoding is the same broadcast-argmin — the corpus never
+      shuffles; the codes table (vec_id, sub, cid) is the persisted
+      artifact, integer-only.
+    - Query time never touches corpus floats until the re-rank: the
+      ADC table (queries x m x k = 320 partial dots) is built
+      driver-free and BROADCAST; approx scores are a sum of m lookups
+      per (query, vector) — an equi-join on (sub, cid) against the
+      codes table followed by a map-side-combinable sum.
+    - Only the PQ_CANDIDATES shortlist per query is re-ranked with
+      exact cosine against raw vectors (a k-bounded semi join).
+
+    Rows-only driver check (iterative training, like kmeans); recall
+    vs the exact baseline and the compression invariants are pinned
+    in tests/test_clustering.py.
+    """
+    pts = _points(spark, sf_dir).localCheckpoint()
+    first = pts.select(F.size("v").alias("d")).first()
+    dim = int(first["d"]) if first is not None else PQ_M
+    subvecs = _subvectors(pts, dim).localCheckpoint()
+    cent = pq_train(subvecs)
+
+    # Encode: argmin codebook entry per (vector, subspace).
+    scored = subvecs.join(F.broadcast(cent), "sub").withColumn(
+        "d", _sq_dist("sv", "cv")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("cid"))
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    ).localCheckpoint()
+
+    norms = pts.withColumn(
+        "norm",
+        F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
+    )
+    queries = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    # ADC lookup table: partial dot of each query subvector with each
+    # codebook entry; |Q| x m x k rows, broadcast.
+    qsub = _subvectors(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")), dim
+    ).select(F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv"))
+    adc = qsub.join(F.broadcast(cent), "sub").select(
+        "query_id",
+        "sub",
+        "cid",
+        F.aggregate(
+            F.zip_with("qsv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ).alias("pdot"),
+    )
+    approx = (
+        codes.join(F.broadcast(adc), ["sub", "cid"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("adc_dot"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("vec_id"))
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= PQ_CANDIDATES)
+        .select("query_id", "vec_id")
+    )
+    # Exact re-rank of the shortlist only.
+    cand = shortlist.join(
+        norms.select(
+            F.col("vec_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+        ),
+        "vec_id",
+    ).join(F.broadcast(queries), "query_id")
+    rr = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos_raw", _cosine("qv", "cv", "qnorm", "cnorm"))
+        .withColumn("rank", F.row_number().over(rr))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -357,3 +357,75 @@ def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_tok") / PACK_BUDGET_TOKENS).alias("chunk_id"),
         F.pmod(F.col("start_tok"), F.lit(PACK_BUDGET_TOKENS)).alias("chunk_offset"),
     )
+
+
+# --- per-domain quota cap ----------------------------------------------------
+
+DOMAIN_QUOTA = 120
+
+
+@query(
+    "domain_quota_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT,
+                          doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_QUOTA} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           min(CASE WHEN rk <= {DOMAIN_QUOTA} THEN doc_id END) AS sample_doc
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def q_domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source (domain) at DOMAIN_QUOTA documents, selected by
+    HASH PRIORITY — the web-crawl rebalancing pass that stops a
+    megasite from dominating the training mix while keeping the kept
+    subset an unbiased sample of the domain (hash order ≈ random
+    order, unlike top-k-by-quality which skews the distribution).
+
+    Same salted two-phase ranking as group_topk_documents — keep the
+    k hash-smallest per (source, salt) then re-rank the ≤ k·buckets
+    survivors — so no domain ever sorts in a single task. Membership
+    is a pure function of doc_id: re-runs and incremental loads keep
+    their selections stable until the quota itself fills.
+
+    Output is the per-domain audit (total vs kept vs the smallest
+    kept hash's doc) rather than the kept rows themselves, keeping
+    the driver row count bounded; the kept-row frame is the obvious
+    projection of the same ranking.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    prio = hex8_int(F.col("doc_id").cast("string"))
+    salted = docs.withColumn("prio", prio).withColumn(
+        "salt", F.pmod(F.col("prio"), F.lit(TOPK_SALT_BUCKETS))
+    )
+    w_local = Window.partitionBy("source", "salt").orderBy(
+        F.asc("prio"), F.asc("doc_id")
+    )
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= DOMAIN_QUOTA)
+        .drop("rn", "salt")
+    )
+    w_global = Window.partitionBy("source").orderBy(F.asc("prio"), F.asc("doc_id"))
+    kept = (
+        survivors.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= DOMAIN_QUOTA)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept_g"), F.min("doc_id").alias("sample_doc"))
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept_g", F.lit(0)).alias("n_kept"),
+        "sample_doc",
+    )

@@ -291,6 +291,14 @@ def triangle_stats(lineitem: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("_c"))
         .where(F.col("_c") >= F.lit(MIN_COPURCHASES))
         .select("p1", "p2")
+        # The basket self-join + pair count is the expensive subtree
+        # and feeds degrees, orientation, and the closing-edge side.
+        # EAGER localCheckpoint (not cache): concurrent stages of the
+        # single downstream action would each race to compute an
+        # unmaterialized cache; checkpointing the FILTERED edge table
+        # (3.6k rows at sf0.1) runs the 1.2M-pair aggregation exactly
+        # once and truncates the lineage every consumer replays.
+        .localCheckpoint()
     )
     degrees = (
         pairs.select(F.col("p1").alias("node"))
@@ -312,7 +320,9 @@ def triangle_stats(lineitem: DataFrame) -> DataFrame:
         F.when(p1_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(p1_first, F.struct("d2", "p2")).otherwise(F.struct(
             F.col("d1").alias("d2"), F.col("p1").alias("p2"))).alias("dst_s"),
-    ).select("src", F.col("dst_s.p2").alias("dst"), F.col("dst_s.d2").alias("ddst"))
+    ).select(
+        "src", F.col("dst_s.p2").alias("dst"), F.col("dst_s.d2").alias("ddst")
+    ).localCheckpoint()  # feeds both wedge sides and the closing-edge probe
 
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     # Wedge at the order-minimal vertex; canonicalize the open pair by

@@ -79,3 +79,31 @@ def test_trained_ivf_recall_and_balance(spark, sf_dir):
     cells = clustering.q_kmeans_clusters(spark, sf_dir).collect()
     n = sum(r.n_members for r in cells)
     assert max(r.n_members for r in cells) <= 3 * n / clustering.K_CLUSTERS
+
+
+def test_pq_adc_recall_and_code_shape(spark, sf_dir):
+    # PQ's contract: (a) codes are a complete, tiny encoding — exactly
+    # m codes per vector, every code < k; (b) the ADC shortlist +
+    # exact re-rank recovers a healthy fraction of the true top-k.
+    # With a 64-candidate shortlist over the 500-vector corpus the
+    # floor is conservative for isotropic data; the re-rank makes
+    # every returned cosine EXACT, so ranks it does return are
+    # correctly ordered by construction.
+    exact = knn_bruteforce(
+        clustering.fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got_rows = clustering.q_ann_pq_adc(spark, sf_dir).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    assert len(got & truth) / len(truth) >= 0.3
+
+    pts = clustering._points(spark, sf_dir)
+    first = pts.first()
+    dim = len(first["v"])
+    subvecs = clustering._subvectors(pts, dim)
+    cent = clustering.pq_train(subvecs)
+    by_sub = {r.sub: r.cid for r in cent.groupBy("sub").agg(
+        F.max("cid").alias("cid")
+    ).collect()}
+    assert set(by_sub) == set(range(clustering.PQ_M))
+    assert all(c < clustering.PQ_K for c in by_sub.values())

@@ -77,6 +77,19 @@ REPRESENTATIVES = [
     "udtf_wordcount",
     "window_ignore_nulls_locf",
     "multimodal_blob_stats_arrow",
+    # round-2 continuation, second wave
+    "skew_join_priority_revenue",
+    "heavy_hitter_words",
+    "quality_classifier_hashed",
+    "triangle_count_copurchase",
+    "bigram_pmi_top",
+    "kmv_distinct_users",
+    "hll_union_users",
+    "near_dup_incremental_minhash",
+    "gapfill_interp_signups",
+    "not_in_null_aware_probe",
+    "argmax_orders_probe",
+    "ann_pq_adc",
 ]
 
 
