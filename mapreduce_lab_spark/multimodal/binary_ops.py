@@ -410,3 +410,55 @@ def blob_stats_arrow(blobs: DataFrame) -> DataFrame:
 )
 def q_multimodal_blob_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blob_stats_arrow(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))
+
+
+def frame_dedup(blobs: DataFrame) -> DataFrame:
+    """Cross-document duplicated frames: the video analog of
+    ``chunk_level_dedup`` — which sampled frames appear in more than
+    one asset (shared intros, watermark cards, boilerplate stills).
+
+    Pipeline: the frame_sample UDTF explodes payloads to (doc, frame,
+    md5) rows inside the partition (payload bytes never shuffle), then
+    one map-side-combinable aggregation per frame hash. Only 16-byte
+    digests and counts cross the wire — at 100 TB of video the shuffle
+    is measured in GB, not TB.
+
+    Output: one row per frame hash seen in >= 2 distinct documents,
+    with its spread (n_docs, n_occurrences, example doc ids) — the
+    dedup-candidate index a curation pass consumes.
+    """
+    frames = frame_sample(blobs)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               md5(substr(text, i * {FRAME_STRIDE} + 1, {FRAME_LEN})) AS frame_md5
+        FROM documents,
+             unnest(range(0, (octet_length(encode(text)) + {FRAME_STRIDE - 1})
+                             // {FRAME_STRIDE})) AS t(i)
+    )
+    SELECT frame_md5,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM frames
+    GROUP BY frame_md5
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_dedup(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))

@@ -90,6 +90,8 @@ REPRESENTATIVES = [
     "not_in_null_aware_probe",
     "argmax_orders_probe",
     "ann_pq_adc",
+    "multimodal_frame_dedup",
+    "domain_quota_cap",
 ]
 
 

@@ -64,3 +64,42 @@ def test_skew_join_plan_has_two_join_paths_and_broadcast_split(spark):
     # Hot-key semi/anti splits ride broadcast joins (no extra shuffle
     # of either fact side for the split itself).
     assert inspect.broadcast_join_count(df) >= 3, plan
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    probe_keys=st.lists(st.integers(min_value=0, max_value=12),
+                        min_size=0, max_size=60),
+    build_keys=st.lists(st.integers(min_value=0, max_value=12),
+                        min_size=0, max_size=20),
+    threshold=st.sampled_from([1, 3, 8]),
+    n_salts=st.sampled_from([1, 2, 5]),
+)
+def test_skew_join_equals_plain_join_under_random_inputs(
+    spark, probe_keys, build_keys, threshold, n_salts
+):
+    """For any multisets, hot threshold, and salt count — including
+    degenerate ones (everything hot, nothing hot, empty sides,
+    duplicate build keys) — the split join is row-identical to the
+    plain inner join."""
+    probe = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(probe_keys)] or [(None, None)],
+        "k int, row_id int",
+    )
+    build = spark.createDataFrame(
+        [(k, i * 10) for i, k in enumerate(build_keys)] or [(None, None)],
+        "k int, payload int",
+    )
+    if not probe_keys:
+        probe = probe.where(F.col("k").isNotNull())
+    if not build_keys:
+        build = build.where(F.col("k").isNotNull())
+    got = salted_skew_join(
+        probe, build, key="k", salt_cols=["k", "row_id"],
+        n_salts=n_salts, hot_threshold=threshold,
+    )
+    want = probe.join(build, "k", "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
