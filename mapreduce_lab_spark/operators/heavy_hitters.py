@@ -65,21 +65,21 @@ def misra_gries_candidates(words: DataFrame, k: int = HH_COUNTERS) -> DataFrame:
     def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        # Batched Misra-Gries via the mergeable-summaries MERGE
+        # (Agarwal et al. 2013): fold each Arrow batch's EXACT counts
+        # (vectorized value_counts — Python touches unique words, not
+        # tokens) into the summary, then prune by subtracting the
+        # (k+1)-th largest count from every counter. Each prune
+        # decrements >= k+1 counters at once, so the total undercount
+        # per element stays <= n_p/(k+1) — the same guarantee as
+        # token-at-a-time MG, at pandas speed.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for w in pdf["word"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < n_counters:
-                    counters[w] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > n_counters:
+                sub = sorted(counters.values(), reverse=True)[n_counters]
+                counters = {w: c - sub for w, c in counters.items() if c > sub}
         yield pd.DataFrame({"word": list(counters.keys())})
 
     return words.mapInPandas(mg, schema="word string").distinct()

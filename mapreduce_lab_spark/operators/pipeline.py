@@ -15,7 +15,7 @@ is codegen'd into it, and the dedup shuffle carries only
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.textstats import quality_scores
@@ -155,4 +155,127 @@ def q_pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_ratio(F.col("n_chunks") - F.col("n_kept"), F.col("n_chunks")).alias(
             "dup_frac"
         ),
+    )
+
+
+# --- capstone 3: classifier → domain quota → dedup → rollup ----------------
+
+PIPE3_QUOTA = 150
+
+from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int  # noqa: E402
+from mapreduce_lab_spark.operators.classify import (  # noqa: E402
+    N_BUCKETS as _CLS_BUCKETS,
+    WEIGHT_SPAN as _CLS_SPAN,
+    classify_documents,
+)
+from mapreduce_lab_spark.operators.ngrams import _ORACLE_TOKENS  # noqa: E402
+
+_PIPE3_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           ({oracle_hex8_int("bg")} % {_CLS_BUCKETS} + {_CLS_BUCKETS}) % {_CLS_BUCKETS}
+               AS bucket
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        FROM toks WHERE len(ts) >= 2
+    )
+),
+weights AS (
+    SELECT i AS bucket,
+           ({oracle_hex8_int("'w:' || i")} % {_CLS_SPAN}) - {(_CLS_SPAN - 1) // 2} AS w
+    FROM generate_series(0, {_CLS_BUCKETS - 1}) t(i)
+),
+scored AS (
+    SELECT d.doc_id, d.source, d.text,
+           coalesce((SELECT CAST(sum(w) AS BIGINT)
+                     FROM feats f JOIN weights USING (bucket)
+                     WHERE f.doc_id = d.doc_id), 0) AS score
+    FROM documents d
+),
+kept AS (SELECT * FROM scored WHERE score >= 0),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT,
+                        doc_id) AS rk
+    FROM kept
+),
+capped AS (SELECT * FROM ranked WHERE rk <= {PIPE3_QUOTA}),
+reps AS (
+    SELECT md5(text) AS h, min(doc_id) AS rep_doc
+    FROM capped GROUP BY md5(text)
+),
+uniq AS (
+    SELECT c.source, c.doc_id
+    FROM capped c JOIN reps r ON c.doc_id = r.rep_doc
+)
+SELECT s.source,
+       count(*) AS n_raw,
+       CAST(sum(CASE WHEN s.score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_classified,
+       (SELECT count(*) FROM capped c WHERE c.source = s.source) AS n_quota,
+       (SELECT count(*) FROM uniq u WHERE u.source = s.source) AS n_unique
+FROM scored s
+GROUP BY s.source
+"""
+
+
+@query("pipeline_classifier_quota_dedup", oracle=_PIPE3_ORACLE)
+def q_pipeline_classifier_quota_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone 3 — the model-filtered corpus build, composing the
+    second-wave operator families in one plan:
+
+    1. hashed-bigram linear classifier gate (``operators/classify.py``)
+    2. per-domain quota by hash priority (``operators/curation.py``
+       discipline — salted here too via the same two-phase shape when
+       domains are huge; plain rank at this cardinality)
+    3. exact dedup among the survivors (canonical min-doc_id rep)
+    4. per-source funnel report: raw → classifier-kept → quota-kept →
+       unique.
+
+    Scale shape: scoring is one explode + broadcast weight join +
+    map-side-combinable sum; the quota rank shuffles kept rows once on
+    source; dedup shuffles (md5, doc_id, source) — text never moves
+    after the scan. The funnel counts are the audit trail every
+    curation run ships with.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = classify_documents(docs, spark).join(
+        docs.select("doc_id", "source", "text"), "doc_id"
+    )
+    kept = scored.where(F.col("score") >= 0)
+    w = Window.partitionBy("source").orderBy(
+        F.asc(hex8_int(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    capped = kept.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= PIPE3_QUOTA
+    )
+    reps = capped.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep_doc")
+    )
+    uniq = capped.join(
+        reps.select(F.col("rep_doc").alias("doc_id")), "doc_id", "left_semi"
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("score") >= 0, 1).otherwise(0)).alias("n_classified"),
+    )
+    quota_counts = capped.groupBy("source").agg(F.count("*").alias("n_quota"))
+    uniq_counts = uniq.groupBy("source").agg(F.count("*").alias("n_unique"))
+    return (
+        per_source.join(quota_counts, "source", "left")
+        .join(uniq_counts, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "n_classified",
+            F.coalesce("n_quota", F.lit(0)).alias("n_quota"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        )
     )
