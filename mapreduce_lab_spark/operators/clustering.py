@@ -182,6 +182,22 @@ def _subvectors(pts: DataFrame, dim: int) -> DataFrame:
     return pts.select("vec_id", F.posexplode(slices).alias("sub", "sv"))
 
 
+def pq_assign(subvecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace) — shared by every
+    training round AND the final encode, so a tie-break or distance
+    change can never diverge between them. Returns
+    (vec_id, sub, cid, sv)."""
+    scored = subvecs.join(F.broadcast(cent), "sub").withColumn(
+        "d", _sq_dist("sv", "cv")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid", "sv")
+    )
+
+
 def pq_train(subvecs: DataFrame, n_iters: int = PQ_ITERS) -> DataFrame:
     """Per-subspace k-means codebooks, all m trained in ONE joint
     Lloyd loop keyed by (sub, cid) — each iteration is a single
@@ -192,15 +208,7 @@ def pq_train(subvecs: DataFrame, n_iters: int = PQ_ITERS) -> DataFrame:
         "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
     for _ in range(n_iters):
-        scored = subvecs.join(F.broadcast(cent), "sub").withColumn(
-            "d", _sq_dist("sv", "cv")
-        )
-        w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("cid"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "cid", "sv")
-        )
+        assigned = pq_assign(subvecs, cent)
         cent = (
             assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub", "cid", "pos")
@@ -250,16 +258,9 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     subvecs = _subvectors(pts, dim).localCheckpoint()
     cent = pq_train(subvecs)
 
-    # Encode: argmin codebook entry per (vector, subspace).
-    scored = subvecs.join(F.broadcast(cent), "sub").withColumn(
-        "d", _sq_dist("sv", "cv")
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("cid"))
-    codes = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "cid")
-    ).localCheckpoint()
+    # Encode: argmin codebook entry per (vector, subspace) — the same
+    # pq_assign used during training.
+    codes = pq_assign(subvecs, cent).select("vec_id", "sub", "cid").localCheckpoint()
 
     norms = pts.withColumn(
         "norm",

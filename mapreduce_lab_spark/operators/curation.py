@@ -371,7 +371,7 @@ DOMAIN_QUOTA = 120
       SELECT source, doc_id,
              row_number() OVER (
                  PARTITION BY source
-                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT,
+                 ORDER BY {oracle_hex8_int("CAST(doc_id AS STRING)")},
                           doc_id) AS rk
       FROM documents
     )
@@ -397,8 +397,9 @@ def q_domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a pure function of doc_id: re-runs and incremental loads keep
     their selections stable until the quota itself fills.
 
-    Output is the per-domain audit (total vs kept vs the smallest
-    kept hash's doc) rather than the kept rows themselves, keeping
+    Output is the per-domain audit (total vs kept vs the lowest
+    doc_id among kept rows as a spot-check handle) rather than the
+    kept rows themselves, keeping
     the driver row count bounded; the kept-row frame is the obvious
     projection of the same ranking.
     """

@@ -35,6 +35,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_lab_spark.functions.text import tokenize
+from mapreduce_lab_spark.operators.ngrams import _ORACLE_TOKENS
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
@@ -46,16 +48,11 @@ from mapreduce_lab_spark.sources.tables import fan_out, load_table
 HH_INV_PHI = 29  # heavy = frequency >= 1/29 of all tokens
 HH_COUNTERS = 64  # MG counters per partition; must be >= HH_INV_PHI
 
-_ORACLE_TOKENS = (
-    "[t for t in regexp_split_to_array(lower(text), '[^\\p{L}]+') if t <> '']"
-)
-
 
 def _words(docs: DataFrame) -> DataFrame:
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda t: t != F.lit("")
-    )
-    return docs.select(F.explode(toks).alias("word"))
+    # Shared lowercase tokenizer (one definition per engine for the
+    # whole text family — see functions/text.py and ngrams._ORACLE_TOKENS).
+    return docs.select(F.explode(tokenize(F.lower(F.col("text")))).alias("word"))
 
 
 def misra_gries_candidates(words: DataFrame, k: int = HH_COUNTERS) -> DataFrame:
@@ -118,7 +115,7 @@ def heavy_hitters(words: DataFrame, inv_phi: int = HH_INV_PHI,
     """,
 )
 def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus tokens at/above 4% frequency, exact counts.
+    """Corpus tokens at/above 1/29 ≈ 3.45% frequency, exact counts.
 
     The oracle is the unbounded-memory definition (count everything,
     filter) — the operator must reach the same set through the

@@ -202,7 +202,7 @@ ranked AS (
     SELECT *,
            row_number() OVER (
                PARTITION BY source
-               ORDER BY ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT,
+               ORDER BY {oracle_hex8_int("CAST(doc_id AS STRING)")},
                         doc_id) AS rk
     FROM kept
 ),

@@ -263,12 +263,14 @@ def q_not_in_null_aware_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARGMAX_SQL = """
 SELECT o_orderpriority,
        max_by(o_orderkey,
-              CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+              lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 16, '0')
+              || '|' || lpad(CAST(o_orderkey AS STRING), 16, '0'))
            AS priciest_order,
        min_by(o_orderkey,
-              CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+              lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 16, '0')
+              || '|' || lpad(CAST(o_orderkey AS STRING), 16, '0'))
            AS cheapest_order,
-       max_by(o_custkey, o_orderdate || '|' || lpad(CAST(o_orderkey AS STRING), 12, '0'))
+       max_by(o_custkey, o_orderdate || '|' || lpad(CAST(o_orderkey AS STRING), 16, '0'))
            AS latest_customer
 FROM orders
 GROUP BY o_orderpriority
@@ -281,8 +283,10 @@ def q_argmax_orders_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable way to answer "which row attains the max"
     without a rank window. Determinism discipline (same as the
     struct-ordered OHLC open/close): ties in the raw sort value are
-    engine-arbitrary, so every sort key here is made TOTAL by folding
-    in the unique order key — the price legs via exact-cent units
-    scaled past the key space (cents·1e7 + key fits int64 to ~$9T
-    order totals), the date leg via zero-padded string concatenation."""
+    engine-arbitrary, so every sort key is made TOTAL by folding in
+    the unique order key via ZERO-PADDED string concatenation —
+    lexicographic order on the padded cents equals numeric order for
+    any non-negative amount under 10^16 cents, and unlike an integer
+    composite (cents·C + key) it cannot silently lose the price
+    ordering when the key space outgrows the multiplier."""
     return _sql(spark, sf_dir, _ARGMAX_SQL, "orders")

@@ -100,6 +100,7 @@ def test_pq_adc_recall_and_code_shape(spark, sf_dir):
     pts = clustering._points(spark, sf_dir)
     first = pts.first()
     dim = len(first["v"])
+    n_vecs = pts.count()
     subvecs = clustering._subvectors(pts, dim)
     cent = clustering.pq_train(subvecs)
     by_sub = {r.sub: r.cid for r in cent.groupBy("sub").agg(
@@ -107,3 +108,15 @@ def test_pq_adc_recall_and_code_shape(spark, sf_dir):
     ).collect()}
     assert set(by_sub) == set(range(clustering.PQ_M))
     assert all(c < clustering.PQ_K for c in by_sub.values())
+    # The CODES themselves: every vector carries exactly m codes
+    # (one per subspace, none dropped by the argmin), all < k.
+    codes = clustering.pq_assign(subvecs, cent).select("vec_id", "sub", "cid")
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("sub").alias("n_subs"),
+        F.max("cid").alias("max_cid"),
+    ).collect()
+    assert len(per_vec) == n_vecs
+    assert all(r.n == clustering.PQ_M and r.n_subs == clustering.PQ_M
+               for r in per_vec)
+    assert all(r.max_cid < clustering.PQ_K for r in per_vec)
