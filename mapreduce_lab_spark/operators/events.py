@@ -403,3 +403,105 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --- interval-overlap join ------------------------------------------------
+
+
+def interval_overlap_sessions(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "error",
+    gap: str = "10 minutes",
+) -> DataFrame:
+    """Keyed interval-overlap join: per user, click-sessions that
+    overlap error-sessions in time — "was the user's activity
+    concurrent with errors?", the temporal join neither as-of nor
+    windowed aggregation expresses.
+
+    Both sides sessionize with the native ``session_window`` (same
+    [ts, ts+gap) merge semantics as ``session_window_10min``); the
+    join is an EQUI-join on user_id with the overlap predicate
+    ``a.start < b.end AND b.start < a.end`` as a post-join filter, so
+    Catalyst plans a hash join, never a theta join — per-key candidate
+    pairs are bounded by sessions-per-user, which the session gap
+    bounds structurally (a user emits at most one session per gap
+    interval). For the KEYLESS variant at scale, the standard
+    construction is time-block bucketing (explode each interval to the
+    coarse blocks it touches, equi-join on block, dedup pairs) — same
+    candidate-then-verify shape as the LSH dedup families.
+
+    Overlap durations are exact integer MICROSECONDS
+    (``unix_micros``/``epoch_us``): no float time arithmetic, so the
+    per-user sums are order-independent and engine-identical.
+    """
+
+    def sess(t: str):
+        return (
+            events.where(F.col("event_type") == t)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"),
+            )
+        )
+
+    a, b = sess(type_a).alias("a"), sess(type_b).alias("b")
+    ov_us = F.unix_micros(F.least(F.col("a.e"), F.col("b.e"))) - F.unix_micros(
+        F.greatest(F.col("a.s"), F.col("b.s"))
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .where((F.col("a.s") < F.col("b.e")) & (F.col("b.s") < F.col("a.e")))
+        .select("user_id", ov_us.alias("ov_us"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum("ov_us").alias("total_overlap_us"),
+    )
+
+
+def _sess_cte(alias: str, event_type: str) -> str:
+    """Gaps-and-islands sessionization of one event type — the same
+    CTE shape as SESSION_ORACLE, reduced to (user_id, start, end)."""
+    return f"""
+    {alias} AS (
+      SELECT user_id, min(ts) AS s, max(ts) + INTERVAL 10 MINUTE AS e
+      FROM (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE event_type = '{event_type}'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+      )
+      GROUP BY user_id, sess
+    )"""
+
+
+_OVERLAP_SQL = f"""
+WITH {_sess_cte("sa", "click")},
+{_sess_cte("sb", "error")},
+pairs AS (
+    SELECT sa.user_id,
+           epoch_us(least(sa.e, sb.e)) - epoch_us(greatest(sa.s, sb.s)) AS ov_us
+    FROM sa JOIN sb ON sa.user_id = sb.user_id
+    WHERE sa.s < sb.e AND sb.s < sa.e
+)
+SELECT user_id, count(*) AS n_overlaps, CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+FROM pairs GROUP BY user_id
+"""
+
+
+@query("interval_overlap_sessions", oracle=_OVERLAP_SQL)
+def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count + exact-microsecond total of click-session /
+    error-session time overlaps."""
+    return interval_overlap_sessions(load_table(spark, sf_dir, "events"))

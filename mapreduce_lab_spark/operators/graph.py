@@ -390,3 +390,98 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the copurchase graph (one-row result:
     triangles, wedges, global clustering coefficient in permille)."""
     return triangle_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- item-item cosine similarity ------------------------------------------
+
+SIM_TOPK = 30
+
+
+def item_similarity_cosine(lineitem: DataFrame, k: int = SIM_TOPK) -> DataFrame:
+    """Top-k most-similar part pairs by co-occurrence cosine —
+    item-item collaborative filtering's candidate stage.
+
+    cosine(a,b) = n_ab / sqrt(n_a * n_b) over distinct-order
+    occurrence sets. The ranking is computed WITHOUT any sqrt or
+    transcendental: cosine is monotone in cosine^2 =
+    n_ab^2 / (n_a * n_b), which ``exact_ratio`` evaluates with
+    identical IEEE ops in both engines (a sqrt would be the one
+    libm call that can differ by an ulp and flip a rank — the same
+    discipline as the rational idf in ``bm25_search``).
+
+    Scale shape: pair counts ride the bounded-fanout basket self-join
+    (see module docstring) with the same ``MIN_COPURCHASES``
+    significance-and-densification gate as the triangle census; the
+    per-item totals are a broadcastable dimension (bounded by the part
+    catalog, eagerly checkpointed so its aggregation runs once for
+    both endpoint joins); the final top-k is a TakeOrdered over the
+    sparse scored-edge table, never a global sort of raw pairs.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    item_n = (
+        li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+        # Feeds both endpoint joins of one action: eager checkpoint
+        # computes the occurrence counts once (same rationale as the
+        # triangle edge table above).
+        .localCheckpoint()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= F.lit(MIN_COPURCHASES))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                item_n.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))
+            ),
+            "p1",
+        )
+        .join(
+            F.broadcast(
+                item_n.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2"))
+            ),
+            "p2",
+        )
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            exact_ratio(
+                F.col("n_ab") * F.col("n_ab"), F.col("n1") * F.col("n2")
+            ).alias("cosine_sq"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sq"), "p1", "p2").limit(k)
+
+
+_ITEM_SIM_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_item AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {MIN_COPURCHASES}
+)
+SELECT p1, p2, n_ab,
+       {oracle_exact_ratio("n_ab * n_ab", "i1.n * i2.n")} AS cosine_sq
+FROM pairs
+JOIN n_item i1 ON p1 = i1.l_partkey
+JOIN n_item i2 ON p2 = i2.l_partkey
+ORDER BY cosine_sq DESC, p1, p2
+LIMIT {SIM_TOPK}
+"""
+
+
+@query("item_similarity_cosine", oracle=_ITEM_SIM_SQL)
+def q_item_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 part pairs by co-purchase cosine (ties broken by pair id
+    so the LIMIT boundary is deterministic in both engines)."""
+    return item_similarity_cosine(load_table(spark, sf_dir, "lineitem"))

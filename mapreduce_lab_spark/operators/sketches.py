@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import load_table
 
@@ -103,3 +104,99 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user estimate per event_type, bit-identical in
     both engines (portable hash + identical floor estimator)."""
     return kmv_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+# --- count-min sketch -----------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # columns per row
+CMS_TOPK = 20
+
+
+def cms_word_frequency(
+    documents: DataFrame, d: int = CMS_D, w: int = CMS_W, k: int = CMS_TOPK
+) -> DataFrame:
+    """Count-min sketch over document tokens, probed at the exact
+    top-k words: (word, n_exact, n_cms).
+
+    The frequency analog of the KMV cardinality sketch: the whole
+    pipeline is built on the engine-portable md5 hash, so the sketch
+    cells AND the estimates are bit-identical in both engines and the
+    oracle replays the full construction. The CMS guarantee
+    ``n_cms >= n_exact`` (one-sided error, bounded by 2N/w with
+    probability 1-2^-d) is pinned in tests/test_sketches.py.
+
+    Scale shape: the cell table is FIXED at d*w rows regardless of
+    corpus size, built by a map-side-combinable sum — the same
+    mergeable-partial contract as the HLL rollup above (per-day cell
+    tables add cell-wise into coarser rollups without rescanning raw
+    text). Probing is a broadcast join of d*k rows. The exact top-k
+    here is the probe-set CHOICE, not part of the sketch — a
+    production probe set would be a fixed vocabulary.
+    """
+    wc = (
+        documents.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_exact"))
+        # Feeds cells, the top-k probe set, and the probe positions —
+        # three consumers in one action; eager checkpoint computes the
+        # token aggregation exactly once (same rationale as the
+        # triangle edge table, operators/graph.py).
+        .localCheckpoint()
+    )
+    pos_arr = F.array(
+        *[
+            hex8_int(F.concat(F.lit(f"cms:{r}:"), F.col("word"))) % w
+            for r in range(d)
+        ]
+    )
+    cells = (
+        wc.select("n_exact", F.posexplode(pos_arr).alias("r", "pos"))
+        .groupBy("r", "pos")
+        .agg(F.sum("n_exact").alias("cell_n"))
+    )
+    top = wc.orderBy(F.desc("n_exact"), "word").limit(k)
+    probe = top.select("word", "n_exact", F.posexplode(pos_arr).alias("r", "pos"))
+    return (
+        probe.join(F.broadcast(cells), ["r", "pos"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("cell_n").alias("n_cms"))
+    )
+
+
+def _cms_sql(d: int = CMS_D, w: int = CMS_W, k: int = CMS_TOPK) -> str:
+    rs = ", ".join(str(r) for r in range(d))
+    h = oracle_hex8_int("('cms:' || CAST(r AS STRING) || ':' || word)")
+    return f"""
+    WITH wc AS (
+        SELECT word, count(*) AS n_exact
+        FROM (
+          SELECT unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS word
+          FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    pos AS (
+        SELECT word, n_exact, r, ({h} % {w}) AS pos
+        FROM wc, (SELECT unnest([{rs}]) AS r)
+    ),
+    cells AS (
+        SELECT r, pos, CAST(sum(n_exact) AS BIGINT) AS cell_n
+        FROM pos GROUP BY r, pos
+    ),
+    top AS (SELECT word, n_exact FROM wc ORDER BY n_exact DESC, word LIMIT {k})
+    SELECT t.word, t.n_exact, min(c.cell_n) AS n_cms
+    FROM top t
+    JOIN pos p ON p.word = t.word
+    JOIN cells c ON c.r = p.r AND c.pos = p.pos
+    GROUP BY t.word, t.n_exact
+    """
+
+
+@query("cms_word_frequency", oracle=_cms_sql())
+def q_cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates at the exact top-20 words — the full
+    sketch construction verified bit-for-bit against the oracle's
+    replay of the same cells."""
+    return cms_word_frequency(load_table(spark, sf_dir, "documents"))

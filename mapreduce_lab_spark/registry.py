@@ -33,6 +33,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.relational_extra",
     "mapreduce_lab_spark.operators.subqueries",
     "mapreduce_lab_spark.operators.skewjoin",
+    "mapreduce_lab_spark.operators.joinprune",
     "mapreduce_lab_spark.operators.sql_surface",
     "mapreduce_lab_spark.operators.tpch_rest",
     "mapreduce_lab_spark.operators.windows",

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.sketches import (
+    cms_word_frequency,
     hll_union_users,
     kmv_distinct_users,
 )
@@ -51,3 +52,43 @@ def test_hll_union_matches_direct_sketch_and_truth(spark, sf_dir):
     assert merged == direct
     for t, n in exact.items():
         assert abs(merged[t] - n) <= max(2, 0.1 * n), (t, merged[t], n)
+
+
+def test_cms_one_sided_error_under_forced_collisions(spark):
+    # 200 distinct words in a deliberately tiny 2x16 sketch: collisions
+    # are unavoidable, so the one-sided guarantee (never underestimate)
+    # is exercised for real, and at least one probe must overestimate.
+    # translate() maps digits to letters: the tokenizer splits on
+    # non-letters, so 'w123' would otherwise collapse to 'w'.
+    docs = spark.range(200).selectExpr(
+        "repeat(concat('w', translate(CAST(id AS STRING), '0123456789', 'abcdefghij'), ' '),"
+        " CAST(id % 7 + 1 AS INT)) AS text"
+    )
+    got = cms_word_frequency(docs, d=2, w=16, k=50).collect()
+    assert len(got) == 50
+    assert all(r["n_cms"] >= r["n_exact"] for r in got)
+    assert any(r["n_cms"] > r["n_exact"] for r in got)
+    # CMS bound: overestimate <= 2N/w with prob 1 - 2^-d; assert the
+    # deterministic realized error stays within a loose multiple.
+    n_total = sum(i % 7 + 1 for i in range(200))
+    assert all(r["n_cms"] - r["n_exact"] <= 4 * n_total / 16 for r in got)
+
+
+def test_cms_cells_merge_across_corpus_splits(spark):
+    # Mergeability: sketching two halves and probing the cell-wise sum
+    # must equal sketching the whole corpus (the rollup contract).
+    docs = spark.range(300).selectExpr(
+        "concat('alpha beta w', translate(CAST(id AS STRING), '0123456789', 'abcdefghij'),"
+        " ' gamma') AS text"
+    )
+    whole = {r["word"]: r["n_cms"] for r in cms_word_frequency(docs, d=2, w=32, k=10).collect()}
+    half1 = cms_word_frequency(docs.where("id < 150"), d=2, w=32, k=10)
+    half2 = cms_word_frequency(docs.where("id >= 150"), d=2, w=32, k=10)
+    merged = {}
+    for df in (half1, half2):
+        for r in df.collect():
+            merged[r["word"]] = merged.get(r["word"], 0) + r["n_cms"]
+    # The three all-document words are in every top-10; their merged
+    # estimates must equal the whole-corpus estimates.
+    for w_ in ("alpha", "beta", "gamma"):
+        assert merged[w_] == whole[w_], (w_, merged[w_], whole.get(w_))
