@@ -505,3 +505,96 @@ def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user count + exact-microsecond total of click-session /
     error-session time overlaps."""
     return interval_overlap_sessions(load_table(spark, sf_dir, "events"))
+
+
+BLOCK_SECONDS = 3600  # candidate-generation time blocks (1 hour)
+
+
+def concurrent_error_overlap(
+    events: DataFrame, gap: str = "10 minutes", block_s: int = BLOCK_SECONDS
+) -> DataFrame:
+    """KEYLESS interval-overlap join via time-block bucketing:
+    error-session pairs of DIFFERENT users that overlap in time —
+    cross-user incident correlation, the join with no equi-key at all.
+
+    The scale construction (the one ``interval_overlap_sessions``'s
+    docstring names): explode each session to the 1-hour blocks it
+    touches, equi-join on block (so candidate pairs are generated
+    only inside a block, never across the whole timeline), DISTINCT
+    away the double-counting of pairs that share several blocks, then
+    verify true overlap and aggregate. Candidate work is
+    O(sum over blocks of concurrency²) — the join's true output size
+    plus block-boundary false candidates — instead of the O(n²)
+    theta join the naive form plans. Sessions are short relative to
+    the block, so the explode factor stays ~1-2 rows per session.
+
+    The oracle is the NAIVE theta join — the bucketing must be
+    plan-different but result-identical. Overlaps aggregate per day
+    (of the overlap start) in exact integer microseconds.
+    """
+    sess = (
+        events.where(F.col("event_type") == "error")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"))
+    )
+    blk_us = block_s * 1_000_000
+    blocks = sess.select(
+        "user_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("s") / blk_us).cast("long"),
+                F.floor(F.unix_micros("e") / blk_us).cast("long"),
+            )
+        ).alias("blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, "blk")
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("a.s").alias("s1"),
+            F.col("a.e").alias("e1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("b.s").alias("s2"),
+            F.col("b.e").alias("e2"),
+        )
+        .distinct()  # a pair sharing k blocks appears k times
+    )
+    verified = cand.where((F.col("s1") < F.col("e2")) & (F.col("s2") < F.col("e1")))
+    ov_us = F.unix_micros(F.least("e1", "e2")) - F.unix_micros(F.greatest("s1", "s2"))
+    return (
+        verified.select(
+            F.date_format(F.greatest("s1", "s2"), "yyyy-MM-dd").alias("day"),
+            ov_us.alias("ov_us"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ov_us").alias("total_overlap_us"),
+        )
+    )
+
+
+_CONCURRENT_SQL = f"""
+WITH {_sess_cte("se", "error")},
+pairs AS (
+    SELECT strftime(greatest(a.s, b.s), '%Y-%m-%d') AS day,
+           epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS ov_us
+    FROM se a JOIN se b
+      ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+)
+SELECT day, count(*) AS n_pairs, CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+FROM pairs GROUP BY day
+"""
+
+
+@query("concurrent_error_overlap", oracle=_CONCURRENT_SQL)
+def q_concurrent_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily count + exact-microsecond total of cross-user error-session
+    overlaps, generated through hour-block bucketing (oracle = naive
+    theta join)."""
+    return concurrent_error_overlap(load_table(spark, sf_dir, "events"))
