@@ -57,6 +57,10 @@ HEADLINE = [
     "heavy_hitter_words",
     "quality_classifier_hashed",
     "triangle_count_copurchase",
+    "bloom_semi_join_orders",
+    "cms_word_frequency",
+    "item_similarity_cosine",
+    "concurrent_error_overlap",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -92,6 +96,10 @@ PRIMARY_INPUT = {
     "heavy_hitter_words": "documents",
     "quality_classifier_hashed": "documents",
     "triangle_count_copurchase": "lineitem",
+    "bloom_semi_join_orders": "orders",
+    "cms_word_frequency": "documents",
+    "item_similarity_cosine": "lineitem",
+    "concurrent_error_overlap": "events",
 }
 
 

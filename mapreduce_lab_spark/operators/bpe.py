@@ -1,0 +1,173 @@
+"""Distributed BPE tokenizer training — learn merge rules from a corpus.
+
+The missing piece of the training-data pipeline between text stats and
+token counting: the tokenizer itself has to be TRAINED on corpus
+statistics, and at 100 TB that training is a Spark job. This module
+implements byte-pair-encoding merge learning (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — public
+algorithm) in its scalable form:
+
+- The corpus collapses to a WORD-FREQUENCY dictionary first (the one
+  corpus-scale pass, a map-side-combinable groupBy). Classic BPE
+  trains on this dict, not on raw text — the dict is bounded by
+  vocabulary size (~10^7 rows at web scale), not corpus size.
+- Per round: adjacent-pair counts weighted by word frequency
+  (``arrays_zip(slice, slice)`` + explode — pure JVM), a 1-row
+  deterministic argmax collect (count desc, pair asc — the same
+  scalar-only driver round-trip as the k-means convergence check),
+  and a greedy left-to-right in-word merge of the winning pair.
+- The merge rewrite is a fold over the symbol array via the
+  higher-order ``aggregate`` function — sequential within a word (as
+  greedy BPE semantics require) but narrow and whole-stage-codegen
+  across words: no Python in the loop, no shuffle in the rewrite.
+- ``localCheckpoint`` per round truncates the K-deep lineage
+  (same discipline as k-means / PageRank / connected components).
+
+Registered rows-only (iterative argmax fixpoints are the documented
+non-SQL-expressible class); the ALGORITHM is pinned instead by
+``tests/test_bpe.py``, which compares the learned merge sequence
+against an independent pure-Python reference BPE on the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.text import tokenize
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+BPE_ROUNDS = 12
+BPE_VOCAB_CAP = 5000  # most-frequent words kept for training
+END_OF_WORD = "</w>"
+
+_MERGE_SCHEMA = "round INT, left STRING, right STRING, pair_count BIGINT"
+
+
+def _char_syms(word):
+    """One symbol per character plus the end-of-word marker. Spark's
+    split keeps a trailing "" (the lookahead also matches at end of
+    string), so filter empties before appending the marker."""
+    return F.concat(
+        F.filter(F.split(word, "(?!^)"), lambda t: t != F.lit("")),
+        F.array(F.lit(END_OF_WORD)),
+    )
+
+
+def _merge_pair(syms, left: str, right: str):
+    """Greedy left-to-right replacement of adjacent (left, right) by
+    their concatenation, as a JVM-side fold over the symbol array."""
+    merged = left + right
+
+    def step(acc, x):
+        hit = acc["has_prev"] & (acc["prev"] == F.lit(left)) & (x == F.lit(right))
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit("").alias("prev"),
+                F.lit(False).alias("has_prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["has_prev"], F.concat(acc["out"], F.array(acc["prev"]))
+                ).otherwise(acc["out"]).alias("out"),
+                x.alias("prev"),
+                F.lit(True).alias("has_prev"),
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("prev"),
+        F.lit(False).alias("has_prev"),
+    )
+    finish = lambda acc: F.when(  # noqa: E731
+        acc["has_prev"], F.concat(acc["out"], F.array(acc["prev"]))
+    ).otherwise(acc["out"])
+    return F.aggregate(syms, init, step, finish)
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """(left, right, pair_count) over adjacent symbol pairs, weighted
+    by word frequency. Map-side combinable."""
+    n = F.size("syms")
+    pairs = state.select(
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.slice("syms", 1, n - 1).alias("l"),
+                F.slice("syms", 2, n - 1).alias("r"),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("left"), F.col("p.r").alias("right")
+    ).agg(F.sum("n").alias("pair_count"))
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges from a documents frame; returns
+    (round, left, right, pair_count), one row per learned merge in
+    order. Deterministic: ties in pair count break lexicographically,
+    the vocabulary cap breaks count ties by word."""
+    spark = documents.sparkSession
+    wc = (
+        documents.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(vocab_cap)
+    )
+    state = wc.select(
+        "n", _char_syms(F.col("word")).alias("syms")
+    ).localCheckpoint()
+
+    learned: list[tuple[int, str, str, int]] = []
+    for r in range(rounds):
+        best = (
+            _pair_counts(state)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < 2:
+            break
+        left, right, n_pair = best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        learned.append((r, left, right, n_pair))
+        state = state.select(
+            "n", _merge_pair(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+    return spark.createDataFrame(learned, _MERGE_SCHEMA)
+
+
+def bpe_encode_token_lengths(
+    documents: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a FIXED learned merge list to a corpus and report tokens
+    per document — the inference side of the tokenizer, same JVM fold,
+    zero shuffle until the final stats rollup."""
+    words = documents.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    out = words.select("doc_id", _char_syms(F.col("word")).alias("syms"))
+    for left, right in merges:
+        out = out.select("doc_id", _merge_pair(F.col("syms"), left, right).alias("syms"))
+    return out.groupBy("doc_id").agg(
+        F.sum(F.size("syms")).alias("n_tokens"),
+        F.count("*").alias("n_words"),
+    )
+
+
+@query("bpe_train_merges")  # rows-only: iterative argmax fixpoint
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE_ROUNDS merge rules learned from the documents
+    corpus (algorithm pinned against a pure-Python reference BPE in
+    tests/test_bpe.py)."""
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"))

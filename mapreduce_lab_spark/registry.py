@@ -59,6 +59,7 @@ _OPERATOR_MODULES = [
     "mapreduce_lab_spark.operators.curation",
     "mapreduce_lab_spark.operators.contamination",
     "mapreduce_lab_spark.operators.chunking",
+    "mapreduce_lab_spark.operators.bpe",
     "mapreduce_lab_spark.operators.quality",
     "mapreduce_lab_spark.operators.mapreduce_contract",
     "mapreduce_lab_spark.multimodal.binary_ops",
