@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.functions.numeric import to_units
 from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import load_table
@@ -200,3 +201,102 @@ def q_cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch construction verified bit-for-bit against the oracle's
     replay of the same cells."""
     return cms_word_frequency(load_table(spark, sf_dir, "documents"))
+
+
+# --- bottom-k sample quantile sketch --------------------------------------
+
+QSK_K = 512  # sample size per group
+
+
+def sampled_quantiles_prices(orders: DataFrame, k: int = QSK_K) -> DataFrame:
+    """Mergeable quantile estimates per order priority from a bottom-k
+    hash sample — the quantile member of the sketch triad (KMV =
+    cardinality, CMS = frequency, this = quantiles).
+
+    The k rows with the smallest portable hash of the row key are a
+    uniform sample whose membership is a pure function of the key —
+    so the sketch MERGES exactly (bottom-k of a union = bottom-k of
+    the parts' bottom-k's, pinned in tests) and both engines select
+    the identical sample. Quantiles are then the lower (type-1)
+    order statistic of the sample at index floor((n-1)·q): integer
+    index math on exact cent values, no interpolation float in either
+    engine.
+
+    Scale shape: at true scale the bottom-k runs as per-partition
+    top-k partials merged associatively (the window form here is the
+    one-level equivalent, group count × k rows survive the shuffle);
+    the estimate pass touches k rows per group. Error ~1/sqrt(k) on
+    quantile rank.
+    """
+    h = hex8_int(F.col("o_orderkey").cast("string"))
+    sample = (
+        orders.select(
+            "o_orderpriority",
+            to_units("o_totalprice", 100).alias("cents"),
+            h.alias("h"),
+            "o_orderkey",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy("h", "o_orderkey")
+            ),
+        )
+        .where(F.col("rn") <= k)
+    )
+    ranked = sample.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey"))
+        .alias("vr"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    est = ranked.where(
+        (F.col("vr") - 1 == F.floor((F.col("n") - 1) * 0.5))
+        | (F.col("vr") - 1 == F.floor((F.col("n") - 1) * 0.9))
+    )
+    return (
+        est.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_sample"),
+            (F.min("cents").cast("double") / 100).alias("est_median"),
+            (F.max("cents").cast("double") / 100).alias("est_p90"),
+        )
+    )
+
+
+_QSK_SQL = f"""
+WITH sample AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderkey,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY {oracle_hex8_int("CAST(o_orderkey AS STRING)")}, o_orderkey
+           ) AS rn
+    FROM orders
+),
+ranked AS (
+    SELECT o_orderpriority, cents,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY cents, o_orderkey) AS vr,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM sample WHERE rn <= {QSK_K}
+)
+SELECT o_orderpriority,
+       max(n) AS n_sample,
+       CAST(min(cents) AS DOUBLE) / 100 AS est_median,
+       CAST(max(cents) AS DOUBLE) / 100 AS est_p90
+FROM ranked
+WHERE vr - 1 = CAST(floor((n - 1) * 0.5) AS BIGINT)
+   OR vr - 1 = CAST(floor((n - 1) * 0.9) AS BIGINT)
+GROUP BY o_orderpriority
+"""
+
+
+@query("sampled_quantiles_prices", oracle=_QSK_SQL)
+def q_sampled_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/p90 order price per priority from the mergeable bottom-k
+    hash sample, bit-identical in both engines."""
+    return sampled_quantiles_prices(load_table(spark, sf_dir, "orders"))

@@ -5,6 +5,7 @@ direct single-pass sketch (the re-aggregation contract)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.sketches import (
@@ -92,3 +93,57 @@ def test_cms_cells_merge_across_corpus_splits(spark):
     # estimates must equal the whole-corpus estimates.
     for w_ in ("alpha", "beta", "gamma"):
         assert merged[w_] == whole[w_], (w_, merged[w_], whole.get(w_))
+
+
+def test_sampled_quantiles_track_exact(spark, sf_dir):
+    from mapreduce_lab_spark.operators.sketches import sampled_quantiles_prices
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = {r["o_orderpriority"]: (r["est_median"], r["est_p90"])
+           for r in sampled_quantiles_prices(orders).collect()}
+    exact = {
+        r["o_orderpriority"]: (r["m"], r["p"])
+        for r in orders.groupBy("o_orderpriority").agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("m"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p"),
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for pri, (m, p) in exact.items():
+        # rank error ~1/sqrt(k) with k=512; groups under k are exact-sample.
+        assert abs(est[pri][0] - m) <= 0.25 * m, (pri, est[pri][0], m)
+        assert abs(est[pri][1] - p) <= 0.25 * p, (pri, est[pri][1], p)
+
+
+def test_sampled_quantiles_merge_exactly(spark, sf_dir):
+    # Mergeability: the bottom-k sample of the whole equals the
+    # bottom-k of the union of both halves' bottom-k samples, so
+    # sketching halves and re-sketching the union gives the SAME
+    # estimates as one pass over everything.
+    from mapreduce_lab_spark.operators.sketches import QSK_K, sampled_quantiles_prices
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+
+    orders = load_table(spark, sf_dir, "orders")
+    whole = sorted(tuple(r) for r in sampled_quantiles_prices(orders).collect())
+
+    h = hex8_int(F.col("o_orderkey").cast("string"))
+    halves = [
+        orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == i) for i in (0, 1)
+    ]
+    partials = [
+        half.withColumn("_h", h)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy("_h", "o_orderkey")
+            ),
+        )
+        .where(F.col("_rn") <= QSK_K)
+        .drop("_h", "_rn")
+        for half in halves
+    ]
+    merged = sorted(
+        tuple(r)
+        for r in sampled_quantiles_prices(partials[0].unionByName(partials[1])).collect()
+    )
+    assert merged == whole
