@@ -171,3 +171,18 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (algorithm pinned against a pure-Python reference BPE in
     tests/test_bpe.py)."""
     return bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
+@query("bpe_token_counts")  # rows-only: consumes the iterative trainer
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under a tokenizer trained on the
+    corpus itself (6 merge rounds) — the train→encode round trip as
+    one registered pipeline. Deterministic end to end; the merge list
+    is tiny driver state (the learned rules), broadcast into the
+    encode folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (m["left"], m["right"])
+        for m in bpe_train_merges(docs, rounds=6).orderBy("round").collect()
+    ]
+    return bpe_encode_token_lengths(docs, merges)
