@@ -260,3 +260,57 @@ def test_heavy_hitters_verify_gate_is_broadcast(spark, sf_dir):
     df = q_heavy_hitter_words(spark, sf_dir)
     assert inspect.broadcast_join_count(df) >= 2, inspect.formatted_plan(df)
     assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
+
+
+def test_cms_partial_aggregation_and_broadcast_probe(spark, sf_dir):
+    # Cell construction must be map-side combinable (partial sum) and
+    # the d*w-row cell table rides a broadcast into the probe join.
+    from mapreduce_lab_spark.operators.sketches import q_cms_word_frequency
+
+    df = q_cms_word_frequency(spark, sf_dir)
+    assert inspect.has_partial_aggregation(df), inspect.formatted_plan(df)
+    assert inspect.broadcast_join_count(df) >= 1, inspect.formatted_plan(df)
+
+
+def test_item_similarity_broadcasts_item_totals(spark, sf_dir):
+    # Both endpoint joins of the per-item occurrence counts must
+    # broadcast (the totals are bounded by the part catalog); the
+    # scored-edge top-k must be TakeOrdered, not a global sort.
+    from mapreduce_lab_spark.operators.graph import q_item_similarity_cosine
+
+    df = q_item_similarity_cosine(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert inspect.broadcast_join_count(df) >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sampled_quantiles_windows_partition_by_group(spark, sf_dir):
+    # Both rank windows partition by the group key — no global-order
+    # single-task window anywhere in the sketch.
+    from mapreduce_lab_spark.operators.sketches import q_sampled_quantiles_prices
+
+    df = q_sampled_quantiles_prices(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "windowspecdefinition(o_orderpriority" in plan, plan
+    assert "windowspecdefinition()" not in plan.replace(" ", ""), plan
+
+
+def test_interval_overlap_plans_hash_join_not_theta(spark, sf_dir):
+    # Keyed variant: equi-join on user_id with the overlap predicate as
+    # a post-join filter — never a nested-loop theta join.
+    from mapreduce_lab_spark.operators.events import q_interval_overlap_sessions
+
+    df = q_interval_overlap_sessions(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_concurrent_overlap_joins_on_block(spark, sf_dir):
+    # Keyless variant: candidate generation must equi-join on the time
+    # block (hash or sort-merge), never scan all pairs.
+    from mapreduce_lab_spark.operators.events import q_concurrent_error_overlap
+
+    df = q_concurrent_error_overlap(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "blk" in plan, plan
