@@ -290,3 +290,35 @@ def q_argmax_orders_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite (cents·C + key) it cannot silently lose the price
     ordering when the key space outgrows the multiplier."""
     return _sql(spark, sf_dir, _ARGMAX_SQL, "orders")
+
+
+# --- bag-semantics set ops: EXCEPT ALL / INTERSECT ALL (shared SQL) -------
+
+_BAG_SET_OPS_SQL = """
+SELECT 'except_all' AS op, x AS o_orderpriority, count(*) AS n
+FROM (
+    SELECT o_orderpriority AS x FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 400000
+)
+GROUP BY x
+UNION ALL
+SELECT 'intersect_all' AS op, x, count(*) AS n
+FROM (
+    SELECT o_orderpriority AS x FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+)
+GROUP BY x
+"""
+
+
+@query("bag_set_ops_probe", oracle=_BAG_SET_OPS_SQL)
+def q_bag_set_ops_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations as shared SQL: EXCEPT ALL keeps
+    max(m−n, 0) copies per value and INTERSECT ALL min(m, n) — bag
+    semantics the DISTINCT variants in set_ops_nations cannot express.
+    Catalyst lowers both to keyed count-compare aggregations
+    (replicate rows via generate), so the plan is shuffle-bounded by
+    distinct values, never by row count."""
+    return _sql(spark, sf_dir, _BAG_SET_OPS_SQL, "orders")
