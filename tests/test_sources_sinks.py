@@ -244,3 +244,27 @@ def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmp_path):
     # curve segment. Require at least a 4x volume reduction (observed
     # reduction is far larger; 4x keeps the assertion robust).
     assert v_z * 4 < v_naive, (v_z, v_naive)
+
+
+def test_corrupt_json_rows_quarantined_not_fatal(spark, tmp_path):
+    # Data-lake reality: malformed JSON lines must quarantine into
+    # _corrupt_record (PERMISSIVE mode), never kill the 100 TB job or
+    # silently vanish.
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "a"}\n'
+        "not json at all\n"
+        '{"k": 2, "v": "b"}\n'
+        '{"k": "NaNaNa"}\n'  # type mismatch: k unparseable as long
+    )
+    df = (
+        spark.read.schema("k LONG, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [(r["k"], r["v"]) for r in rows if r["_corrupt_record"] is None]
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert sorted(good) == [(1, "a"), (2, "b")]
+    assert len(bad) == 2 and "not json at all" in bad[0]
