@@ -232,3 +232,118 @@ def q_python_datasource_stream_replay(spark: SparkSession, sf_dir: str) -> DataF
             F.max("h").alias("max_h"),
         )
     )
+
+
+# --- custom sink: Python DataSource writer --------------------------------
+
+
+def _make_sink_datasource():
+    """JSONL sink through the Spark 4 Python DataSource WRITER API —
+    the other half of the connector contract. Each task writes a
+    uniquely-named temp file and returns it as a commit message; the
+    driver-side commit() renames temps into final part files and drops
+    a _SUCCESS manifest, abort() deletes everything. This is the
+    two-phase commit protocol the reference hand-rolls
+    (core/worker.go:459-494 signalCommiting*/rollback) — and unlike
+    the reference's non-atomic O_CREATE-without-TRUNC writes (see
+    SURVEY.md E13 note), failed attempts here can never contaminate
+    committed output: finalization is rename-only.
+
+    Classes are defined inside the factory (pickled by value) per the
+    same rule as the reader above.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class KVSinkCommit(WriterCommitMessage):
+        def __init__(self, tmp_path: str, n_rows: int):
+            self.tmp_path = tmp_path
+            self.n_rows = n_rows
+
+    class KVSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_kv_sink"
+
+        def writer(self, schema, overwrite: bool):
+            path = self.options["path"]
+            fail_part = int(self.options.get("fail_partition", "-1"))
+            cols = [f.name for f in schema.fields]
+
+            class Writer(DataSourceWriter):
+                def write(self, rows):
+                    import json
+                    import os
+                    import uuid
+
+                    from pyspark import TaskContext
+
+                    ctx = TaskContext.get()
+                    tmp = os.path.join(
+                        path,
+                        f"_tmp-{ctx.partitionId()}-{ctx.attemptNumber()}"
+                        f"-{uuid.uuid4().hex}.jsonl",
+                    )
+                    n = 0
+                    with open(tmp, "w") as f:
+                        for r in rows:
+                            if fail_part == ctx.partitionId() and n == 1:
+                                raise RuntimeError("injected sink failure")
+                            f.write(json.dumps(dict(zip(cols, r))) + "\n")
+                            n += 1
+                    return KVSinkCommit(tmp, n)
+
+                def _sweep_temps(self):
+                    import glob
+                    import os
+
+                    for leftover in glob.glob(os.path.join(path, "_tmp-*")):
+                        try:
+                            os.remove(leftover)
+                        except OSError:
+                            pass
+
+                def commit(self, messages):
+                    import json
+                    import os
+
+                    total = 0
+                    for j, m in enumerate(messages):
+                        os.replace(m.tmp_path, os.path.join(path, f"part-{j:05d}.jsonl"))
+                        total += m.n_rows
+                    # Failed-attempt temps (their tasks retried into new
+                    # temp names) are garbage by construction: sweep.
+                    self._sweep_temps()
+                    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+                        json.dump({"n_rows": total, "n_files": len(messages)}, f)
+
+                def abort(self, messages):
+                    import os
+
+                    # Failed tasks contribute None messages; their
+                    # attempt temps fall to the sweep below.
+                    for m in messages:
+                        if m is None:
+                            continue
+                        try:
+                            os.remove(m.tmp_path)
+                        except OSError:
+                            pass
+                    self._sweep_temps()
+
+            return Writer()
+
+    return KVSink
+
+
+def write_kv_jsonl(df: DataFrame, path: str, fail_partition: int = -1) -> None:
+    """Write ``df`` through the custom two-phase-commit JSONL sink."""
+    spark = df.sparkSession
+    spark.dataSource.register(_make_sink_datasource())
+    w = df.write.format("synthetic_kv_sink").option("path", path)
+    if fail_partition >= 0:
+        w = w.option("fail_partition", str(fail_partition))
+    w.mode("append").save()
