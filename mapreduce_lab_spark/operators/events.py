@@ -598,3 +598,88 @@ def q_concurrent_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaps, generated through hour-block bucketing (oracle = naive
     theta join)."""
     return concurrent_error_overlap(load_table(spark, sf_dir, "events"))
+
+
+ASOF_FWD_TOLERANCE_S = 7200  # 2 hours
+
+
+def asof_join_views_to_next_purchase(
+    events: DataFrame, tolerance_s: int = ASOF_FWD_TOLERANCE_S
+) -> DataFrame:
+    """FORWARD as-of with tolerance: each view matched to the user's
+    NEXT purchase at-or-after it, but only within ``tolerance_s`` —
+    otherwise the match is NULL (left semantics). The attribution
+    question "did this view convert within 2 h?".
+
+    The mirror of ``asof_join_purchases_to_views``: same union +
+    one-shuffle running-edge composition, with the window looking
+    FORWARD (``[currentRow, unboundedFollowing]`` + first-non-null)
+    instead of backward, and the tolerance applied as a scalar gate
+    after the match — the gate cannot change which purchase is
+    nearest, so it composes with the running edge exactly. Ties
+    (purchase at the identical timestamp) match: the view side sorts
+    first at equal ts, and the forward window includes the current
+    position onward.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    unioned = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn(
+        "next_p_ts",
+        F.first(F.when(F.col("side") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    lead_us = F.unix_micros("next_p_ts") - F.unix_micros("ts")
+    in_tol = F.col("next_p_ts").isNotNull() & (
+        lead_us <= F.lit(tolerance_s * 1_000_000)
+    )
+    return matched.filter(F.col("side") == 0).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.when(in_tol, F.date_format("next_p_ts", "yyyy-MM-dd HH:mm:ss")).alias(
+            "next_purchase_ts"
+        ),
+        F.when(in_tol, (lead_us / F.lit(1_000_000)).cast("bigint")).alias(
+            "lead_seconds"
+        ),
+    )
+
+
+_ASOF_FWD_SQL = f"""
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+    SELECT v.event_id, v.user_id, v.ts AS vts,
+           (SELECT min(p.ts) FROM p
+            WHERE p.user_id = v.user_id AND p.ts >= v.ts) AS pts
+    FROM v
+)
+SELECT event_id, user_id,
+       strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       CASE WHEN pts IS NOT NULL
+             AND epoch_us(pts) - epoch_us(vts) <= {ASOF_FWD_TOLERANCE_S * 1_000_000}
+            THEN strftime(pts, '%Y-%m-%d %H:%M:%S') END AS next_purchase_ts,
+       CASE WHEN pts IS NOT NULL
+             AND epoch_us(pts) - epoch_us(vts) <= {ASOF_FWD_TOLERANCE_S * 1_000_000}
+            THEN CAST((epoch_us(pts) - epoch_us(vts)) // 1000000 AS BIGINT)
+       END AS lead_seconds
+FROM m
+"""
+
+
+@query("asof_join_forward_tolerance", oracle=_ASOF_FWD_SQL)
+def q_asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views matched to the next same-user purchase within 2 h (NULL
+    beyond tolerance). Oracle = correlated min-subquery, an
+    independent formulation of the same forward as-of."""
+    return asof_join_views_to_next_purchase(load_table(spark, sf_dir, "events"))
