@@ -279,3 +279,85 @@ def q_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ship_latency_percentiles(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     )
+
+
+# --- incremental JOIN-view maintenance ------------------------------------
+
+IVM_ORDERS_SPLIT = "1999-01-01"  # ΔO = orders placed on/after
+IVM_LINES_SPLIT = "2000-01-01"  # ΔL = lineitems shipped on/after
+
+
+def ivm_join_revenue(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    o_split: str = IVM_ORDERS_SPLIT,
+    l_split: str = IVM_LINES_SPLIT,
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the two-table delta
+    algebra, companion to ``incremental_daily_revenue``'s aggregate
+    maintenance:
+
+        agg((O_b + ΔO) ⋈ (L_b + ΔL))
+          = agg(O_b⋈L_b) + agg(ΔO⋈L_b) + agg(O_b⋈ΔL) + agg(ΔO⋈ΔL)
+
+    The first term is yesterday's materialized view (here recomputed
+    from the base split so the whole query is self-contained and
+    oracle-checkable); the three delta terms are what a refresh
+    actually executes — each joins AT LEAST one delta side, so at
+    100 TB the refresh cost is O(|Δ| · fanout), never a rescan of
+    base⋈base. The deltas are independent per table (new orders by
+    order date, newly shipped lines by ship date), which is exactly
+    what makes the cross terms necessary: a base order can gain new
+    lines, and a new order arrives with lines already in base ranges.
+
+    All four terms are exact integer partials (the same mergeable
+    fixed-point contract as the aggregate IVM), so the sum is
+    bit-identical to the from-scratch oracle.
+    """
+    o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = lineitem.select(
+        "l_orderkey", "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long").alias("rev_units"),
+    )
+    o_base = o.where(F.col("o_orderdate") < F.lit(o_split))
+    o_delta = o.where(F.col("o_orderdate") >= F.lit(o_split))
+    l_base = li.where(F.col("l_shipdate") < F.lit(l_split))
+    l_delta = li.where(F.col("l_shipdate") >= F.lit(l_split))
+
+    def term(os_: DataFrame, ls: DataFrame) -> DataFrame:
+        return (
+            os_.join(ls, os_.o_orderkey == ls.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("rev_units").alias("units"), F.count("*").alias("n"))
+        )
+
+    partials = (
+        term(o_base, l_base)
+        .unionAll(term(o_delta, l_base))
+        .unionAll(term(o_base, l_delta))
+        .unionAll(term(o_delta, l_delta))
+    )
+    return partials.groupBy("o_orderpriority").agg(
+        (F.sum("units").cast("double") / F.lit(10000)).alias("revenue"),
+        F.sum("n").alias("n_lines"),
+    )
+
+
+@query(
+    "ivm_join_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {oracle_exact_sum("l_extendedprice * (1 - l_discount)", 10000)}
+               AS revenue,
+           count(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_ivm_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view delta maintenance: four disjoint base/delta terms
+    summed, oracled by the monolithic from-scratch join."""
+    return ivm_join_revenue(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
