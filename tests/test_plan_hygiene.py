@@ -88,3 +88,27 @@ def test_audit_list_not_stale(plans):
     stale = [n for n in BNLJ_AUDITED
              if n in plans and "BroadcastNestedLoopJoin" not in plans[n]]
     assert stale == [], f"BNLJ_AUDITED entries no longer needed: {stale}"
+
+
+# name -> why a row-at-a-time Python eval is THE POINT of the query.
+ROW_PYTHON_AUDITED = {
+    "udtf_wordcount": "reference Map-UDTF parity contract — row-at-a-time "
+    "1->N generation IS the semantics being mirrored; the DataFrame twin "
+    "(wordcount) is the scale path",
+}
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    # 3. **Python only through Arrow.** Row-at-a-time Python UDFs/UDTFs
+    #    (BatchEvalPython*) serialize row-by-row through pickle — the
+    #    10-100x slow path. Every Python crossing in this engine is
+    #    Arrow-batched (ArrowEvalPython / MapInPandas / mapInArrow /
+    #    FlatMapGroupsInPandas / applyInPandasWithState) or the
+    #    deliberately-RDD map_reduce contract, which never appears in
+    #    a SQL plan. The one audited exception is the reference-parity
+    #    UDTF, whose row-at-a-time shape is the contract under test.
+    offenders = [
+        n for n, p in plans.items()
+        if "BatchEvalPython" in p and n not in ROW_PYTHON_AUDITED
+    ]
+    assert offenders == [], offenders
