@@ -8,6 +8,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import hashlib
 import math
+import threading
 import time
 
 import duckdb
@@ -15,6 +16,7 @@ import pandas as pd
 
 SMOKE_SF = "/root/testdata/sf0.001"
 SF = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
+ORACLE_TIMEOUT_S = int(os.environ.get("SIM_ORACLE_TIMEOUT_S", "120"))
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -84,12 +86,25 @@ def main():
             rows_only.append((name, len(sp)))
             print(f"[{i+1}/{len(qs)}] {name}: rows-only ({len(sp)} rows)")
             continue
+        # Watchdog: some oracles are deliberately naive formulations
+        # (recursive-CTE closures, O(n²) definitions) that are fine at
+        # driver scale (sf0.01) but explode at larger SIM_SF. Interrupt
+        # rather than hang; a timeout at >driver scale is recorded as
+        # skipped, not failed (the driver never runs oracles there).
+        timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+        timer.start()
         try:
             du = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
-            fails.append((name, f"oracle error: {ex}"))
-            print(f"[{i+1}/{len(qs)}] {name}: ORACLE ERROR {ex}")
+            interrupted = "INTERRUPT" in str(ex).upper()
+            if interrupted and SF != "/root/testdata/sf0.01":
+                print(f"[{i+1}/{len(qs)}] {name}: oracle timeout at this SF (skipped)")
+            else:
+                fails.append((name, f"oracle error: {ex}"))
+                print(f"[{i+1}/{len(qs)}] {name}: ORACLE ERROR {ex}")
             continue
+        finally:
+            timer.cancel()
         if sorted(sp.columns) != sorted(du.columns):
             fails.append((name, f"schema {sorted(sp.columns)} vs {sorted(du.columns)}"))
             print(f"[{i+1}/{len(qs)}] {name}: SCHEMA MISMATCH")
