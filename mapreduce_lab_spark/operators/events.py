@@ -683,3 +683,56 @@ def q_asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
     beyond tolerance). Oracle = correlated min-subquery, an
     independent formulation of the same forward as-of."""
     return asof_join_views_to_next_purchase(load_table(spark, sf_dir, "events"))
+
+
+def multi_grain_event_rollup(events: DataFrame) -> DataFrame:
+    """Hour/day/week counts per event type in ONE scan: each event
+    explodes into its three (grain, bucket) memberships, then a single
+    map-side-combinable aggregation.
+
+    GROUPING SETS would express the same batch result, but the explode
+    form is the STREAMING-SAFE shape — multi-dimensional grouping sets
+    are not allowed in streaming aggregations, while explode + groupBy
+    is, so the same plan serves both paths (the registry's batch twin
+    discipline). Cost: the shuffle carries 3 partial rows per
+    (grain, bucket, type) per partition instead of one scan per grain
+    — one pass over 100 TB instead of three.
+
+    Buckets render as strings (the house date convention) with the
+    grain label folded in, so the output is one tidy frame.
+    """
+    grains = F.array(
+        F.struct(
+            F.lit("hour").alias("grain"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("bucket"),
+        ),
+        F.struct(
+            F.lit("day").alias("grain"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm").alias("bucket"),
+        ),
+        F.struct(
+            F.lit("week").alias("grain"),
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd HH:mm").alias("bucket"),
+        ),
+    )
+    return (
+        events.select("event_type", F.explode(grains).alias("g"))
+        .groupBy("event_type", F.col("g.grain").alias("grain"), F.col("g.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_MULTI_GRAIN_SQL = """
+SELECT event_type, g.grain,
+       strftime(date_trunc(g.grain, ts), '%Y-%m-%d %H:%M') AS bucket,
+       count(*) AS n_events
+FROM events, (SELECT unnest(['hour', 'day', 'week']) AS grain) g
+GROUP BY event_type, g.grain, date_trunc(g.grain, ts)
+"""
+
+
+@query("multi_grain_event_rollup", oracle=_MULTI_GRAIN_SQL)
+def q_multi_grain_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/week event counts from one pass (explode-as-rollup,
+    the streaming-compatible multi-granularity aggregation)."""
+    return multi_grain_event_rollup(load_table(spark, sf_dir, "events"))
