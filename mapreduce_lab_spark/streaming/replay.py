@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_lab_spark.operators.chunking import _CHUNK_ORACLE_BODY
 from mapreduce_lab_spark.operators.events import (
+    _MULTI_GRAIN_SQL,
     SESSION_ORACLE,
     SLIDING_ORACLE,
     TUMBLING_ORACLE,
@@ -242,3 +243,15 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         jobs.streaming_view_purchase_join(views, purchases), "append"
     )
+
+
+@query("streaming_multigrain_replay", oracle=_MULTI_GRAIN_SQL)
+def q_streaming_multigrain_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-granularity rollup through Structured Streaming —
+    the proof of its design claim: GROUPING SETS are rejected in
+    streaming aggregations, but the explode-as-rollup shape is a
+    plain streaming groupBy, so the SAME operator serves both paths
+    (complete mode, one microbatch, same oracle as the batch twin)."""
+    from mapreduce_lab_spark.operators.events import multi_grain_event_rollup
+
+    return _drain(multi_grain_event_rollup(_stream(spark, sf_dir)), "complete")
