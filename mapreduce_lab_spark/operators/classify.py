@@ -109,3 +109,113 @@ def q_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document with the hashed bigram linear model."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return classify_documents(docs, spark)
+
+
+# --- threshold sweep: precision/recall table ------------------------------
+
+PR_THRESHOLDS = [-3000, -1500, -500, 0, 500, 1500, 3000]
+
+
+def classifier_pr_curve(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """Precision/recall of the hashed classifier at a threshold grid —
+    the calibration table every production quality filter ships with
+    (pick the operating point AFTER seeing the tradeoff, not before).
+
+    The label here is the ``lang = 'en'`` proxy (any deterministic
+    label exercises the same machinery). Each scored document explodes
+    into one row per candidate threshold (a narrow array explode — NO
+    cross join, so the plan stays BNLJ-free), then one
+    map-side-combinable aggregation counts the confusion quadrants per
+    threshold; precision/recall come out as exact permille ratios.
+    Scale: one classifier pass + a shuffle of |grid| × 4 counters.
+    """
+    scored = classify_documents(docs, spark).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")), "doc_id"
+    )
+    swept = scored.select(
+        "score",
+        "label",
+        F.explode(F.array(*[F.lit(t) for t in PR_THRESHOLDS])).alias("threshold"),
+    ).select(
+        "threshold", "label", (F.col("score") >= F.col("threshold")).alias("pred")
+    )
+    agg = swept.groupBy("threshold").agg(
+        F.count(F.when(F.col("pred") & F.col("label"), 1)).alias("tp"),
+        F.count(F.when(F.col("pred") & ~F.col("label"), 1)).alias("fp"),
+        F.count(F.when(~F.col("pred") & F.col("label"), 1)).alias("fn"),
+        F.count(F.when(~F.col("pred") & ~F.col("label"), 1)).alias("tn"),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.floor(F.col("tp").cast("double") * 1000 / (F.col("tp") + F.col("fp"))).cast("long"),
+        ).alias("precision_permille"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.floor(F.col("tp").cast("double") * 1000 / (F.col("tp") + F.col("fn"))).cast("long"),
+        ).alias("recall_permille"),
+    )
+
+
+_PR_GRID = ", ".join(str(t) for t in PR_THRESHOLDS)
+
+@query(
+    "classifier_pr_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               ({oracle_hex8_int("bg")} % {N_BUCKETS} + {N_BUCKETS}) % {N_BUCKETS}
+                   AS bucket
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ts) - 1),
+                                         i -> ts[i] || ' ' || ts[i + 1])) AS bg
+            FROM toks WHERE len(ts) >= 2
+        )
+    ),
+    weights AS (
+        SELECT i AS bucket,
+               ({oracle_hex8_int("'w:' || i")} % {WEIGHT_SPAN}) - {_HALF_SPAN} AS w
+        FROM generate_series(0, {N_BUCKETS - 1}) t(i)
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               coalesce(s.score, 0) AS score,
+               d.lang = 'en' AS label
+        FROM documents d
+        LEFT JOIN (
+            SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+            FROM feats JOIN weights USING (bucket) GROUP BY doc_id
+        ) s USING (doc_id)
+    ),
+    swept AS (
+        SELECT t.threshold, label, score >= t.threshold AS pred
+        FROM scored, (SELECT unnest([{_PR_GRID}]) AS threshold) t
+    ),
+    agg AS (
+        SELECT threshold,
+               count(*) FILTER (pred AND label) AS tp,
+               count(*) FILTER (pred AND NOT label) AS fp,
+               count(*) FILTER (NOT pred AND label) AS fn,
+               count(*) FILTER (NOT pred AND NOT label) AS tn
+        FROM swept GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(floor(CAST(tp AS DOUBLE) * 1000 / (tp + fp)) AS BIGINT)
+           END AS precision_permille,
+           CASE WHEN tp + fn > 0
+                THEN CAST(floor(CAST(tp AS DOUBLE) * 1000 / (tp + fn)) AS BIGINT)
+           END AS recall_permille
+    FROM agg
+    """,
+)
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts + exact-permille precision/recall of the
+    hashed classifier at a 7-point threshold grid."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return classifier_pr_curve(docs, spark)
