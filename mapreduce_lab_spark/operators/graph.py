@@ -178,13 +178,22 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as the hand-rolled PageRank loop above), and DuckDB runs the
 # identical ANSI string as the oracle — the strongest parity check
 # available for the recursive surface.
-_REACH_SQL = """
+MIN_COPURCHASES = 2  # edge significance threshold (and densification guard)
+
+_REACH_SQL = f"""
 WITH RECURSIVE
 li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
-    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    -- REPEAT-copurchase edges only (same significance gate as the
+    -- triangle census): the raw pair graph densifies with scale, and
+    -- path-multiset recursion over it exceeds any row budget (hit
+    -- Spark's RECURSION_ROW_LIMIT at sf0.1); the repeat graph keeps
+    -- per-node degree bounded, so the 2-hop path count stays small.
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
     FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
     WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {MIN_COPURCHASES}
 ),
 edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
 reach(part_id, hop) AS (
@@ -245,7 +254,6 @@ def q_copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- triangle counting ----------------------------------------------------
 
-MIN_COPURCHASES = 2  # edge significance threshold (and densification guard)
 
 
 def triangle_stats(lineitem: DataFrame) -> DataFrame:

@@ -325,10 +325,11 @@ def revenue_trend_by_segment(orders: DataFrame, customer: DataFrame) -> DataFram
     at scale (n·Σxy ≈ 1.4e20 already at sf0.1), so this operator
     demonstrates the wide path functions/numeric.py documents: cast
     the sums to DECIMAL(38,0) for the products (Spark decimal
-    arithmetic is exact; DuckDB promotes BIGINT products to HUGEINT),
-    convert to DOUBLE once for the final division. Both engines round
-    the same exact integer to the same double, so parity holds at any
-    group size.
+    arithmetic is exact; the oracle casts to HUGEINT explicitly —
+    DuckDB promotes only sum() results, NOT products, a divergence
+    the sf0.1 sweep caught as a real overflow), convert to DOUBLE
+    once for the final division. Both engines round the same exact
+    integer to the same double, so parity holds at any group size.
 
     Scale shape: one broadcast of the customer (custkey, segment)
     slice, one map-side-combinable grouped aggregation — 5 output
@@ -380,17 +381,31 @@ def revenue_trend_by_segment(orders: DataFrame, customer: DataFrame) -> DataFram
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
                CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
         FROM j GROUP BY segment
+    ),
+    wide AS (
+        -- HUGEINT BEFORE the multiplies: DuckDB promotes only sum()
+        -- results, not products — bare n * sxy is BIGINT * BIGINT and
+        -- overflows at sf0.1 (~1.4e20). The Spark twin makes the same
+        -- move with DECIMAL(38,0); both engines then convert the same
+        -- exact integer to the same double.
+        SELECT segment, n,
+               CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+               CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+               sx, sy
+        FROM agg
     )
     SELECT segment, n AS n_orders,
-           CASE WHEN (n * sxx - sx * sx) <> 0
-                THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_day,
-           CASE WHEN (n * sxx - sx * sx) <> 0
+           CASE WHEN den <> 0
+                THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+           END AS slope_cents_per_day,
+           CASE WHEN den <> 0
                 THEN (CAST(sy AS DOUBLE)
-                      - (CAST(n * sxy - sx * sy AS DOUBLE)
-                         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                      - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
                      / n END AS intercept_cents
-    FROM agg
+    FROM wide
     """,
 )
 def q_revenue_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
