@@ -61,6 +61,8 @@ HEADLINE = [
     "cms_word_frequency",
     "item_similarity_cosine",
     "concurrent_error_overlap",
+    "ivm_join_revenue",
+    "multi_grain_event_rollup",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -100,6 +102,8 @@ PRIMARY_INPUT = {
     "cms_word_frequency": "documents",
     "item_similarity_cosine": "lineitem",
     "concurrent_error_overlap": "events",
+    "ivm_join_revenue": "lineitem",
+    "multi_grain_event_rollup": "events",
 }
 
 
