@@ -208,3 +208,73 @@ def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(load_table(spark, sf_dir, "orders"))
+
+
+# --- deterministic fractional upsampling ----------------------------------
+
+# Replication rate per language, in permille (1000 = keep as-is).
+# The inverse of the downsampling ops (temperature mix, domain quota):
+# a training mix UPSAMPLES scarce high-value sources by a fractional
+# factor.
+UPSAMPLE_PERMILLE = {"fr": 2500, "de": 1800, "zh": 1300}
+
+
+def upsample_by_lang(docs: DataFrame) -> DataFrame:
+    """Replicate documents by per-language fractional rates, hash-
+    deterministically: rate 2500‰ emits 2 copies of every doc plus a
+    3rd for the 50% of docs whose md5 gate lands under the fractional
+    remainder. Copies are explicit (doc_id, copy_idx) rows — exactly
+    what a downstream packer/shuffler consumes — and membership of
+    the extra copy is a pure function of doc_id, so incremental loads
+    replicate consistently and re-runs are byte-stable.
+
+    Scale shape: one narrow explode(sequence) per row, no shuffle at
+    all until the audit rollup; the expected blow-up factor is the
+    mix designer's number, never data-dependent.
+    """
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pm))
+            for lang, pm in UPSAMPLE_PERMILLE.items()
+        ],
+        F.lit(1000),
+    )
+    gate = hex8_int(F.concat(F.lit("up:"), F.col("doc_id").cast("string"))) % 1000
+    n_copies = (rate / 1000).cast("long") + (gate < rate % 1000).cast("long")
+    copies = docs.select(
+        "doc_id", "lang", F.explode(F.sequence(F.lit(1), n_copies)).alias("copy_idx")
+    )
+    return copies.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+_UPSAMPLE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in UPSAMPLE_PERMILLE.items()
+)
+
+_UPSAMPLE_SQL = f"""
+WITH rated AS (
+    SELECT doc_id, lang,
+           (CASE {_UPSAMPLE_CASE} ELSE 1000 END) AS rate,
+           ({oracle_hex8_int("('up:' || CAST(doc_id AS STRING))")} % 1000) AS gate
+    FROM documents
+),
+copies AS (
+    SELECT doc_id, lang,
+           unnest(generate_series(1, CAST(rate // 1000 AS BIGINT)
+                                     + CASE WHEN gate < rate % 1000 THEN 1 ELSE 0 END))
+               AS copy_idx
+    FROM rated
+)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_copies
+FROM copies GROUP BY lang
+"""
+
+
+@query("upsample_by_lang", oracle=_UPSAMPLE_SQL)
+def q_upsample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc and copy counts after deterministic fractional
+    upsampling (rates in UPSAMPLE_PERMILLE)."""
+    return upsample_by_lang(load_table(spark, sf_dir, "documents"))
