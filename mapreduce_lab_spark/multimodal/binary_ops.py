@@ -26,7 +26,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.registry import query
@@ -462,3 +462,81 @@ def frame_dedup(blobs: DataFrame) -> DataFrame:
 )
 def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_dedup(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))
+
+
+# --- scene-change detection ------------------------------------------------
+
+CUT_THRESHOLD = 300  # |Δ frame energy| at/above which a cut is declared
+
+
+def frame_scene_cuts(blobs: DataFrame) -> DataFrame:
+    """Scene-change detection over sampled frames: per asset, count
+    positions where consecutive frame ENERGY (byte sum — the codec-free
+    stand-in for luminance) jumps by >= CUT_THRESHOLD.
+
+    The composite shape a real video pipeline has: Arrow-batched frame
+    feature extraction (numpy byte sums, payload never shuffles) into
+    a keyed WINDOW (lag over frame_idx per asset) into a rollup —
+    multimodal decode feeding relational analytics in one plan. The
+    oracle recomputes frame energies character-by-character (the
+    corpus is ASCII, so ord == byte) and applies the identical lag
+    predicate.
+    """
+    schema = "doc_id long, frame_idx int, energy long"
+
+    def energies(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + FRAME_STRIDE - 1) // FRAME_STRIDE
+                for i in range(n_frames):
+                    chunk = data[i * FRAME_STRIDE : i * FRAME_STRIDE + FRAME_LEN]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(int(np.frombuffer(chunk, dtype=np.uint8).sum()))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "energy": sums})
+
+    frames = blobs.select("doc_id", "payload").mapInPandas(energies, schema=schema)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.select(
+        "doc_id",
+        (
+            F.abs(F.col("energy") - F.lag("energy").over(w)) >= CUT_THRESHOLD
+        ).alias("is_cut"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        (F.count("*")).alias("n_frames"),
+        F.count(F.when(F.col("is_cut"), 1)).alias("n_cuts"),
+    )
+
+
+_SCENE_SQL = f"""
+WITH frames AS (
+    SELECT doc_id, i::INT AS frame_idx,
+           CAST(list_sum(list_transform(
+               generate_series(1, length(substr(text, i * {FRAME_STRIDE} + 1, {FRAME_LEN}))),
+               c -> ord(substr(substr(text, i * {FRAME_STRIDE} + 1, {FRAME_LEN}), c, 1))
+           )) AS BIGINT) AS energy
+    FROM documents,
+         unnest(range(0, (octet_length(encode(text)) + {FRAME_STRIDE - 1}) // {FRAME_STRIDE})) AS t(i)
+),
+flagged AS (
+    SELECT doc_id,
+           abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+               >= {CUT_THRESHOLD} AS is_cut
+    FROM frames
+)
+SELECT doc_id, count(*) AS n_frames,
+       count(*) FILTER (is_cut) AS n_cuts
+FROM flagged GROUP BY doc_id
+"""
+
+
+@query("multimodal_scene_cuts", oracle=_SCENE_SQL)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset frame count + scene-cut count from frame-energy jumps."""
+    return frame_scene_cuts(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))
