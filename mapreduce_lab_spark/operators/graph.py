@@ -498,3 +498,71 @@ def q_item_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 part pairs by co-purchase cosine (ties broken by pair id
     so the LIMIT boundary is deterministic in both engines)."""
     return item_similarity_cosine(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- k-core decomposition (iterative peeling) -----------------------------
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 50
+
+
+def kcore_parts(lineitem: DataFrame, k: int = KCORE_K) -> DataFrame:
+    """The k-core of the repeat-copurchase graph: the maximal subgraph
+    where every node keeps degree >= k — the classic peeling fixpoint
+    (repeatedly delete sub-k nodes; deletion can drop neighbors below
+    k, so iterate to the unique fixpoint).
+
+    The third iterative-fixpoint pattern in this module, distinct from
+    both PageRank (value iteration over a FIXED graph) and connected
+    components (label propagation): here the GRAPH ITSELF shrinks
+    monotonically. Each round is one degree aggregation + one
+    broadcast anti-join of the (bounded, only-shrinking) weak-node
+    set against the edge list; ``localCheckpoint`` per round truncates
+    lineage; the convergence probe is a scalar count (the only
+    collect). Monotone deletion guarantees termination in <= |V|
+    rounds; real graphs peel in a handful.
+
+    Registered rows-only (data-dependent round count — the documented
+    iterative class); the algorithm is pinned against an independent
+    pure-Python peeling in tests/test_graph_kcore.py.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= F.lit(MIN_COPURCHASES))
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    ).localCheckpoint()
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = edges.groupBy("p1").agg(F.count("*").alias("deg"))
+        weak = deg.where(F.col("deg") < k).select("p1")
+        if weak.limit(1).count() == 0:
+            break
+        edges = (
+            edges.join(F.broadcast(weak), "p1", "left_anti")
+            .join(
+                F.broadcast(weak.select(F.col("p1").alias("p2"))), "p2", "left_anti"
+            )
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy("p1")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("p1").alias("part"), "core_degree")
+    )
+
+
+@query("kcore_parts")  # rows-only: data-dependent peeling depth
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the 3-core of the repeat-copurchase graph with their
+    within-core degree."""
+    return kcore_parts(load_table(spark, sf_dir, "lineitem"))
