@@ -561,7 +561,41 @@ def kcore_parts(lineitem: DataFrame, k: int = KCORE_K) -> DataFrame:
     )
 
 
-@query("kcore_parts")  # rows-only: data-dependent peeling depth
+def _oracle_kcore(rounds: int = 16, k: int = KCORE_K) -> str:
+    """Peeling unrolled to a FIXED depth: rounds >= the true peel depth
+    of the oracle-scale data (measured: 10 at sf0.01, 2 at sf0.1, 0 at
+    sf0.001) makes the fixed unroll equal the fixpoint the Spark loop
+    iterates to — the same fixed-unroll trick as the PageRank oracle.
+    If the data ever needed more rounds the hashes would go red, not
+    silently wrong."""
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""w{i} AS MATERIALIZED (
+        SELECT p1 FROM (SELECT p1, count(*) AS deg FROM {prev} GROUP BY p1)
+        WHERE deg < {k}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT * FROM {prev}
+        WHERE p1 NOT IN (SELECT p1 FROM w{i}) AND p2 NOT IN (SELECT p1 FROM w{i})
+    )""")
+        prev = f"e{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {MIN_COPURCHASES}
+    ),
+    e0 AS MATERIALIZED (SELECT p1, p2 FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+    {chain}
+    SELECT p1 AS part, count(*) AS core_degree FROM {prev} GROUP BY p1
+    """
+
+
+@query("kcore_parts", oracle=_oracle_kcore())
 def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Members of the 3-core of the repeat-copurchase graph with their
     within-core degree."""
