@@ -391,3 +391,75 @@ def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = inserts.unionByName(deletes).unionByName(updates)
     return cdc_apply(old, changes, "o_orderkey")
+
+
+# --- referential-integrity audit ------------------------------------------
+
+_FK_EDGES = [
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit of every foreign-key edge in the star schema: per
+    edge, child row count, orphan rows (child key with no parent), and
+    null child keys — the pre-flight every warehouse load runs before
+    trusting joins.
+
+    Scale shape per edge: one anti-join of the child against the
+    (dimension-sized, broadcastable) parent KEY COLUMN plus two
+    counts; all seven edges union into one tidy report. Nothing
+    shuffles the child tables by key — the parent key sets broadcast.
+    A zero-orphan report is also the precondition the TPC-H queries'
+    inner joins silently assume; this makes the assumption checkable.
+    """
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
+        orphans = (
+            c.where(F.col(ck).isNotNull())
+            .join(F.broadcast(p), F.col(ck) == F.col("_pk"), "left_anti")
+            .agg(F.count("*").alias("n"))
+        )
+        summary = c.agg(
+            F.count("*").alias("n_child"),
+            F.count(F.when(F.col(ck).isNull(), 1)).alias("n_null_keys"),
+        )
+        parts.append(
+            summary.join(F.broadcast(orphans)).select(
+                F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk_edge"),
+                "n_child",
+                F.col("n").alias("n_orphans"),
+                "n_null_keys",
+            )
+        )
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+_FK_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{ck} -> {parent}.{pk}' AS fk_edge,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} c
+         WHERE c.{ck} IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}))
+           AS n_orphans,
+       (SELECT count(*) FROM {child} WHERE {ck} IS NULL) AS n_null_keys"""
+    for child, ck, parent, pk in _FK_EDGES
+)
+
+
+@query("fk_integrity_audit", oracle=_FK_SQL)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per star-schema FK edge: child rows, orphans, null keys."""
+    return fk_integrity_audit(spark, sf_dir)

@@ -38,6 +38,8 @@ BNLJ_AUDITED = {
     "q22_sales_opportunity": "1-row average-balance frame (scalar subquery)",
     "above_avg_balance_customers": "1-row average-balance frame",
     "dq_expectations_orders": "1-row expectation-stats frame",
+    "fk_integrity_audit": "1-row orphan-count frame joined to the 1-row "
+    "child summary, per FK edge",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
     "weighted_sample_orders": "1-row total-weight frame",
     "temperature_mix_sample": "per-language rate frame (|langs| rows)",
