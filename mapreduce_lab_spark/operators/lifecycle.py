@@ -188,3 +188,101 @@ def weekly_retention(events: DataFrame) -> DataFrame:
 )
 def q_cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_retention(load_table(spark, sf_dir, "events"))
+
+
+# --- point-in-time join against the SCD2 dimension ------------------------
+
+
+def pit_join_purchase_context(events: DataFrame) -> DataFrame:
+    """Point-in-time join: each purchase matched to the SCD2 status
+    interval VALID AT its timestamp — the correct way to consume a
+    type-2 dimension (a plain join to ``is_current`` silently
+    backdates today's state onto historical facts).
+
+    The dimension is the user's NON-purchase activity runs (view/
+    click/error), so the result answers "what was the user doing when
+    they bought?" — purchases before any activity fall out of every
+    interval and report as 'none'. Intervals [valid_from, valid_to)
+    partition each user's timeline (same-timestamp runs collapse to
+    empty intervals that match nothing), so every purchase matches AT
+    MOST one version row — the join is provably 1:≤1, which is what
+    distinguishes a PIT join from a sloppy range join.
+
+    Scale shape: equi-join on user_id with the interval predicate as
+    a post-join filter (per-user version counts are bounded by
+    activity runs); aggregation is map-side combinable. Revenue rides
+    exact integer cents.
+    """
+    from mapreduce_lab_spark.functions.numeric import exact_sum
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    activity = events.where(F.col("event_type") != "purchase")
+    changes = (
+        activity.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("vf"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("vt"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = purchases.join(
+        dim,
+        (purchases.user_id == dim.d_user)
+        & (dim.vf <= purchases.ts)
+        & (dim.vt.isNull() | (purchases.ts < dim.vt)),
+        "left",
+    )
+    return (
+        joined.select(
+            F.coalesce("status", F.lit("none")).alias("status_at_purchase"),
+            "value",
+        )
+        .groupBy("status_at_purchase")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            exact_sum("value", 100).alias("revenue"),
+        )
+    )
+
+
+_PIT_SQL = """
+WITH changes AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM (
+        SELECT *, lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE event_type <> 'purchase'
+    )
+    WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+    SELECT user_id, event_type AS status, ts AS vf,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+    FROM changes
+),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT coalesce(d.status, 'none') AS status_at_purchase,
+       count(*) AS n_purchases,
+       (CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS revenue
+FROM p LEFT JOIN dim d
+  ON d.user_id = p.user_id AND d.vf <= p.ts AND (d.vt IS NULL OR p.ts < d.vt)
+GROUP BY coalesce(d.status, 'none')
+"""
+
+
+@query("pit_join_purchase_context", oracle=_PIT_SQL)
+def q_pit_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to the activity state valid at purchase
+    time (PIT join against the SCD2 dimension)."""
+    return pit_join_purchase_context(load_table(spark, sf_dir, "events"))
