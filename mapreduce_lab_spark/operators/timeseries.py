@@ -247,3 +247,67 @@ def gapfill_interp(events: DataFrame, step: str = GAPFILL_STEP) -> DataFrame:
 )
 def q_gapfill_interp_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_interp(load_table(spark, sf_dir, "events"))
+
+
+# --- rolling exact distinct ------------------------------------------------
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_distinct_users(events: DataFrame, days: int = ROLLING_WINDOW_DAYS) -> DataFrame:
+    """Exact trailing-7-day distinct users per day — the sliding
+    DISTINCT aggregate, which unlike sliding COUNTs cannot be composed
+    from per-day partials (distinct doesn't add).
+
+    The scalable construction is contribute-to-window explode: each
+    (user, active-day) pair — already deduplicated, one row per user
+    per day — contributes to the ``days`` report days it is visible
+    from, then one count_distinct per report day. Shuffle volume is
+    days × |user-day pairs|, a FIXED small multiple of the
+    deduplicated activity table (never of raw events), traded for
+    exactness; the approximate alternative is the HLL rollup in
+    operators/sketches.py (partials union across any window freely).
+    Report days are emitted only up to the data's last active day
+    (trailing windows beyond it would report phantom partial tails).
+    """
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    max_day = user_days.agg(F.max("day").alias("mx"))
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), days - 1))
+        ).alias("report_day"),
+    )
+    return (
+        contrib.join(F.broadcast(max_day), contrib.report_day <= F.col("mx"))
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("day"), "n_users_7d"
+        )
+    )
+
+
+_ROLLING_SQL = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+mx AS (SELECT max(day) AS mx FROM ud),
+contrib AS (
+    SELECT user_id, day + CAST(i AS INTEGER) AS report_day
+    FROM ud, (SELECT unnest(range(0, {ROLLING_WINDOW_DAYS})) AS i)
+)
+SELECT strftime(report_day, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users_7d
+FROM contrib, mx
+WHERE report_day <= mx
+GROUP BY report_day
+"""
+
+
+@query("rolling_7d_distinct_users", oracle=_ROLLING_SQL)
+def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-week distinct users per day (explode-to-window)."""
+    return rolling_distinct_users(load_table(spark, sf_dir, "events"))

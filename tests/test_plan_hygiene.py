@@ -40,6 +40,8 @@ BNLJ_AUDITED = {
     "dq_expectations_orders": "1-row expectation-stats frame",
     "fk_integrity_audit": "1-row orphan-count frame joined to the 1-row "
     "child summary, per FK edge",
+    "rolling_7d_distinct_users": "1-row max-active-day frame fences the "
+    "trailing-window tail",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
     "weighted_sample_orders": "1-row total-weight frame",
     "temperature_mix_sample": "per-language rate frame (|langs| rows)",
