@@ -815,3 +815,103 @@ def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     return _pair_jaccard(cand, doc_sh).withColumnsRenamed(
         {"doc_a": "corpus_doc", "doc_b": "new_doc"}
     )
+
+
+# --- sorted-neighborhood blocking ------------------------------------------
+
+SNM_WINDOW = 3  # compare each record to its w-1 sorted successors
+
+
+def near_dup_sorted_neighborhood(docs: DataFrame, w: int = SNM_WINDOW) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates: the classic entity-
+    resolution blocking strategy ORTHOGONAL to the hash families above
+    (LSH catches any-position overlap; SNM catches records whose
+    normalized forms SORT adjacently — shared prefixes, common in
+    boilerplate-led documents — with zero hashing).
+
+    Records sort by normalized text within first-character blocks;
+    each record compares against its w−1 successors via ``lead``
+    windows, then the edit-distance verify (same relative threshold
+    as the LSH-edit family) keeps true near-dups. Candidate count is
+    exactly (w−1)·n — LINEAR by construction, the property that makes
+    SNM a standard fallback when hash buckets skew.
+
+    Scale: the sort is per first-char block (the window partition
+    key), never global; production multi-pass SNM unions several
+    sort keys — one pass suffices here and the blocking-boundary
+    loss is inherent to the method (documented, not hidden).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", norm.alias("norm")).where(F.length("norm") > 0)
+    blocked = base.select(F.substring("norm", 1, 1).alias("blk"), "norm", "doc_id")
+    win = Window.partitionBy("blk").orderBy("norm", "doc_id")
+    with_leads = blocked.select(
+        "blk",
+        "norm",
+        "doc_id",
+        *[
+            F.lead("norm", i).over(win).alias(f"n{i}")
+            for i in range(1, w)
+        ],
+        *[
+            F.lead("doc_id", i).over(win).alias(f"d{i}")
+            for i in range(1, w)
+        ],
+    )
+    pairs = None
+    for i in range(1, w):
+        p = with_leads.where(F.col(f"d{i}").isNotNull()).select(
+            F.least("doc_id", f"d{i}").alias("doc_a"),
+            F.greatest("doc_id", f"d{i}").alias("doc_b"),
+            F.col("norm").alias("norm_a"),
+            F.col(f"n{i}").alias("norm_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    lev = F.levenshtein("norm_a", "norm_b").cast("long")
+    return (
+        pairs.withColumn("edit_distance", lev)
+        .where(
+            1000 * F.col("edit_distance")
+            <= EDIT_DIST_MAX_PERMILLE
+            * F.greatest(F.length("norm_a"), F.length("norm_b"))
+        )
+        .select("doc_a", "doc_b", "edit_distance")
+        .distinct()
+    )
+
+
+_SNM_SQL = f"""
+WITH base AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+blocked AS (
+    SELECT substr(norm, 1, 1) AS blk, norm, doc_id
+    FROM base WHERE len(norm) > 0
+),
+leads AS (
+    SELECT blk, norm, doc_id,
+           {", ".join(f"lead(norm, {i}) OVER w AS n{i}, lead(doc_id, {i}) OVER w AS d{i}" for i in range(1, SNM_WINDOW))}
+    FROM blocked
+    WINDOW w AS (PARTITION BY blk ORDER BY norm, doc_id)
+),
+pairs AS (
+    {" UNION ALL ".join(
+        f'''SELECT least(doc_id, d{i}) AS doc_a, greatest(doc_id, d{i}) AS doc_b,
+               norm AS norm_a, n{i} AS norm_b
+        FROM leads WHERE d{i} IS NOT NULL'''
+        for i in range(1, SNM_WINDOW))}
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(levenshtein(norm_a, norm_b) AS BIGINT) AS edit_distance
+FROM pairs
+WHERE 1000 * levenshtein(norm_a, norm_b)
+      <= {EDIT_DIST_MAX_PERMILLE} * greatest(len(norm_a), len(norm_b))
+"""
+
+
+@query("near_dup_sorted_neighborhood", oracle=_SNM_SQL)
+def q_near_dup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs from sorted-neighborhood blocking (w=3), verified
+    by relative edit distance."""
+    return near_dup_sorted_neighborhood(load_table(spark, sf_dir, "documents"))
