@@ -181,14 +181,24 @@ def test_recursive_reachability_seeds_have_hop_zero(spark, sf_dir):
     a, b = li.alias("a"), li.alias("b")
     import pyspark.sql.functions as F
 
-    one_hop = {
-        r[0]
-        for r in a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey").isin(list(seeds)) & ~F.col("b.l_partkey").isin(list(seeds)))
-        .select(F.col("b.l_partkey"))
-        .distinct()
+    # Independent edge derivation with the SAME repeat-copurchase gate
+    # the operator applies (>= MIN_COPURCHASES shared orders).
+    from mapreduce_lab_spark.operators.graph import MIN_COPURCHASES
+
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= MIN_COPURCHASES)
         .collect()
-    }
+    )
+    one_hop = set()
+    for r in edges:
+        if r["u"] in seeds and r["v"] not in seeds:
+            one_hop.add(r["v"])
+        if r["v"] in seeds and r["u"] not in seeds:
+            one_hop.add(r["u"])
     assert {p for p, h in rows.items() if h == 1} == one_hop
 
 
