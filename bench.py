@@ -2,14 +2,22 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs each headline query end-to-end (plan + execute + collect-count)
-on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE COMPACT JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the summed wall-clock of all headline queries. Each query
-is forced with a ``count()`` so the full plan executes but no result
-set is shipped to the driver (the driver-side collect cost is not what
-we're measuring).
+``value`` is the summed warm wall-clock of all headline queries. Each
+query is forced with a ``count()`` so the full plan executes but no
+result set is shipped to the driver (the driver-side collect cost is
+not what we're measuring).
+
+The stdout line is kept deliberately small: round 2's full per-query
+dump (~3.4 KB) plus Spark's ``\r`` console-progress spam overflowed
+the driver's stdout tail buffer and the official bench recorded
+``parsed: null``. Console progress is now disabled in the session
+config and the per-query detail (cold timings, input-rows/s
+throughput) goes to ``BENCH_DETAIL.json`` next to this script; stdout
+carries only the headline totals plus the per-query warm map.
 """
 
 from __future__ import annotations
@@ -118,6 +126,9 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # \r progress lines interleaved with the metric line overflowed
+        # the driver's stdout tail buffer in round 2 (parsed: null).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
@@ -221,21 +232,33 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "r01_subset_total_sec": r01_total,
-                "queries_cold": cold,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "input_rows_per_s": throughput,
-                "sf": sf_val,
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "r01_subset_total_sec": r01_total,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                **summary,
+                "queries_cold": cold,
+                "input_rows_per_s": throughput,
+                "input_rows": input_rows,
+                "cpus": int(CPUS),
+            },
+            f,
+            indent=1,
+        )
+    # Keep the driver-contract "queries" map but emit the line compact
+    # (~1 KB with separators vs 3.4 KB last round).
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

@@ -820,43 +820,20 @@ def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
 # --- sorted-neighborhood blocking ------------------------------------------
 
 SNM_WINDOW = 3  # compare each record to its w-1 sorted successors
+SNM_PREFIX = 4  # block = first SNM_PREFIX chars of the normalized text
 
 
-def near_dup_sorted_neighborhood(docs: DataFrame, w: int = SNM_WINDOW) -> DataFrame:
-    """Sorted-neighborhood near-dup candidates: the classic entity-
-    resolution blocking strategy ORTHOGONAL to the hash families above
-    (LSH catches any-position overlap; SNM catches records whose
-    normalized forms SORT adjacently — shared prefixes, common in
-    boilerplate-led documents — with zero hashing).
-
-    Records sort by normalized text within first-character blocks;
-    each record compares against its w−1 successors via ``lead``
-    windows, then the edit-distance verify (same relative threshold
-    as the LSH-edit family) keeps true near-dups. Candidate count is
-    exactly (w−1)·n — LINEAR by construction, the property that makes
-    SNM a standard fallback when hash buckets skew.
-
-    Scale: the sort is per first-char block (the window partition
-    key), never global; production multi-pass SNM unions several
-    sort keys — one pass suffices here and the blocking-boundary
-    loss is inherent to the method (documented, not hidden).
-    """
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = docs.select("doc_id", norm.alias("norm")).where(F.length("norm") > 0)
-    blocked = base.select(F.substring("norm", 1, 1).alias("blk"), "norm", "doc_id")
-    win = Window.partitionBy("blk").orderBy("norm", "doc_id")
+def _snm_lead_pairs(blocked: DataFrame, w: int, key: str = "norm") -> DataFrame:
+    """Candidate pairs from lead-1..w-1 windows over (blk, key, norm,
+    doc_id) rows, sorted by (key, doc_id) within each blk partition.
+    ``key`` defaults to the normalized text itself; multi-pass SNM
+    passes a different sort key (e.g. the reversed text)."""
+    win = Window.partitionBy("blk").orderBy(key, "doc_id")
     with_leads = blocked.select(
-        "blk",
         "norm",
         "doc_id",
-        *[
-            F.lead("norm", i).over(win).alias(f"n{i}")
-            for i in range(1, w)
-        ],
-        *[
-            F.lead("doc_id", i).over(win).alias(f"d{i}")
-            for i in range(1, w)
-        ],
+        *[F.lead("norm", i).over(win).alias(f"n{i}") for i in range(1, w)],
+        *[F.lead("doc_id", i).over(win).alias(f"d{i}") for i in range(1, w)],
     )
     pairs = None
     for i in range(1, w):
@@ -867,6 +844,12 @@ def near_dup_sorted_neighborhood(docs: DataFrame, w: int = SNM_WINDOW) -> DataFr
             F.col(f"n{i}").alias("norm_b"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs
+
+
+def _snm_verify(pairs: DataFrame) -> DataFrame:
+    """Edit-distance verify (same relative threshold as the LSH-edit
+    family), dedup across passes."""
     lev = F.levenshtein("norm_a", "norm_b").cast("long")
     return (
         pairs.withColumn("edit_distance", lev)
@@ -880,27 +863,105 @@ def near_dup_sorted_neighborhood(docs: DataFrame, w: int = SNM_WINDOW) -> DataFr
     )
 
 
+def _snm_normalize(docs: DataFrame) -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", norm.alias("norm")).where(F.length("norm") > 0)
+
+
+def near_dup_sorted_neighborhood(
+    docs: DataFrame, w: int = SNM_WINDOW, prefix: int = SNM_PREFIX
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates: the classic entity-
+    resolution blocking strategy ORTHOGONAL to the hash families above
+    (LSH catches any-position overlap; SNM catches records whose
+    normalized forms SORT adjacently — shared prefixes, common in
+    boilerplate-led documents — with zero hashing).
+
+    Records sort by normalized text within ``prefix``-character blocks;
+    each record compares against its w−1 successors via ``lead``
+    windows, then the edit-distance verify keeps true near-dups.
+    Candidate count stays ≤ 2·(w−1)·n — LINEAR by construction, the
+    property that makes SNM a standard fallback when hash buckets skew.
+
+    Scale: round 2 blocked on the FIRST character, so on natural-
+    language corpora one window partition ('t', 'a') held 10-20% of
+    all docs — a single-task multi-TB sort at 100×. Blocks are now the
+    first ``prefix`` (default 4) normalized chars, giving ~|alphabet|^4
+    window partitions with sharply smaller maxima (pinned by the
+    planted-skew test in tests/test_dedup.py). Pairs straddling a
+    block edge are recovered by a second BOUNDARY pass: the first and
+    last w−1 rows of every block (row_number from both ends) re-run
+    the same lead window partitioned by the 1-char prefix. That pass
+    touches only ~2·(w−1) rows per block — O(#blocks), sublinear in
+    corpus size, so the coarse partition key is safe there — and the
+    union of the two passes is a SUPERSET of the old 1-char-block
+    candidates: any pair within lead-distance w−1 of a 4-char-block
+    edge has both endpoints in the boundary set at distance ≤ the
+    original. Recall strictly improves; the linear candidate bound is
+    kept.
+    """
+    base = _snm_normalize(docs)
+    blocked = base.select(
+        F.substring("norm", 1, prefix).alias("blk"), "norm", "doc_id"
+    )
+    main = _snm_lead_pairs(blocked, w)
+
+    asc = Window.partitionBy("blk").orderBy("norm", "doc_id")
+    desc = Window.partitionBy("blk").orderBy(
+        F.col("norm").desc(), F.col("doc_id").desc()
+    )
+    boundary = (
+        blocked.withColumn("rn_a", F.row_number().over(asc))
+        .withColumn("rn_d", F.row_number().over(desc))
+        .where((F.col("rn_a") <= w - 1) | (F.col("rn_d") <= w - 1))
+        .select(F.substring("norm", 1, 1).alias("blk"), "norm", "doc_id")
+    )
+    edge = _snm_lead_pairs(boundary, w)
+    return _snm_verify(main.unionByName(edge))
+
+
+_SNM_LEAD_COLS = ", ".join(
+    f"lead(norm, {i}) OVER w AS n{i}, lead(doc_id, {i}) OVER w AS d{i}"
+    for i in range(1, SNM_WINDOW)
+)
+_SNM_PAIR_UNION = " UNION ALL ".join(
+    f"""SELECT least(doc_id, d{i}) AS doc_a, greatest(doc_id, d{i}) AS doc_b,
+           norm AS norm_a, n{i} AS norm_b
+    FROM {{src}} WHERE d{i} IS NOT NULL"""
+    for i in range(1, SNM_WINDOW)
+)
+
 _SNM_SQL = f"""
 WITH base AS (
     SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
     FROM documents
 ),
 blocked AS (
-    SELECT substr(norm, 1, 1) AS blk, norm, doc_id
+    SELECT substr(norm, 1, {SNM_PREFIX}) AS blk, norm, doc_id
     FROM base WHERE len(norm) > 0
 ),
-leads AS (
-    SELECT blk, norm, doc_id,
-           {", ".join(f"lead(norm, {i}) OVER w AS n{i}, lead(doc_id, {i}) OVER w AS d{i}" for i in range(1, SNM_WINDOW))}
+main_leads AS (
+    SELECT norm, doc_id, {_SNM_LEAD_COLS}
     FROM blocked
     WINDOW w AS (PARTITION BY blk ORDER BY norm, doc_id)
 ),
+boundary AS (
+    SELECT substr(norm, 1, 1) AS blk, norm, doc_id FROM (
+        SELECT blk, norm, doc_id,
+               row_number() OVER (PARTITION BY blk ORDER BY norm, doc_id) AS rn_a,
+               row_number() OVER (PARTITION BY blk ORDER BY norm DESC, doc_id DESC) AS rn_d
+        FROM blocked
+    ) WHERE rn_a <= {SNM_WINDOW - 1} OR rn_d <= {SNM_WINDOW - 1}
+),
+edge_leads AS (
+    SELECT norm, doc_id, {_SNM_LEAD_COLS}
+    FROM boundary
+    WINDOW w AS (PARTITION BY blk ORDER BY norm, doc_id)
+),
 pairs AS (
-    {" UNION ALL ".join(
-        f'''SELECT least(doc_id, d{i}) AS doc_a, greatest(doc_id, d{i}) AS doc_b,
-               norm AS norm_a, n{i} AS norm_b
-        FROM leads WHERE d{i} IS NOT NULL'''
-        for i in range(1, SNM_WINDOW))}
+    {_SNM_PAIR_UNION.format(src="main_leads")}
+    UNION ALL
+    {_SNM_PAIR_UNION.format(src="edge_leads")}
 )
 SELECT DISTINCT doc_a, doc_b,
        CAST(levenshtein(norm_a, norm_b) AS BIGINT) AS edit_distance

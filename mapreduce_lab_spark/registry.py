@@ -12,7 +12,10 @@ operator module so the registry is complete.
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,9 +92,29 @@ def load_all() -> None:
         importlib.import_module(mod)
 
 
+def _previously_sampled() -> set[str]:
+    """Query names that already have a driver correctness row, read from
+    the committed ``CORRECTNESS_r*.json`` artifacts at the repo root.
+
+    Used only to ROTATE ordering (below); returns empty — and ordering
+    degrades gracefully to plain interleaving — if the artifacts are
+    absent (fresh checkout, tests run from another cwd).
+    """
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
 def _interleaved_names() -> list[str]:
     """Round-robin across operator modules (families), preserving each
-    module's own registration order.
+    module's own registration order, with never-driver-sampled queries
+    rotated to the front of each lane.
 
     The dict ordering here is the order a correctness driver visits
     queries in. A flat module-by-module ordering means a driver that
@@ -101,11 +124,21 @@ def _interleaved_names() -> list[str]:
     textstats/multimodal with no driver row at all. Interleaving one
     query per family per pass makes any prefix of the ordering a
     representative sample of every family.
+
+    Within each lane, queries with no row in any committed
+    CORRECTNESS_r*.json sort first (each group keeping registration
+    order), so a driver sampling a fixed-size prefix accumulates fresh
+    coverage round over round instead of re-checking the same heads.
     """
+    seen = _previously_sampled()
     lanes = [list(_BY_MODULE.get(m, [])) for m in _OPERATOR_MODULES]
     for m in _BY_MODULE:  # modules not in the canonical list, if any
         if m not in _OPERATOR_MODULES:
             lanes.append(list(_BY_MODULE[m]))
+    lanes = [
+        [n for n in lane if n not in seen] + [n for n in lane if n in seen]
+        for lane in lanes
+    ]
     max_len = max((len(lane) for lane in lanes), default=0)
     return [lane[i] for i in range(max_len) for lane in lanes if i < len(lane)]
 
