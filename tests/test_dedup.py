@@ -98,6 +98,145 @@ def test_guard_quadratic_passes_under_bound_and_opt_out(spark):
     assert guard_quadratic(df, None, "op", "path") is df  # explicit opt-in
 
 
+# --- sorted-neighborhood blocking (SNM) -------------------------------------
+
+from mapreduce_lab_spark.operators.dedup import (  # noqa: E402
+    SNM_PREFIX,
+    SNM_WINDOW,
+    _snm_lead_pairs,
+    _snm_normalize,
+    _snm_pass,
+    _snm_verify,
+    near_dup_snm_multipass,
+    near_dup_sorted_neighborhood,
+)
+
+
+def _skewed_snm_corpus(spark):
+    """200 docs where 30% share the 1-char prefix 't' (the natural-
+    language pathology that made round 2's first-char blocking a
+    single-task sort) but spread across ten distinct 4-char prefixes;
+    the rest spread over other letters. No near-dups planted — this
+    corpus exists to measure partition maxima, not recall."""
+    rows = []
+    doc_id = 0
+    for p in range(10):  # 10 hot 4-char prefixes under 't': taaa..tjjj
+        c = chr(ord("a") + p)
+        for j in range(6):
+            rows.append((doc_id, f"t{c}{c}{c} unique body {c} number {chr(ord('a') + j)} tail"))
+            doc_id += 1
+    for p in range(20):  # cold tail: 7 docs per letter b..u
+        c = chr(ord("b") + p)
+        for j in range(7):
+            rows.append((doc_id, f"{c}xy{chr(ord('a') + j)} other text body {c}{j} end"))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_snm_prefix_blocking_bounds_partition_skew(spark):
+    """Planted-skew: under 1-char blocking the 't' window partition
+    holds 30% of the corpus (the round-2 scale killer); under the
+    4-char blocks actually used, every partition maximum collapses to
+    the per-prefix group size."""
+    base = _snm_normalize(_skewed_snm_corpus(spark)).cache()
+    n = base.count()
+    max_1char = (
+        base.groupBy(F.substring("norm", 1, 1).alias("blk")).count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    max_4char = (
+        base.groupBy(F.substring("norm", 1, SNM_PREFIX).alias("blk")).count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert max_1char >= 0.3 * n, (max_1char, n)   # the pathology is planted
+    assert max_4char <= 7, max_4char              # ...and 4-char blocking kills it
+    # The linear candidate bound claimed in the docstring: <= 2*(w-1)*n
+    # candidates across main + boundary passes.
+    n_cand = _snm_pass(base, SNM_WINDOW, SNM_PREFIX, F.col("norm")).count()
+    assert n_cand <= 2 * (SNM_WINDOW - 1) * n, (n_cand, n)
+
+
+def test_snm_boundary_pass_recovers_block_edge_pairs(spark):
+    """A planted near-dup pair straddling a 4-char block edge (texts
+    differ exactly at character 4 -> different blocks) must be
+    recovered by the boundary pass."""
+    shared = "shared tail text here okay"
+    rows = [
+        (1, f"abcd {shared}"),
+        (2, f"abce {shared}"),  # lev distance 1, different 4-char block
+        (3, "apple pie recipe collection volume one"),
+        (4, "azure skies over the mountain pass"),
+        (5, "banana bread baking instructions here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in near_dup_sorted_neighborhood(docs).collect()}
+    assert (1, 2) in got, got
+    # Main pass alone (4-char blocks, no boundary) cannot see the pair:
+    base = _snm_normalize(docs)
+    blocked = base.select(
+        F.substring("norm", 1, SNM_PREFIX).alias("blk"), "norm", "doc_id"
+    )
+    main_only = {
+        (r.doc_a, r.doc_b)
+        for r in _snm_verify(_snm_lead_pairs(blocked, SNM_WINDOW)).collect()
+    }
+    assert (1, 2) not in main_only, main_only
+
+
+def test_snm_candidates_superset_of_1char_blocking(spark):
+    """The 4-char main pass + boundary pass together recover every
+    verified pair the old round-2 1-char blocking found (the recall
+    claim in the docstring), on a corpus mixing hot prefixes, block-
+    edge pairs, and planted duplicates."""
+    rows = [(i, t) for i, t in enumerate(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dogs",  # near-dup of 0
+            "the quiet brown fox sleeps under the busy dog",
+            "that quick brown fox jumps over the lazy dog",
+            "abcd shared tail text here okay",
+            "abce shared tail text here okay",  # block-edge near-dup of 4
+            "apple pie recipe collection volume",
+            "apples pie recipe collection volume",  # near-dup of 6
+            "zebra crossing warning sign ahead",
+        ]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = _snm_normalize(docs)
+    old_blocked = base.select(
+        F.substring("norm", 1, 1).alias("blk"), "norm", "doc_id"
+    )
+    old_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _snm_verify(_snm_lead_pairs(old_blocked, SNM_WINDOW)).collect()
+    }
+    new_pairs = {
+        (r.doc_a, r.doc_b) for r in near_dup_sorted_neighborhood(docs).collect()
+    }
+    assert old_pairs, "corpus must plant at least one 1-char-blocking pair"
+    assert old_pairs <= new_pairs, (old_pairs - new_pairs)
+
+
+def test_snm_multipass_reversed_key_catches_prefix_edits(spark):
+    """A near-dup pair whose edit is IN the sort prefix ('alpha ...'
+    vs 'gamma ...') is invisible to the forward pass (different 1-char
+    boundary partitions, so even the boundary pass cannot pair them)
+    but sorts adjacently under the reversed-text key."""
+    shared = "shared suffix text body here"
+    rows = [
+        (1, f"alpha {shared}"),
+        (2, f"gamma {shared}"),
+        (3, "unrelated filler document number one"),
+        (4, "more unrelated filler text goes here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fwd = {(r.doc_a, r.doc_b) for r in near_dup_sorted_neighborhood(docs).collect()}
+    multi = {(r.doc_a, r.doc_b) for r in near_dup_snm_multipass(docs).collect()}
+    assert (1, 2) not in fwd, fwd
+    assert (1, 2) in multi, multi
+    assert fwd <= multi  # the union can only add recall
+
+
 def test_knn_bruteforce_guard(spark):
     e = spark.range(50).select(
         F.col("id").alias("vec_id"),
