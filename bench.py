@@ -241,21 +241,39 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf_val,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                **summary,
-                "queries_cold": cold,
-                "input_rows_per_s": throughput,
-                "input_rows": input_rows,
-                "cpus": int(CPUS),
-            },
-            f,
-            indent=1,
-        )
+    # Per-round detail file (BENCH_DETAIL_r{N}.json, N = one past the
+    # newest committed BENCH_r*.json) so a round never clobbers the
+    # previous round's detail; $SPARK_GRAFT_DETAIL_PATH overrides. The
+    # write is best-effort — a read-only install dir must not cost us
+    # the stdout metric line the driver parses.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH")
+    if not detail_path:
+        import glob as _glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = max(rounds, default=0) + 1
+        detail_path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    **summary,
+                    "queries_cold": cold,
+                    "input_rows_per_s": throughput,
+                    "input_rows": input_rows,
+                    "cpus": int(CPUS),
+                },
+                f,
+                indent=1,
+            )
+    except OSError as exc:
+        print(f"bench: detail write failed ({exc}); metric line follows", file=sys.stderr)
     # Keep the driver-contract "queries" map but emit the line compact
     # (~1 KB with separators vs 3.4 KB last round).
     print(json.dumps(summary, separators=(",", ":")))

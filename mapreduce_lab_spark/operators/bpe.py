@@ -46,11 +46,18 @@ _MERGE_SCHEMA = "round INT, left STRING, right STRING, pair_count BIGINT"
 
 
 def _char_syms(word):
-    """One symbol per character plus the end-of-word marker. Spark's
-    split keeps a trailing "" (the lookahead also matches at end of
-    string), so filter empties before appending the marker."""
+    """One symbol per CODE POINT plus the end-of-word marker.
+
+    ``regexp_extract_all(word, '(?s).')`` iterates code points (Java
+    regex ``.`` never matches half a surrogate pair), so
+    supplementary-plane letters (mathematical alphanumerics, CJK
+    extension B, emoji) stay whole symbols. The previous zero-width
+    ``split(word, '(?!^)')`` cut BETWEEN the UTF-16 code units of such
+    characters, seeding training with lone-surrogate mojibake symbols
+    (pinned by the astral-plane test in tests/test_bpe.py).
+    """
     return F.concat(
-        F.filter(F.split(word, "(?!^)"), lambda t: t != F.lit("")),
+        F.regexp_extract_all(word, F.lit("(?s)."), 0),
         F.array(F.lit(END_OF_WORD)),
     )
 

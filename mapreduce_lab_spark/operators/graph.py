@@ -409,8 +409,35 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_TOPK = 30
 
+# Per-item-totals broadcast bound: ~2M (key, count) rows is ~50 MB
+# hashed on the driver — comfortably inside a default 1-4 GB driver.
+# A real catalog (billions of items) blows far past this and must
+# shuffle-join instead; the gate decides per run.
+SIM_BROADCAST_MAX_ITEMS = 2_000_000
 
-def item_similarity_cosine(lineitem: DataFrame, k: int = SIM_TOPK) -> DataFrame:
+
+def _item_totals_fit_broadcast(
+    raw: DataFrame, item_n: DataFrame, max_items: int | None
+) -> bool:
+    """Whether the per-item totals dimension is small enough to
+    broadcast. Two tiers, cheapest first: the RAW input row count
+    upper-bounds the item count and parquet scans answer it from
+    footers (no data read); only when that bound is blown does the
+    exact item count (one aggregate job, amortized against the giant
+    pair join it steers) decide. ``None`` disables broadcasting
+    outright (always shuffle)."""
+    if max_items is None:
+        return False
+    if raw.count() <= max_items:
+        return True
+    return item_n.count() <= max_items
+
+
+def item_similarity_cosine(
+    lineitem: DataFrame,
+    k: int = SIM_TOPK,
+    broadcast_max_items: int | None = SIM_BROADCAST_MAX_ITEMS,
+) -> DataFrame:
     """Top-k most-similar part pairs by co-occurrence cosine —
     item-item collaborative filtering's candidate stage.
 
@@ -425,10 +452,13 @@ def item_similarity_cosine(lineitem: DataFrame, k: int = SIM_TOPK) -> DataFrame:
     Scale shape: pair counts ride the bounded-fanout basket self-join
     (see module docstring) with the same ``MIN_COPURCHASES``
     significance-and-densification gate as the triangle census; the
-    per-item totals are a broadcastable dimension (bounded by the part
-    catalog, eagerly checkpointed so its aggregation runs once for
-    both endpoint joins); the final top-k is a TakeOrdered over the
-    sparse scored-edge table, never a global sort of raw pairs.
+    per-item totals dimension is broadcast ONLY under the
+    ``broadcast_max_items`` gate (a TPC-H part catalog fits; a
+    billions-of-items web catalog would OOM the driver, so it falls
+    back to a shuffle join on the already-aggregated totals — one row
+    per item, tiny relative to the pair table either way); the final
+    top-k is a TakeOrdered over the sparse scored-edge table, never a
+    global sort of raw pairs.
     """
     li = lineitem.select("l_orderkey", "l_partkey").distinct()
     # NOT checkpointed, deliberately: measured at sf0.1, an eager
@@ -438,6 +468,8 @@ def item_similarity_cosine(lineitem: DataFrame, k: int = SIM_TOPK) -> DataFrame:
     # the checkpoint rationale only pays off when consumers would race
     # concurrently, as in the triangle census above).
     item_n = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    bcast = _item_totals_fit_broadcast(lineitem, item_n, broadcast_max_items)
+    hint = F.broadcast if bcast else (lambda d: d)
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(b, "l_orderkey")
@@ -450,13 +482,13 @@ def item_similarity_cosine(lineitem: DataFrame, k: int = SIM_TOPK) -> DataFrame:
     )
     scored = (
         pairs.join(
-            F.broadcast(
+            hint(
                 item_n.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))
             ),
             "p1",
         )
         .join(
-            F.broadcast(
+            hint(
                 item_n.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2"))
             ),
             "p2",
@@ -506,7 +538,37 @@ KCORE_K = 3
 KCORE_MAX_ROUNDS = 50
 
 
-def kcore_parts(lineitem: DataFrame, k: int = KCORE_K) -> DataFrame:
+def _kcore_peel(edges: DataFrame, k: int, max_rounds: int) -> DataFrame:
+    """Peel sub-k nodes from a symmetric edge list to the k-core
+    fixpoint. Raises ``RuntimeError`` if ``max_rounds`` is exhausted
+    before the fixpoint: returning the partially-peeled graph would be
+    a silently-wrong k-core for library callers (monotone deletion
+    guarantees <= |V| rounds, so a trip here means the budget was set
+    below the graph's peel depth, not an algorithmic loop)."""
+    for _ in range(max_rounds):
+        deg = edges.groupBy("p1").agg(F.count("*").alias("deg"))
+        weak = deg.where(F.col("deg") < k).select("p1")
+        if weak.limit(1).count() == 0:
+            return edges
+        edges = (
+            edges.join(F.broadcast(weak), "p1", "left_anti")
+            .join(
+                F.broadcast(weak.select(F.col("p1").alias("p2"))), "p2", "left_anti"
+            )
+            .localCheckpoint()
+        )
+    deg = edges.groupBy("p1").agg(F.count("*").alias("deg"))
+    if deg.where(F.col("deg") < k).limit(1).count() > 0:
+        raise RuntimeError(
+            f"kcore peeling did not converge within max_rounds={max_rounds}; "
+            f"raise the round budget (peel depth is bounded by |V|)"
+        )
+    return edges
+
+
+def kcore_parts(
+    lineitem: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
+) -> DataFrame:
     """The k-core of the repeat-copurchase graph: the maximal subgraph
     where every node keeps degree >= k — the classic peeling fixpoint
     (repeatedly delete sub-k nodes; deletion can drop neighbors below
@@ -542,18 +604,7 @@ def kcore_parts(lineitem: DataFrame, k: int = KCORE_K) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     ).localCheckpoint()
-    for _ in range(KCORE_MAX_ROUNDS):
-        deg = edges.groupBy("p1").agg(F.count("*").alias("deg"))
-        weak = deg.where(F.col("deg") < k).select("p1")
-        if weak.limit(1).count() == 0:
-            break
-        edges = (
-            edges.join(F.broadcast(weak), "p1", "left_anti")
-            .join(
-                F.broadcast(weak.select(F.col("p1").alias("p2"))), "p2", "left_anti"
-            )
-            .localCheckpoint()
-        )
+    edges = _kcore_peel(edges, k, max_rounds)
     return (
         edges.groupBy("p1")
         .agg(F.count("*").alias("core_degree"))

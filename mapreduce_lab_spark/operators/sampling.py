@@ -219,7 +219,7 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 UPSAMPLE_PERMILLE = {"fr": 2500, "de": 1800, "zh": 1300}
 
 
-def upsample_by_lang(docs: DataFrame) -> DataFrame:
+def upsample_by_lang(docs: DataFrame, rates: dict[str, int] | None = None) -> DataFrame:
     """Replicate documents by per-language fractional rates, hash-
     deterministically: rate 2500‰ emits 2 copies of every doc plus a
     3rd for the 50% of docs whose md5 gate lands under the fractional
@@ -232,18 +232,21 @@ def upsample_by_lang(docs: DataFrame) -> DataFrame:
     all until the audit rollup; the expected blow-up factor is the
     mix designer's number, never data-dependent.
     """
+    rates = UPSAMPLE_PERMILLE if rates is None else rates
     rate = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(pm))
-            for lang, pm in UPSAMPLE_PERMILLE.items()
-        ],
+        *[F.when(F.col("lang") == lang, F.lit(pm)) for lang, pm in rates.items()],
         F.lit(1000),
     )
     gate = hex8_int(F.concat(F.lit("up:"), F.col("doc_id").cast("string"))) % 1000
     n_copies = (rate / 1000).cast("long") + (gate < rate % 1000).cast("long")
-    copies = docs.select(
-        "doc_id", "lang", F.explode(F.sequence(F.lit(1), n_copies)).alias("copy_idx")
+    # sequence(1, 0) yields the DESCENDING [1, 0] in Spark, while
+    # DuckDB's generate_series(1, 0) is empty — so a sub-1000 rate
+    # (a downsampling mix entry) would phantom-duplicate instead of
+    # dropping. Emit an explicitly empty array for n_copies = 0.
+    idx = F.when(n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)).otherwise(
+        F.array().cast("array<long>")
     )
+    copies = docs.select("doc_id", "lang", F.explode(idx).alias("copy_idx"))
     return copies.groupBy("lang").agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_copies"),

@@ -92,29 +92,36 @@ def load_all() -> None:
         importlib.import_module(mod)
 
 
-def _previously_sampled() -> set[str]:
-    """Query names that already have a driver correctness row, read from
-    the committed ``CORRECTNESS_r*.json`` artifacts at the repo root.
+def _previously_sampled() -> tuple[set[str], int]:
+    """(query names with a driver correctness row, number of committed
+    rounds), read from the ``CORRECTNESS_r*.json`` artifacts at the
+    repo root.
 
     Used only to ROTATE ordering (below); returns empty — and ordering
     degrades gracefully to plain interleaving — if the artifacts are
-    absent (fresh checkout, tests run from another cwd).
+    absent (fresh checkout, tests run from another cwd). Ordering is
+    deterministic for a given checkout: it depends only on committed
+    artifacts, never on wall clock or filesystem state outside them.
     """
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
+    n_rounds = 0
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                data = json.load(f)
         except (OSError, ValueError):
             continue
-    return seen
+        if isinstance(data, dict):  # a non-dict artifact is not ours
+            seen.update(data.keys())
+            n_rounds += 1
+    return seen, n_rounds
 
 
 def _interleaved_names() -> list[str]:
     """Round-robin across operator modules (families), preserving each
-    module's own registration order, with never-driver-sampled queries
-    rotated to the front of each lane.
+    module's own registration order, weaving never-driver-sampled
+    queries 3:1 with a ROTATING slice of already-verified ones.
 
     The dict ordering here is the order a correctness driver visits
     queries in. A flat module-by-module ordering means a driver that
@@ -125,22 +132,57 @@ def _interleaved_names() -> list[str]:
     query per family per pass makes any prefix of the ordering a
     representative sample of every family.
 
-    Within each lane, queries with no row in any committed
-    CORRECTNESS_r*.json sort first (each group keeping registration
-    order), so a driver sampling a fixed-size prefix accumulates fresh
-    coverage round over round instead of re-checking the same heads.
+    Two failure modes balanced against each other (ADVICE r3): pure
+    unseen-first ordering means a prefix-sampling driver NEVER
+    re-checks a verified query, so regressions in them go undetected
+    forever; pure static ordering means tail families never get a
+    first driver row. The weave takes three unseen queries, then one
+    previously-seen query, until both streams drain — so any driver
+    prefix is ~75% fresh coverage and ~25% regression re-checks. The
+    seen stream is rotated by the committed round count, so WHICH
+    quarter gets re-checked advances round over round instead of
+    pinning to the same heads.
     """
-    seen = _previously_sampled()
+    seen, n_rounds = _previously_sampled()
     lanes = [list(_BY_MODULE.get(m, [])) for m in _OPERATOR_MODULES]
     for m in _BY_MODULE:  # modules not in the canonical list, if any
         if m not in _OPERATOR_MODULES:
             lanes.append(list(_BY_MODULE[m]))
-    lanes = [
-        [n for n in lane if n not in seen] + [n for n in lane if n in seen]
-        for lane in lanes
-    ]
-    max_len = max((len(lane) for lane in lanes), default=0)
-    return [lane[i] for i in range(max_len) for lane in lanes if i < len(lane)]
+
+    # HEAD: exactly one query per family, so ANY >=|families| prefix
+    # samples every family (the round-1 lesson, pinned by
+    # test_registry_prefix_samples_every_family). Prefer an unseen
+    # query; a fully-verified family contributes a round-rotated
+    # re-check instead.
+    head: list[str] = []
+    for lane in lanes:
+        if not lane:
+            continue
+        unseen_lane = [n for n in lane if n not in seen]
+        head.append(unseen_lane[0] if unseen_lane else lane[n_rounds % len(lane)])
+    picked = set(head)
+
+    def weave(split_lanes: list[list[str]]) -> list[str]:
+        mx = max((len(lane) for lane in split_lanes), default=0)
+        return [lane[i] for i in range(mx) for lane in split_lanes if i < len(lane)]
+
+    rest = [[n for n in lane if n not in picked] for lane in lanes]
+    fresh = weave([[n for n in lane if n not in seen] for lane in rest])
+    resample = weave([[n for n in lane if n in seen] for lane in rest])
+    if resample:
+        k = (n_rounds * max(1, len(resample) // 4)) % len(resample)
+        resample = resample[k:] + resample[:k]
+    out = head
+    fi = ri = 0
+    while fi < len(fresh) or ri < len(resample):
+        for _ in range(3):
+            if fi < len(fresh):
+                out.append(fresh[fi])
+                fi += 1
+        if ri < len(resample):
+            out.append(resample[ri])
+            ri += 1
+    return out
 
 
 def queries() -> dict[str, QueryFn]:

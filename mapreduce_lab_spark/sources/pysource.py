@@ -269,9 +269,17 @@ def _make_sink_datasource():
             return "synthetic_kv_sink"
 
         def writer(self, schema, overwrite: bool):
+            import uuid as _uuid
+
             path = self.options["path"]
             fail_part = int(self.options.get("fail_partition", "-1"))
             cols = [f.name for f in schema.fields]
+            # Job-scoped id, minted on the driver and carried to every
+            # task via closure pickling: final part names and the
+            # temp sweep are namespaced by it, so two concurrent
+            # writers into one directory can neither clobber each
+            # other's committed parts nor sweep each other's temps.
+            job_id = _uuid.uuid4().hex[:12]
 
             class Writer(DataSourceWriter):
                 def write(self, rows):
@@ -284,7 +292,7 @@ def _make_sink_datasource():
                     ctx = TaskContext.get()
                     tmp = os.path.join(
                         path,
-                        f"_tmp-{ctx.partitionId()}-{ctx.attemptNumber()}"
+                        f"_tmp-{job_id}-{ctx.partitionId()}-{ctx.attemptNumber()}"
                         f"-{uuid.uuid4().hex}.jsonl",
                     )
                     n = 0
@@ -300,7 +308,11 @@ def _make_sink_datasource():
                     import glob
                     import os
 
-                    for leftover in glob.glob(os.path.join(path, "_tmp-*")):
+                    # Own-job temps only: another writer's in-flight
+                    # temps in the same directory are live, not garbage.
+                    for leftover in glob.glob(
+                        os.path.join(path, f"_tmp-{job_id}-*")
+                    ):
                         try:
                             os.remove(leftover)
                         except OSError:
@@ -312,10 +324,14 @@ def _make_sink_datasource():
 
                     total = 0
                     for j, m in enumerate(messages):
-                        os.replace(m.tmp_path, os.path.join(path, f"part-{j:05d}.jsonl"))
+                        os.replace(
+                            m.tmp_path,
+                            os.path.join(path, f"part-{job_id}-{j:05d}.jsonl"),
+                        )
                         total += m.n_rows
-                    # Failed-attempt temps (their tasks retried into new
-                    # temp names) are garbage by construction: sweep.
+                    # Failed-attempt temps of THIS job (their tasks
+                    # retried into new temp names) are garbage by
+                    # construction: sweep.
                     self._sweep_temps()
                     with open(os.path.join(path, "_SUCCESS"), "w") as f:
                         json.dump({"n_rows": total, "n_files": len(messages)}, f)

@@ -109,3 +109,14 @@ def test_empty_corpus_yields_empty_merge_table(spark):
     out = bpe_train_merges(docs, rounds=4)
     assert out.count() == 0
     assert [f.name for f in out.schema] == ["round", "left", "right", "pair_count"]
+
+
+def test_char_syms_keeps_astral_plane_code_points_whole(spark):
+    """Supplementary-plane letters (two UTF-16 code units) must become
+    ONE symbol, not two lone-surrogate halves: the split position is
+    lookbehind-guarded against landing inside a surrogate pair."""
+    from mapreduce_lab_spark.operators.bpe import _char_syms
+
+    word = "\U0001D51Ea\U0001D51F"  # 𝔞 a 𝔟 — fraktur letters are category L
+    syms = spark.range(1).select(_char_syms(F.lit(word)).alias("s")).collect()[0]["s"]
+    assert syms == ["\U0001D51E", "a", "\U0001D51F", "</w>"], syms

@@ -63,3 +63,17 @@ def test_matches_python_reference_on_real_graph(spark, sf_dir):
     want = _py_kcore([(r["p1"], r["p2"]) for r in pairs], 3)
     got = {r["part"]: r["core_degree"] for r in kcore_parts(li, k=3).collect()}
     assert got == want
+
+
+def test_kcore_round_budget_exhaustion_raises(spark):
+    """A 12-node path with k=2 peels two endpoints per round (~5
+    rounds to the empty fixpoint); a 2-round budget must raise rather
+    than silently return the partially-peeled non-fixpoint."""
+    import pytest
+
+    path_baskets = [[i, i + 1] for i in range(11)]
+    li = _lineitem_from_baskets(spark, path_baskets)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_parts(li, k=2, max_rounds=2).collect()
+    # With the default budget the same graph converges (to empty).
+    assert kcore_parts(li, k=2).count() == 0

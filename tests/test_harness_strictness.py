@@ -73,3 +73,19 @@ def test_every_query_has_unique_name_and_callable():
     assert len(q) >= 91
     for name, fn in q.items():
         assert callable(fn), name
+
+
+def test_registry_prefix_mixes_fresh_and_resample():
+    """A prefix-sampling driver must get BOTH first-time queries (to
+    grow coverage) and re-checks of already-verified ones (to catch
+    regressions — ADVICE r3: pure unseen-first ordering means a
+    verified query is never re-checked). Only meaningful once
+    CORRECTNESS_r*.json artifacts exist."""
+    seen, _ = registry._previously_sampled()
+    names = list(registry.queries())[:50]
+    if not seen or len(seen) >= len(registry._QUERIES):
+        return  # fresh checkout or everything verified: nothing to mix
+    n_resample = sum(1 for n in names if n in seen)
+    n_fresh = len(names) - n_resample
+    assert n_fresh >= 25, (n_fresh, n_resample)     # coverage keeps growing
+    assert n_resample >= 5, (n_fresh, n_resample)   # regressions get caught

@@ -298,3 +298,25 @@ def test_embedding_centroids_partial_agg(spark, sf_dir):
     assert inspect.has_partial_aggregation(df), plan
     assert plan.count("hashpartitioning") == 1, plan
     assert "rangepartitioning" not in plan and "SinglePartition" not in plan, plan
+
+
+def test_item_similarity_broadcast_gate_both_modes(spark, sf_dir):
+    """The per-item-totals dimension broadcasts only under the
+    catalog-size gate; over the bound the plan falls back to shuffle
+    joins instead of OOMing the driver on a web-scale catalog.
+    autoBroadcastJoinThreshold is disabled so the assert sees OUR
+    hint, not Catalyst's own size-estimate broadcast."""
+    from mapreduce_lab_spark.operators.graph import item_similarity_cosine
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = item_similarity_cosine(li, broadcast_max_items=0)
+        open_ = item_similarity_cosine(li)  # default bound: tiny catalog fits
+        assert inspect.broadcast_join_count(gated) == 0, inspect.formatted_plan(gated)
+        assert inspect.broadcast_join_count(open_) >= 2, inspect.formatted_plan(open_)
+        # Both modes compute the same answer.
+        assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, open_.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

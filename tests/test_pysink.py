@@ -43,3 +43,23 @@ def test_sink_abort_leaves_no_output(spark, tmp_path):
     # Abort must delete committed-message temps AND failed-attempt
     # leftovers: the directory is exactly as before the write.
     assert os.listdir(d) == []
+
+
+def test_sink_does_not_clobber_concurrent_writer(spark, tmp_path):
+    """Part names and the temp sweep are job-scoped: a second write
+    into the same directory must leave another job's committed parts
+    AND its in-flight temps untouched, and add its own parts under
+    distinct names."""
+    d = str(tmp_path / "sink_concurrent")
+    os.makedirs(d)
+    write_kv_jsonl(_frame(spark), d)
+    first_parts = {f for f in os.listdir(d) if f.startswith("part-")}
+    # A foreign writer's in-flight temp (different job id).
+    foreign_tmp = os.path.join(d, "_tmp-deadbeef0000-0-0-abc.jsonl")
+    open(foreign_tmp, "w").write('{"i": 1}\n')
+    write_kv_jsonl(_frame(spark), d)
+    files = set(os.listdir(d))
+    assert os.path.basename(foreign_tmp) in files  # live temp survives
+    second_parts = {f for f in files if f.startswith("part-")}
+    assert first_parts < second_parts  # first job's parts intact
+    assert len(second_parts) == 2 * len(first_parts)  # no overwrites
