@@ -6,13 +6,19 @@ travels as an opaque ``binary`` column next to a typed metadata
 struct, and all per-blob compute runs as Arrow-batched ``mapInPandas``
 (one Python invocation per ~10k-row batch, never per row).
 
-The container has no image/audio codecs, so ``decode_image`` is the
-clearly-marked stub seam: real decode raises ``NotImplementedError``
-unless PIL is importable; ``fake_decode`` is the deterministic test
-double. Everything around the seam — schema, batching, partitioning,
-the UDTF row-explosion shape for frame sampling — is real and
-oracle-checked: the payloads here are utf-8 document bytes, so DuckDB
-can recompute byte lengths, md5 digests, and frame chunking exactly.
+``decode_image`` is the codec seam. BMP and binary-PPM payloads
+decode FOR REAL via the dependency-free pure-Python codecs in
+``multimodal.codecs`` (oracle-checked end to end by
+``multimodal_decode_stats``, which encodes text-derived pixels into
+genuine image bytes and decodes them back); compressed formats
+(png/jpeg) still raise ``NotImplementedError`` unless PIL is
+importable — exactly where a production deployment plugs in
+PIL/torchvision. ``fake_decode`` remains the deterministic test
+double for the resize op. Everything around the seam — schema,
+batching, partitioning, the UDTF row-explosion shape for frame
+sampling — is real and oracle-checked: the payloads here are utf-8
+document bytes, so DuckDB can recompute byte lengths, md5 digests,
+and frame chunking exactly.
 
 Scale notes: blobs never pass through a shuffle in these operators
 (narrow mapInPandas over the scan); metadata-only queries prune the
@@ -54,12 +60,19 @@ def blobify(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, fmt: str):
-    """Decode an image payload to a pixel array — STUB.
+    """Decode an image payload.
 
-    The real path needs an image codec which this container does not
-    ship; it is gated behind an import-try exactly where a production
+    BMP and PPM payloads decode for real via the dependency-free
+    pure-Python codecs in ``multimodal.codecs`` (returns
+    ``(format, width, height, top-down RGB pixels)``). Compressed
+    formats (png/jpeg) still need a codec this container does not
+    ship, gated behind an import-try exactly where a production
     deployment would plug PIL/torchvision in.
     """
+    from mapreduce_lab_spark.multimodal import codecs
+
+    if payload[:2] in (b"BM", b"P6"):
+        return codecs.decode_payload(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -67,8 +80,9 @@ def decode_image(payload: bytes, fmt: str):
         return Image.open(io.BytesIO(payload))
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode requires PIL, not available in this environment; "
-            "use fake_decode() for deterministic tests"
+            f"decoding {fmt!r} requires PIL, not available in this "
+            "environment; BMP/PPM decode natively, or use fake_decode() "
+            "for deterministic tests"
         ) from exc
 
 
@@ -540,3 +554,120 @@ FROM flagged GROUP BY doc_id
 def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-asset frame count + scene-cut count from frame-energy jumps."""
     return frame_scene_cuts(blobify(fan_out(load_table(spark, sf_dir, "documents"), spark)))
+
+
+# --- real image decode (pure-Python BMP / PPM codecs) ----------------------
+
+
+def _ship_codecs_by_value() -> None:
+    """Register the codec module for cloudpickle BY-VALUE pickling, so
+    closures can reference its functions and executors never need the
+    repo on sys.path (the constraint that keeps the other mapInPandas
+    closures self-contained — here the codec is big enough to earn a
+    module, shipped inside the serialized task instead)."""
+    from pyspark import cloudpickle
+
+    from mapreduce_lab_spark.multimodal import codecs
+
+    cloudpickle.register_pickle_by_value(codecs)
+
+
+def blobify_real_images(docs: DataFrame) -> DataFrame:
+    """documents → REAL image payloads: each doc's text bytes become
+    the grayscale pixels (r = g = b = byte k of the text, cycled) of a
+    small image whose dimensions derive from doc_id; even doc_ids
+    encode as 24-bit BMP, odd as binary PPM — so the downstream
+    decoder must dispatch on magic bytes like a real ingest path.
+    """
+    from mapreduce_lab_spark.multimodal import codecs
+
+    _ship_codecs_by_value()
+    enc_bmp, enc_ppm = codecs.encode_bmp, codecs.encode_ppm
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                w, h = 4 + doc_id % 5, 3 + doc_id % 7
+                px = [(data[k % len(data)],) * 3 for k in range(w * h)]
+                enc = enc_bmp if doc_id % 2 == 0 else enc_ppm
+                ids.append(doc_id)
+                payloads.append(enc(w, h, px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def decode_image_stats(blobs: DataFrame) -> DataFrame:
+    """Decode every payload with the real BMP/PPM codecs and emit
+    per-image stats: format, dimensions, and channel sums — the
+    feature-extraction shape of a real vision-ingest job, with
+    header parsing, row-padding, bottom-up flips, and channel-order
+    swaps all actually exercised (a wrong stride or BGR/RGB mixup
+    changes px_sum/px_first and fails the oracle hash).
+    """
+    _ship_codecs_by_value()
+    from mapreduce_lab_spark.multimodal import codecs
+
+    decode = codecs.decode_payload
+    schema = (
+        "doc_id long, fmt string, width int, height int, "
+        "n_px long, px_sum long, px_first int, px_last int"
+    )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "width", "height", "n_px", "px_sum",
+                "px_first", "px_last",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, px = decode(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(px))
+                rows["px_sum"].append(sum(sum(p) for p in px))
+                rows["px_first"].append(px[0][0])
+                rows["px_last"].append(px[-1][2])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, schema=schema)
+
+
+_DECODE_SQL = """
+WITH dims AS (
+    SELECT doc_id, text,
+           (4 + doc_id % 5) AS w, (3 + doc_id % 7) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       w::INT AS width, h::INT AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(3 * list_sum(list_transform(range(0, w * h),
+                k -> ascii(substr(text, (k % n) + 1, 1)))) AS BIGINT) AS px_sum,
+       ascii(substr(text, 1, 1)) AS px_first,
+       ascii(substr(text, ((w * h - 1) % n) + 1, 1)) AS px_last
+FROM dims
+"""
+
+
+@query("multimodal_decode_stats", oracle=_DECODE_SQL)
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through REAL image bytes: text-derived pixels encode
+    to BMP (even doc_ids) / PPM (odd), then the pure-Python decoder
+    recovers dimensions and channel sums, oracle-checked against
+    DuckDB recomputing the same pixels from the text directly."""
+    return decode_image_stats(
+        blobify_real_images(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    )

@@ -7,11 +7,13 @@ import pytest
 from mapreduce_lab_spark.multimodal.binary_ops import decode_image, fake_decode
 
 
-def test_decode_image_is_a_gated_stub():
+def test_decode_image_gates_compressed_formats_only():
+    """BMP/PPM decode natively (see the codec tests below); compressed
+    formats stay behind the PIL import gate."""
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL present: stub not exercised in this environment")
+        pytest.skip("PIL present: gate not exercised in this environment")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
@@ -23,3 +25,68 @@ def test_fake_decode_deterministic_shape():
     assert px == [97, 98, 99, 97, 98, 99, 97]
     assert fake_decode(b"", width=2, height=2) == [0, 0, 0, 0]
     assert fake_decode(b"abc", width=4, height=3) == px
+
+
+# --- pure-Python BMP / PPM codecs ------------------------------------------
+
+
+def test_bmp_roundtrip_exercises_padding_and_flip():
+    """Widths 1..6 hit every 4-byte row-padding case; pixel order must
+    survive the bottom-up storage flip and BGR channel swap."""
+    from mapreduce_lab_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    for w in range(1, 7):
+        h = 3
+        px = [((x * 7 + y * 31) % 256, (x + y) % 256, (x * y) % 256)
+              for y in range(h) for x in range(w)]
+        blob = encode_bmp(w, h, px)
+        assert blob[:2] == b"BM"
+        # row stride is padded to 4 bytes: total size is header + h*stride
+        stride = (w * 3 + 3) & ~3
+        assert len(blob) == 54 + h * stride
+        assert decode_bmp(blob) == (w, h, px)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    from mapreduce_lab_spark.multimodal.codecs import decode_ppm, encode_ppm
+
+    px = [(i % 256, (i * 3) % 256, (i * 7) % 256) for i in range(12)]
+    blob = encode_ppm(4, 3, px)
+    assert decode_ppm(blob) == (4, 3, px)
+    # Spec allows comments anywhere in the header.
+    commented = b"P6\n# a comment line\n4 3\n255\n" + blob.split(b"255\n", 1)[1]
+    assert decode_ppm(commented) == (4, 3, px)
+
+
+def test_decode_payload_dispatches_on_magic():
+    import pytest
+
+    from mapreduce_lab_spark.multimodal.codecs import (
+        decode_payload, encode_bmp, encode_ppm,
+    )
+
+    px = [(9, 8, 7)] * 6
+    assert decode_payload(encode_bmp(3, 2, px))[0] == "bmp"
+    assert decode_payload(encode_ppm(3, 2, px))[0] == "ppm"
+    with pytest.raises(ValueError, match="unknown image magic"):
+        decode_payload(b"\x89PNG....")
+
+
+def test_decode_image_seam_uses_real_codecs():
+    """The seam decodes BMP/PPM for real (no PIL needed); only
+    compressed formats still raise without a codec library."""
+    import pytest
+
+    from mapreduce_lab_spark.multimodal.binary_ops import decode_image
+    from mapreduce_lab_spark.multimodal.codecs import encode_bmp
+
+    px = [(1, 2, 3)] * 4
+    assert decode_image(encode_bmp(2, 2, px), "bmp") == ("bmp", 2, 2, px)
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n", "png")
