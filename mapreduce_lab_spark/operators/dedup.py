@@ -835,16 +835,27 @@ def _snm_lead_pairs(blocked: DataFrame, w: int, key: str = "norm") -> DataFrame:
         *[F.lead("norm", i).over(win).alias(f"n{i}") for i in range(1, w)],
         *[F.lead("doc_id", i).over(win).alias(f"d{i}") for i in range(1, w)],
     )
-    pairs = None
-    for i in range(1, w):
-        p = with_leads.where(F.col(f"d{i}").isNotNull()).select(
-            F.least("doc_id", f"d{i}").alias("doc_a"),
-            F.greatest("doc_id", f"d{i}").alias("doc_b"),
+    # One explode over the w-1 lead slots, NOT a union of w-1 selects:
+    # union branches are separate subtrees to Catalyst, so each would
+    # re-run the scan + sort + window (measured by scripts/
+    # audit_scans.py — the union form scanned documents 2(w-1) times
+    # per pass).
+    lead = F.explode(
+        F.array(*[
+            F.struct(F.col(f"d{i}").alias("d"), F.col(f"n{i}").alias("n"))
+            for i in range(1, w)
+        ])
+    )
+    return (
+        with_leads.select("norm", "doc_id", lead.alias("lead"))
+        .where(F.col("lead.d").isNotNull())
+        .select(
+            F.least("doc_id", "lead.d").alias("doc_a"),
+            F.greatest("doc_id", "lead.d").alias("doc_b"),
             F.col("norm").alias("norm_a"),
-            F.col(f"n{i}").alias("norm_b"),
+            F.col("lead.n").alias("norm_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs
+    )
 
 
 def _snm_verify(pairs: DataFrame) -> DataFrame:

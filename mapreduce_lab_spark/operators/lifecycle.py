@@ -85,47 +85,77 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def funnel_counts(events: DataFrame) -> DataFrame:
-    """Users completing signup → view → purchase, in temporal order.
+    """Users completing signup → view → purchase, in temporal order:
+    t1 = first signup, t2 = first view after t1, t3 = first purchase
+    after t2.
 
-    Stage timestamps are per-user conditional minima computed in
-    sequence: t2 is the first view AFTER t1, t3 the first purchase
-    AFTER t2 — three aggregations on the same user_id partitioning
-    (one physical shuffle). The final stage counts are a tiny rollup.
+    Single-scan form: ONE shuffle collects each user's stage events as
+    a time-sorted array, and a JVM-side ``aggregate`` fold runs the
+    three-state funnel machine left to right — exactly the sequential
+    semantics the stage definitions describe. The previous chained
+    join formulation (t1 feeding t2 feeding t3, plus a count per
+    stage) read the events scan SIX times because every stage subtree
+    was duplicated into its downstream consumers
+    (scripts/audit_scans.py, round 4); the fold reads it once.
+    Per-user state is bounded by that user's funnel-stage activity —
+    the same collect discipline as the session-path operators.
     """
     ev = events.where(F.col("event_type").isin(*FUNNEL_STAGES)).select(
         "user_id", "event_type", "ts"
     )
-    t1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
     )
-    t2 = (
-        ev.where(F.col("event_type") == "view")
-        .join(t1, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
     )
-    t3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        t1.agg(F.count("*").alias("n"))
-        .select(F.lit(1).alias("stage"), F.lit("signup").alias("event_type"), "n")
-        .unionAll(
-            t2.agg(F.count("*").alias("n")).select(
-                F.lit(2).alias("stage"), F.lit("view").alias("event_type"), "n"
-            )
+
+    def step(acc, e):
+        hit1 = (e["event_type"] == "signup") & acc["t1"].isNull()
+        hit2 = (
+            (e["event_type"] == "view")
+            & acc["t1"].isNotNull()
+            & acc["t2"].isNull()
+            & (e["ts"] > acc["t1"])
         )
-        .unionAll(
-            t3.agg(F.count("*").alias("n")).select(
-                F.lit(3).alias("stage"), F.lit("purchase").alias("event_type"), "n"
-            )
+        hit3 = (
+            (e["event_type"] == "purchase")
+            & acc["t2"].isNotNull()
+            & acc["t3"].isNull()
+            & (e["ts"] > acc["t2"])
         )
+        return F.struct(
+            F.when(hit1, e["ts"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(hit2, e["ts"]).otherwise(acc["t2"]).alias("t2"),
+            F.when(hit3, e["ts"]).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    state = seq.select(F.aggregate("seq", init, step).alias("st"))
+    counts = state.agg(
+        F.count("st.t1").alias("n1"),
+        F.count("st.t2").alias("n2"),
+        F.count("st.t3").alias("n3"),
     )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage"),
+            F.lit("signup").alias("event_type"),
+            F.col("n1").alias("n"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage"),
+            F.lit("view").alias("event_type"),
+            F.col("n2").alias("n"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage"),
+            F.lit("purchase").alias("event_type"),
+            F.col("n3").alias("n"),
+        ),
+    )
+    return counts.select(F.explode(stages).alias("s")).select("s.*")
 
 
 @query(

@@ -59,6 +59,11 @@ QUALITY_THRESHOLD = 0.7
     """,
 )
 def q_pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-lineage form: the canonical survivor is the rank-1 row of
+    # a window over the content hash (identical to the old
+    # min-doc_id-per-hash groupBy + join-back, but with ONE consumer of
+    # the scoring subtree — the join form re-ran the tokenize/score
+    # scan per branch; scripts/audit_scans.py, round 4).
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     scored = docs.join(quality_scores(docs), "doc_id").withColumn(
         "h", F.md5("text")
@@ -66,8 +71,8 @@ def q_pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFram
     kept = scored.filter(F.col("quality_score") >= QUALITY_THRESHOLD).select(
         "doc_id", "lang", "h", "n_tokens", "quality_score"
     )
-    survivors = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    surviving_rows = kept.join(survivors, ["h", "doc_id"])
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    surviving_rows = kept.withColumn("rn", rn).where(F.col("rn") == 1)
     return surviving_rows.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -128,6 +133,11 @@ def q_pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_lab_spark.functions.numeric import exact_ratio
     from mapreduce_lab_spark.operators.chunking import chunk_documents
 
+    # Single-lineage form (round 4): the first-occurrence keeper is
+    # the rank-1 row of a window over the chunk hash, and the total /
+    # kept / token rollups are conditional sums of ONE flagged frame —
+    # the old keeper-groupBy + join-back + two separate rollups re-ran
+    # the chunk explode three times (scripts/audit_scans.py).
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     keyed = (
         chunk_documents(docs)
@@ -135,19 +145,17 @@ def q_pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "chunk_idx", "chunk_tokens", "h", "lang")
     )
-    keep = keyed.groupBy("h").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("k")
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
     )
-    kept = keyed.join(keep, "h").where(
-        (F.col("doc_id") == F.col("k.doc_id"))
-        & (F.col("chunk_idx") == F.col("k.chunk_idx"))
-    )
-    tot = keyed.groupBy("lang").agg(F.count("*").alias("n_chunks"))
-    kt = kept.groupBy("lang").agg(
-        F.count("*").alias("n_kept"),
-        F.sum("chunk_tokens").alias("kept_tokens"),
-    )
-    return tot.join(kt, "lang").select(
+    flagged = keyed.withColumn("is_keeper", rn == 1)
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_keeper"), F.col("chunk_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    ).select(
         "lang",
         "n_chunks",
         "n_kept",
@@ -240,42 +248,39 @@ def q_pipeline_classifier_quota_dedup(spark: SparkSession, sf_dir: str) -> DataF
        unique.
 
     Scale shape: scoring is one explode + broadcast weight join +
-    map-side-combinable sum; the quota rank shuffles kept rows once on
-    source; dedup shuffles (md5, doc_id, source) — text never moves
-    after the scan. The funnel counts are the audit trail every
-    curation run ships with.
+    map-side-combinable sum; the quota rank shuffles scored rows once
+    on source; dedup flags ride a second window on the content hash;
+    the whole report is ONE conditional rollup of a single flagged
+    lineage — text never moves after the scan, and (round 4,
+    scripts/audit_scans.py) the classifier subtree is consumed exactly
+    once where the old stage-joins formulation re-ran it per stage
+    count. The funnel counts are the audit trail every curation run
+    ships with.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     scored = classify_documents(docs, spark).join(
-        docs.select("doc_id", "source", "text"), "doc_id"
+        docs.select("doc_id", "source", F.md5("text").alias("h")), "doc_id"
     )
-    kept = scored.where(F.col("score") >= 0)
+    # Kept rows (score >= 0) sort strictly before dropped ones, so
+    # their row_number equals the rank the old kept-only window gave.
     w = Window.partitionBy("source").orderBy(
-        F.asc(hex8_int(F.col("doc_id").cast("string"))), F.asc("doc_id")
+        F.asc(F.col("score") < 0),
+        F.asc(hex8_int(F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
     )
-    capped = kept.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= PIPE3_QUOTA
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "in_quota", (F.col("score") >= 0) & (F.col("rk") <= PIPE3_QUOTA)
     )
-    reps = capped.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("rep_doc")
+    # Canonical rep = min doc_id among in-quota rows sharing a hash.
+    rep_rn = F.row_number().over(
+        Window.partitionBy("in_quota", "h").orderBy("doc_id")
     )
-    uniq = capped.join(
-        reps.select(F.col("rep_doc").alias("doc_id")), "doc_id", "left_semi"
+    flagged = ranked.withColumn(
+        "is_unique", F.col("in_quota") & (rep_rn == 1)
     )
-    per_source = scored.groupBy("source").agg(
+    return flagged.groupBy("source").agg(
         F.count("*").alias("n_raw"),
         F.sum(F.when(F.col("score") >= 0, 1).otherwise(0)).alias("n_classified"),
-    )
-    quota_counts = capped.groupBy("source").agg(F.count("*").alias("n_quota"))
-    uniq_counts = uniq.groupBy("source").agg(F.count("*").alias("n_unique"))
-    return (
-        per_source.join(quota_counts, "source", "left")
-        .join(uniq_counts, "source", "left")
-        .select(
-            "source",
-            "n_raw",
-            "n_classified",
-            F.coalesce("n_quota", F.lit(0)).alias("n_quota"),
-            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
-        )
+        F.sum(F.when(F.col("in_quota"), 1).otherwise(0)).alias("n_quota"),
+        F.sum(F.when(F.col("is_unique"), 1).otherwise(0)).alias("n_unique"),
     )

@@ -20,7 +20,7 @@ narrow filter — no shuffle of the fact table at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
@@ -128,26 +128,29 @@ def temperature_mix(docs: DataFrame) -> DataFrame:
     n_l ≈ 2·10⁹ rows per language; past that the gate casts to
     DECIMAL(38,0).
 
-    Scale shape: one tiny per-language aggregate (|langs| rows) joined
-    back broadcast, a narrow integer filter, then the final rollup —
+    Scale shape: ONE per-language aggregate (|langs| rows) from which
+    the totals, weights, and targets all derive via global windows
+    OVER THAT TINY FRAME — never re-aggregating the corpus (the
+    earlier crossJoin-a-1-row-total formulation consumed the stats
+    subtree three times, so the documents scan ran 5x per execution;
+    scripts/audit_scans.py, round 4). The SinglePartition window is
+    over |langs| rows, not data. Targets then broadcast-join back and
     the corpus itself shuffles only as (lang, partials).
     """
     stats = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
-    n_total = docs.agg(F.count("*").alias("n_total"))
-    lang_w = (
-        stats.crossJoin(F.broadcast(n_total))
-        .select(
-            "lang",
-            "n_l",
-            "n_total",
-            F.floor(
-                F.sqrt(F.col("n_l").cast("double") / F.col("n_total").cast("double"))
-                * F.lit(MIX_W_UNITS)
-            ).alias("w_units"),
-        )
+    wall = Window.partitionBy(F.lit(1))
+    lang_w = stats.select(
+        "lang", "n_l", F.sum("n_l").over(wall).alias("n_total")
+    ).select(
+        "lang",
+        "n_l",
+        "n_total",
+        F.floor(
+            F.sqrt(F.col("n_l").cast("double") / F.col("n_total").cast("double"))
+            * F.lit(MIX_W_UNITS)
+        ).alias("w_units"),
     )
-    sum_w = lang_w.agg(F.sum("w_units").alias("sum_w"))
-    targets = lang_w.crossJoin(F.broadcast(sum_w)).select(
+    targets = lang_w.withColumn("sum_w", F.sum("w_units").over(wall)).select(
         "lang",
         "n_l",
         F.expr(f"((n_total div {MIX_TARGET_DEN}) * w_units) div sum_w").alias("t_l"),
