@@ -71,6 +71,9 @@ HEADLINE = [
     "concurrent_error_overlap",
     "ivm_join_revenue",
     "multi_grain_event_rollup",
+    # round 4:
+    "near_dup_snm_multipass",
+    "multimodal_decode_stats",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -112,6 +115,8 @@ PRIMARY_INPUT = {
     "concurrent_error_overlap": "events",
     "ivm_join_revenue": "lineitem",
     "multi_grain_event_rollup": "events",
+    "near_dup_snm_multipass": "documents",
+    "multimodal_decode_stats": "documents",
 }
 
 

@@ -476,10 +476,24 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one exact byte — join on (byte_idx, byte_val), then verify
     with exact bit_count(xor). The oracle brute-forces all pairs;
     identical final predicate → identical result.
+
+    The band join runs over DISTINCT fingerprints, expanding to doc
+    pairs only after the hamming verify. Template-dominated corpora
+    collapse thousands of documents onto one fingerprint (simhash is
+    a frequency-weighted vote, so ANY shared dominant token mass
+    aligns every bit); banding at doc level then squares that
+    multiplicity inside the candidate join BEFORE verification —
+    measured on a degenerate 50k-doc replica where 45k docs shared
+    one fingerprint, the doc-level join built ~10⁹ candidate rows and
+    OOM'd an 8 GB heap. Fingerprint-level banding keeps candidate
+    work O(distinct-fp collisions); only VERIFIED near-dup families
+    expand, and that expansion is the output itself (for such corpora
+    the pair-list contract is inherently quadratic — near_dup_clusters
+    is the scale-safe output shape).
     """
     sim = simhash(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
-    bytes_ = sim.select(
-        "doc_id",
+    fps = sim.select("simhash").distinct()
+    bytes_ = fps.select(
         "simhash",
         F.posexplode(
             F.array(
@@ -490,21 +504,30 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("byte_idx", "byte_val"),
     )
-    cand = (
+    fp_pairs = (
         bytes_.alias("a")
         .join(bytes_.alias("b"), ["byte_idx", "byte_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.simhash") <= F.col("b.simhash"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).alias("x"),
+            F.col("a.simhash").alias("fa"), F.col("b.simhash").alias("fb")
         )
         .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count("x"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+    )
+    a = sim.select(F.col("simhash").alias("fa"), F.col("doc_id").alias("da"))
+    b = sim.select(F.col("simhash").alias("fb"), F.col("doc_id").alias("db"))
+    return (
+        fp_pairs.join(a, "fa")
+        .join(b, "fb")
+        # fa < fb: every unordered doc pair appears exactly once, any
+        # orientation; fa == fb: keep the da < db half.
+        .where((F.col("fa") < F.col("fb")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
     )
 
 

@@ -8,10 +8,15 @@ columns are additionally DECORRELATED across copies so the dedup /
 similarity families measure scaling rather than a replication
 artifact:
 
-- ``documents.text`` for copy i > 0 gets a per-copy token woven
-  between words (``' ' -> ' w<i> '``), so every shingle/13-gram of
-  copy i contains the copy tag and near-dup candidates do not explode
-  quadratically across copies.
+- ``documents.text`` for copy i > 0 gets (copy, doc-bucket,
+  position)-salted tag tokens woven in every 4th word, so shingles /
+  13-grams decorrelate across copies WITHOUT any single token gaining
+  dominant frequency mass. (The first cut of this script wove the
+  SAME ``w<i>`` token between every word; that token then dominated
+  every document's simhash bit vote and 45k of 50k docs collapsed to
+  ONE fingerprint — a degenerate corpus that turned the simhash
+  pair-join quadratic. Good stress test, wrong default; see
+  docs/SCALE.md round-4 sweep notes.)
 - ``embeddings.embedding`` components shift by i * 0.001, so exact
   duplicate vectors do not appear across copies while cluster
   structure survives.
@@ -49,6 +54,38 @@ KEYED = {
 }
 
 
+def _weave(text: str, i: int, doc_id: int) -> str:
+    """Insert a (copy, doc, position)-unique tag before every 4th
+    word. Each tag token occurs exactly ONCE in the corpus (weight 1,
+    shared with no other document), so simhash votes stay
+    content-driven — cross-doc fingerprint correlation mirrors the
+    base corpus — while most 3-shingle windows and every 13-gram of
+    copy i contain a tag, killing cross-copy near-dup candidates.
+    LETTER-ONLY tags: the engine tokenizer splits on non-letters
+    (Go unicode.IsLetter parity), so a digit-bearing tag like
+    ``w1x42p8`` collapses to the tokens ``w``/``x``/``p`` — which
+    then DO dominate every document's token mass. (That is exactly
+    how the first two cuts of this weave collapsed thousands of docs
+    to one simhash fingerprint; any token mass shared across
+    documents biases all their simhash bits the same way.)"""
+
+    def enc(n: int) -> str:
+        s = ""
+        n += 1
+        while n:
+            n, r = divmod(n, 26)
+            s += chr(ord("a") + r)
+        return s
+
+    words = text.split(" ")
+    out = []
+    for k, w in enumerate(words):
+        if k % 4 == 0:
+            out.append(f"q{enc(i)}{enc(doc_id)}{enc(k)}")
+        out.append(w)
+    return " ".join(out)
+
+
 def replica_sql(table: str) -> str:
     cols = [
         r[0]
@@ -62,11 +99,6 @@ def replica_sql(table: str) -> str:
         for c in cols:
             if c in KEYED[table]:
                 sel.append(f"{c} + {i * OFF} AS {c}")
-            elif table == "documents" and c == "text" and i > 0:
-                sel.append(f"replace(text, ' ', ' w{i} ') AS text")
-            elif table == "documents" and c == "n_chars" and i > 0:
-                # keep the stored length consistent with the new text
-                sel.append(f"CAST(len(replace(text, ' ', ' w{i} ')) AS BIGINT) AS n_chars")
             elif table == "embeddings" and c == "embedding" and i > 0:
                 sel.append(
                     f"list_transform(embedding, x -> x + CAST({i} * 0.001 AS FLOAT))"
@@ -80,6 +112,27 @@ def replica_sql(table: str) -> str:
     return " UNION ALL ".join(parts)
 
 
+def make_documents() -> None:
+    import pandas as pd
+
+    src = duckdb.sql(f"SELECT * FROM '{SRC}/documents.parquet'").df()
+    copies = []
+    for i in range(COPIES):
+        d = src.copy()
+        d["doc_id"] = d["doc_id"] + i * OFF
+        if i > 0:
+            d["text"] = [
+                _weave(t, i, int(did)) for t, did in zip(d["text"], d["doc_id"])
+            ]
+            d["n_chars"] = d["text"].str.len().astype("int64")
+        copies.append(d)
+    all_docs = pd.concat(copies, ignore_index=True)  # noqa: F841
+    duckdb.sql(
+        f"COPY (SELECT * FROM all_docs) TO '{OUT}/documents.parquet' (FORMAT PARQUET)"
+    )
+    print(f"documents: {len(all_docs)} rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for t in sorted(PLAIN):
@@ -88,6 +141,9 @@ def main() -> None:
         )
         print(f"{t}: copied")
     for t in KEYED:
+        if t == "documents":
+            make_documents()
+            continue
         duckdb.sql(
             f"COPY ({replica_sql(t)}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
         )

@@ -247,3 +247,48 @@ def test_knn_bruteforce_guard(spark):
     # Under the bound it runs and returns top-k rows per query.
     out = knn_bruteforce(e, n_queries=2, k=3, max_comparisons=10_000)
     assert out.count() == 6
+
+
+# --- simhash fingerprint-level banding ---------------------------------------
+
+
+def test_simhash_fp_banding_matches_bruteforce_with_identical_fp_family(spark):
+    """The band join runs over DISTINCT fingerprints and expands to
+    doc pairs afterwards; the orientation logic (fa < fb keeps any
+    orientation once, fa == fb keeps the da < db half) must reproduce
+    the brute-force pair set exactly — including a planted family of
+    documents sharing ONE fingerprint (identical text), the case that
+    made doc-level banding quadratic."""
+    from mapreduce_lab_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        q_near_dup_simhash,
+        simhash,
+    )
+
+    rows = [(i, "shared template body repeated across the family") for i in range(6)]
+    rows += [
+        (10, "a completely different document about mountains and rivers"),
+        (11, "a completely different document about mountains and streams"),
+        (12, "unrelated text concerning maritime navigation routes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in q_near_dup_simhash(spark, d).collect()
+        }
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    assert got == want
+    # The planted family collapses to one fingerprint (15 pairs at
+    # hamming 0) — the degenerate case under test.
+    assert {(a, b, 0) for a in range(6) for b in range(6) if a < b} <= got

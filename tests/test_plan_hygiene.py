@@ -155,6 +155,10 @@ DUP_SCAN_AUDITED = {
     "near_dup_minhash_lsh": (4, "banded candidates + two verify endpoints; "
                                 "signature table persisted at scale"),
     "near_dup_band_edit_distance": (4, "same candidate-then-verify shape"),
+    "near_dup_simhash": (4, "CACHED signature frame consumed by the "
+                            "distinct-fp banding and both expansion "
+                            "endpoints — InMemoryTableScan serves all four "
+                            "plan-text appearances after the first compute"),
     "near_dup_snm_multipass": (4, "two passes (forward + reversed key) x "
                                   "(main + boundary) — each linear"),
     "bm25_search": (4, "term stats + doc-length stats + scored postings"),
