@@ -147,11 +147,14 @@ def prefix_filtered_pairs(doc_sh: DataFrame, threshold_num: int = 1, threshold_d
     )
 
 
-def _pair_jaccard(pairs: DataFrame, doc_sh: DataFrame) -> DataFrame:
+def _pair_jaccard(
+    pairs: DataFrame, doc_sh: DataFrame, keep: list[str] | None = None
+) -> DataFrame:
     """Attach exact Jaccard to (doc_a, doc_b) pairs; filter >= 0.5.
 
     The filter is pure-integer (2*|A∩B| >= |A∪B|); the reported value
-    is a floor-scaled ratio — both identical across engines.
+    is a floor-scaled ratio — both identical across engines. Extra
+    ``pairs`` columns named in ``keep`` ride through to the output.
     """
     a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -166,6 +169,7 @@ def _pair_jaccard(pairs: DataFrame, doc_sh: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
             (F.floor(F.col("inter") * 1_000_000 / F.col("uni")) / 1e6).alias("jaccard"),
+            *(keep or []),
         )
     )
 
@@ -308,26 +312,78 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The output is defined by the algorithm (a pair missed by every
     band is absent even if J >= 0.5) — the oracle reproduces the exact
     same bands, so parity checks the construction end-to-end.
+
+    Signatures, band keys, AND the Jaccard verify are all pure
+    functions of the shingle SET, so documents with identical sets
+    (exact duplicates, sentence reorderings) collapse to one
+    representative BEFORE banding and expand back afterwards — the
+    same multiplicity-immunity as the simhash fp-level banding: a
+    family of k identical docs contributes one row to every band
+    bucket instead of squaring k inside the bucket join, and the
+    within-family pairs (always candidates — identical band keys —
+    and exactly Jaccard 1) are emitted algebraically. Output is
+    row-identical to the uncollapsed algorithm.
     """
     # Shingling + per-shingle md5 + 16 permutations is the expensive
     # subtree and feeds both self-join sides plus the Jaccard verify:
-    # cache both tables so it computes once (the production analog is
-    # a persisted signature table keyed by doc_id).
-    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
-    sig = doc_sh.select(
-        "doc_id", *minhash_signature(F.transform("sh", hex8_int))
+    # cache it so it computes once (the production analog is a
+    # persisted signature table keyed by doc_id).
+    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    marked = (
+        doc_sh.withColumn("grp", F.md5(F.concat_ws("\x01", F.sort_array("sh"))))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("doc_id"))
+        )
+        .cache()
+    )
+    rep_sh = marked.where(F.col("rn") == 1).select("grp", "doc_id", "sh")
+    sig = rep_sh.select(
+        "grp", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
     bands = sig.select(
-        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+        "grp", "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
     ).cache()
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.grp").alias("ga"),
+            F.col("y.grp").alias("gb"),
+        )
         .distinct()
     )
-    return _pair_jaccard(cand, doc_sh)
+    rep_pairs = _pair_jaccard(cand, rep_sh.select("doc_id", "sh"), keep=["ga", "gb"])
+
+    members = marked.select("grp", "doc_id")
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("grp").alias("ga"), F.col("doc_id").alias("da")),
+            "ga",
+        )
+        .join(
+            members.select(F.col("grp").alias("gb"), F.col("doc_id").alias("db")),
+            "gb",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        members.alias("p")
+        .join(members.alias("q"), "grp")
+        .where(F.col("p.doc_id") < F.col("q.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("q.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --- MinHash-LSH candidates + edit-distance verify ---------------------------

@@ -292,3 +292,47 @@ def test_simhash_fp_banding_matches_bruteforce_with_identical_fp_family(spark):
     # The planted family collapses to one fingerprint (15 pairs at
     # hamming 0) — the degenerate case under test.
     assert {(a, b, 0) for a in range(6) for b in range(6) if a < b} <= got
+
+
+def test_minhash_collapse_matches_uncollapsed_with_dup_family(spark):
+    """The identical-shingle-set collapse must reproduce the
+    uncollapsed LSH algorithm exactly: within-family pairs at J=1,
+    cross-family pairs at the representative's Jaccard, singletons
+    untouched."""
+    import tempfile
+
+    from mapreduce_lab_spark.operators.dedup import (
+        _band_keys,
+        minhash_signature,
+        q_near_dup_minhash_lsh,
+    )
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+
+    fam = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, fam) for i in range(5)]  # identical-set family
+    rows += [
+        (10, fam + " extra"),  # near-dup of the family (J >= 0.5)
+        (11, "completely different text about orbital mechanics and fuel"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Uncollapsed reference: doc-level bands + jaccard verify.
+    doc_sh = _doc_shingles(docs).cache()
+    sig = doc_sh.select("doc_id", *minhash_signature(F.transform("sh", hex8_int)))
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+    )
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    want = {tuple(r) for r in _pair_jaccard(cand, doc_sh).collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        got = {tuple(r) for r in q_near_dup_minhash_lsh(spark, d).collect()}
+    assert got == want
+    # The family's 10 within-pairs are present at exactly J = 1.
+    assert {(a, b, 1.0) for a in range(5) for b in range(5) if a < b} <= got

@@ -152,8 +152,12 @@ DUP_SCAN_AUDITED = {
                             "base/delta; 16-byte fingerprints only"),
     "embedding_correlation": (5, "mean/std stats frame + centered Gramian "
                                  "pass over the vector column"),
-    "near_dup_minhash_lsh": (4, "banded candidates + two verify endpoints; "
-                                "signature table persisted at scale"),
+    "near_dup_minhash_lsh": (8, "CACHED marked-groups frame consumed by the "
+                                "collapse representatives, both band-join "
+                                "sides, both verify endpoints, and both "
+                                "member-expansion sides — InMemoryTableScan "
+                                "serves every appearance after the first "
+                                "compute; signature table persisted at scale"),
     "near_dup_band_edit_distance": (4, "same candidate-then-verify shape"),
     "near_dup_simhash": (4, "CACHED signature frame consumed by the "
                             "distinct-fp banding and both expansion "
