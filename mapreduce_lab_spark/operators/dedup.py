@@ -438,27 +438,52 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     membership can't hinge on a float ULP; the oracle reproduces the
     exact bands and DuckDB's levenshtein agrees with Spark's on
     codepoints.
+
+    Exact RAW-text duplicates collapse to one representative before
+    banding and expand back afterwards (same multiplicity-immunity as
+    the simhash/minhash forms; the collapse key here must be the raw
+    text, since tokenize is case-sensitive while the verify
+    normalization is not — identical raw text makes band keys AND
+    edit distances invariant, and within-family pairs are always
+    candidates at distance exactly 0).
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = docs.select(
-        "doc_id", norm.alias("norm"), shingles(F.col("text")).alias("sh")
-    ).cache()
-    sig = base.select("doc_id", *minhash_signature(F.transform("sh", hex8_int)))
+    marked = (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("grp"),
+            norm.alias("norm"),
+            shingles(F.col("text")).alias("sh"),
+        )
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("doc_id"))
+        )
+        .cache()
+    )
+    base = marked.where(F.col("rn") == 1)
+    sig = base.select(
+        "grp", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
+    )
     bands = sig.select(
-        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+        "grp", "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
     )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.grp").alias("ga"),
+            F.col("y.grp").alias("gb"),
+        )
         .distinct()
     )
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
     lev = F.levenshtein("norm_a", "norm_b")
-    return (
+    rep_pairs = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("edit_distance", lev.cast("long"))
@@ -466,8 +491,35 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
             1000 * F.col("edit_distance")
             <= EDIT_DIST_MAX_PERMILLE * F.greatest(F.length("norm_a"), F.length("norm_b"))
         )
-        .select("doc_a", "doc_b", "edit_distance")
+        .select("ga", "gb", "edit_distance")
     )
+    members = marked.select("grp", "doc_id")
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("grp").alias("ga"), F.col("doc_id").alias("da")),
+            "ga",
+        )
+        .join(
+            members.select(F.col("grp").alias("gb"), F.col("doc_id").alias("db")),
+            "gb",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "edit_distance",
+        )
+    )
+    within = (
+        members.alias("p")
+        .join(members.alias("q"), "grp")
+        .where(F.col("p.doc_id") < F.col("q.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("q.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("edit_distance"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --- SimHash ---------------------------------------------------------------

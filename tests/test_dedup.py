@@ -336,3 +336,59 @@ def test_minhash_collapse_matches_uncollapsed_with_dup_family(spark):
     assert got == want
     # The family's 10 within-pairs are present at exactly J = 1.
     assert {(a, b, 1.0) for a in range(5) for b in range(5) if a < b} <= got
+
+
+def test_band_edit_collapse_matches_uncollapsed_with_dup_family(spark):
+    """Raw-text collapse for the edit-distance variant: within-family
+    pairs at distance 0, cross-family pairs at the representatives'
+    distance, identical to the uncollapsed algorithm."""
+    import tempfile
+
+    from mapreduce_lab_spark.operators.dedup import (
+        EDIT_DIST_MAX_PERMILLE,
+        _band_keys,
+        minhash_signature,
+        q_near_dup_band_edit_distance,
+        shingles,
+    )
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+
+    fam = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, fam) for i in range(4)]
+    rows += [(10, fam + " today"), (11, "entirely unrelated astronomy notes")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Uncollapsed reference.
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", norm.alias("norm"), shingles(F.col("text")).alias("sh"))
+    sig = base.select("doc_id", *minhash_signature(F.transform("sh", hex8_int)))
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+    )
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    want = {
+        tuple(r)
+        for r in (
+            cand.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("edit_distance", F.levenshtein("norm_a", "norm_b").cast("long"))
+            .filter(
+                1000 * F.col("edit_distance")
+                <= EDIT_DIST_MAX_PERMILLE
+                * F.greatest(F.length("norm_a"), F.length("norm_b"))
+            )
+            .select("doc_a", "doc_b", "edit_distance")
+        ).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        got = {tuple(r) for r in q_near_dup_band_edit_distance(spark, d).collect()}
+    assert got == want
+    assert {(x, y, 0) for x in range(4) for y in range(4) if x < y} <= got

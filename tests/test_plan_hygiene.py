@@ -158,7 +158,11 @@ DUP_SCAN_AUDITED = {
                                 "member-expansion sides — InMemoryTableScan "
                                 "serves every appearance after the first "
                                 "compute; signature table persisted at scale"),
-    "near_dup_band_edit_distance": (4, "same candidate-then-verify shape"),
+    "near_dup_band_edit_distance": (8, "CACHED marked-groups frame consumed "
+                                       "by the collapse representatives, band "
+                                       "sides, verify endpoints, and member "
+                                       "expansion — same cache-served shape "
+                                       "as near_dup_minhash_lsh"),
     "near_dup_simhash": (4, "CACHED signature frame consumed by the "
                             "distinct-fp banding and both expansion "
                             "endpoints — InMemoryTableScan serves all four "
