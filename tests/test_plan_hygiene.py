@@ -58,6 +58,13 @@ BNLJ_AUDITED = {
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
+    # Cached frames left by earlier test modules get plan-substituted
+    # into ANY matching subtree here (InMemoryRelation text nests the
+    # cached child plan, recursively), which inflates FileScan text
+    # counts nondeterministically depending on which tests ran first.
+    # Start from a clean cache so the sweep sees the same plans as a
+    # fresh session.
+    spark.catalog.clearCache()
     out = {}
     for name, fn in registry.queries().items():
         # Queries whose FUNCTION executes a stream to drain it: the
