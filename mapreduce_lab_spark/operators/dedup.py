@@ -482,15 +482,18 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
-    lev = F.levenshtein("norm_a", "norm_b")
+    # Thresholded (banded) levenshtein with the pair's own acceptance
+    # bound: -1 above it, exact distance otherwise — same equivalence
+    # argument as _snm_verify.
+    lev_banded = F.expr(
+        f"levenshtein(norm_a, norm_b, CAST(({EDIT_DIST_MAX_PERMILLE} * "
+        f"greatest(length(norm_a), length(norm_b))) div 1000 AS INT))"
+    ).cast("long")
     rep_pairs = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("edit_distance", lev.cast("long"))
-        .filter(
-            1000 * F.col("edit_distance")
-            <= EDIT_DIST_MAX_PERMILLE * F.greatest(F.length("norm_a"), F.length("norm_b"))
-        )
+        .withColumn("edit_distance", lev_banded)
+        .filter(F.col("edit_distance") >= 0)
         .select("ga", "gb", "edit_distance")
     )
     members = marked.select("grp", "doc_id")
@@ -994,22 +997,28 @@ def _snm_verify(pairs: DataFrame) -> DataFrame:
     family), dedup across passes.
 
     Levenshtein is O(len_a·len_b) per pair — by far the dominant cost
-    of any SNM run — so two semantics-preserving cuts run first:
+    of any SNM run — so three semantics-preserving cuts apply:
     candidates dedupe BEFORE the verify (multi-pass unions and lead
     windows re-surface the same pair several times; one lev per
-    distinct pair), and the length lower bound gates it
-    (lev >= |len_a - len_b|, so a pair whose length gap already
-    exceeds the relative threshold skips the quadratic call entirely —
-    the conjunction short-circuits in codegen). Measured 8.9 s ->
-    4.6 s warm on the two-pass query at sf0.1."""
+    distinct pair); the length lower bound gates it (lev >=
+    |len_a - len_b|, so a pair whose length gap already exceeds the
+    relative threshold skips the call entirely); and the call itself
+    is Spark's THRESHOLDED levenshtein (banded O(len·k) DP returning
+    -1 above k) with k = the pair's own acceptance bound — for
+    integers lev <= 0.2·max_len iff lev <= floor(0.2·max_len), so
+    accept-iff-not-(-1) is exactly the unbounded predicate. Measured
+    8.9 s -> 2.2 s warm on the two-pass query at sf0.1."""
     max_len = F.greatest(F.length("norm_a"), F.length("norm_b"))
     len_gap = F.abs(F.length("norm_a") - F.length("norm_b"))
-    lev = F.levenshtein("norm_a", "norm_b").cast("long")
+    lev_banded = F.expr(
+        f"levenshtein(norm_a, norm_b, CAST(({EDIT_DIST_MAX_PERMILLE} * "
+        f"greatest(length(norm_a), length(norm_b))) div 1000 AS INT))"
+    ).cast("long")
     return (
         pairs.distinct()
         .where(1000 * len_gap <= EDIT_DIST_MAX_PERMILLE * max_len)
-        .withColumn("edit_distance", lev)
-        .where(1000 * F.col("edit_distance") <= EDIT_DIST_MAX_PERMILLE * max_len)
+        .withColumn("edit_distance", lev_banded)
+        .where(F.col("edit_distance") >= 0)
         .select("doc_a", "doc_b", "edit_distance")
         .distinct()
     )
