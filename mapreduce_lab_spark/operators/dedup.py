@@ -226,12 +226,68 @@ def q_near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify over the FULL shingle sets. The oracle
     brute-forces the cross join instead — an independent formulation,
     same answer.
+
+    Identical shingle sets collapse to one representative first (the
+    same multiplicity-immunity as the other banded families): a family
+    of k identical docs otherwise puts all k in every shared-prefix
+    bucket — quadratic candidates before any verify. Collapsing
+    CHANGES the global document frequencies the prefix order uses, but
+    the output is invariant: prefix filtering is lossless for J >= 0.5
+    under ANY global order, and the verify keeps exactly the J >= 0.5
+    pairs, so both worlds emit the same set — the all-pairs J >= 0.5
+    definition the oracle states directly.
     """
     # The shingle table feeds both sides of the self-join and the
     # verify step: cache it so tokenization+shingling runs once, not
     # 4x (at scale this is a materialized signature table).
-    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
-    return _pair_jaccard(prefix_filtered_pairs(doc_sh), doc_sh)
+    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    marked = (
+        doc_sh.withColumn("grp", F.md5(F.concat_ws("\x01", F.sort_array("sh"))))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("doc_id"))
+        )
+        .cache()
+    )
+    rep_sh = marked.where(F.col("rn") == 1).select("doc_id", "sh")
+    rep_pairs = _pair_jaccard(prefix_filtered_pairs(rep_sh), rep_sh)
+    rep_map = marked.where(F.col("rn") == 1).select(
+        F.col("doc_id").alias("rep"), "grp"
+    )
+    members = marked.select("grp", "doc_id")
+    cross = (
+        rep_pairs.join(
+            rep_map.select(F.col("rep").alias("doc_a"), F.col("grp").alias("ga")),
+            "doc_a",
+        )
+        .join(
+            rep_map.select(F.col("rep").alias("doc_b"), F.col("grp").alias("gb")),
+            "doc_b",
+        )
+        .join(
+            members.select(F.col("grp").alias("ga"), F.col("doc_id").alias("da")),
+            "ga",
+        )
+        .join(
+            members.select(F.col("grp").alias("gb"), F.col("doc_id").alias("db")),
+            "gb",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        members.alias("p")
+        .join(members.alias("q"), "grp")
+        .where(F.col("p.doc_id") < F.col("q.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("q.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --- MinHash + LSH ---------------------------------------------------------

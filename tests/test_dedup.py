@@ -392,3 +392,29 @@ def test_band_edit_collapse_matches_uncollapsed_with_dup_family(spark):
         got = {tuple(r) for r in q_near_dup_band_edit_distance(spark, d).collect()}
     assert got == want
     assert {(x, y, 0) for x in range(4) for y in range(4) if x < y} <= got
+
+
+def test_jaccard_collapse_matches_uncollapsed_with_dup_family(spark):
+    """Identical-set collapse for the prefix-filtered Jaccard query:
+    output must equal the uncollapsed formulation (and the all-pairs
+    J >= 0.5 definition) on a corpus with a planted identical family,
+    despite the collapse changing the global document frequencies the
+    prefix order uses."""
+    import tempfile
+
+    from mapreduce_lab_spark.operators.dedup import q_near_dup_ngram_jaccard
+
+    fam = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, fam) for i in range(5)]
+    rows += [(10, fam + " extra"), (11, "unrelated botany field notes text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    doc_sh = _doc_shingles(docs).cache()
+    want = {
+        tuple(r)
+        for r in _pair_jaccard(naive_candidate_pairs(doc_sh), doc_sh).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        got = {tuple(r) for r in q_near_dup_ngram_jaccard(spark, d).collect()}
+    assert got == want
+    assert {(a, b, 1.0) for a in range(5) for b in range(5) if a < b} <= got
