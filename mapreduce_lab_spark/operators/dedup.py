@@ -982,28 +982,68 @@ def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
 
     The oracle rebuilds the identical bands and splits by the same
     modulus — construction-exact parity, as for the self-join.
+
+    Identical shingle sets collapse to one representative PER SIDE
+    (corpus / batch) before the probe — the incremental form of the
+    multiplicity-immunity shared by the other banded families: a
+    batch of k identical docs probes the index once, a corpus family
+    of m identical docs is one index row, and the verified rep pair
+    expands to all m×k cross-side pairs afterwards (same-group
+    cross-side pairs surface the same way: identical sets always
+    collide, at exactly Jaccard 1). In production the collapsed form
+    IS the persisted index layout — one band row per distinct
+    signature plus a membership side-table.
     """
-    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
-    sig = doc_sh.select(
-        "doc_id", *minhash_signature(F.transform("sh", hex8_int))
+    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    marked = (
+        doc_sh.withColumn("side_new", F.col("doc_id") % INCR_MOD == 0)
+        .withColumn("grp", F.md5(F.concat_ws("\x01", F.sort_array("sh"))))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("grp", "side_new").orderBy("doc_id")
+            ),
+        )
+        .cache()
+    )
+    reps = marked.where(F.col("rn") == 1)
+    sig = reps.select(
+        "grp", "side_new", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
     bands = sig.select(
-        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+        "grp",
+        "side_new",
+        "doc_id",
+        F.posexplode(F.array(*_band_keys())).alias("band", "key"),
     )
     # In production `corpus_bands` is read back from the persisted
     # index; here both derive from one table split by the modulus.
-    corpus_bands = bands.where(F.col("doc_id") % INCR_MOD != 0)
-    new_bands = bands.where(F.col("doc_id") % INCR_MOD == 0)
+    corpus_bands = bands.where(~F.col("side_new"))
+    new_bands = bands.where(F.col("side_new"))
     cand = (
         corpus_bands.alias("x")
         .join(new_bands.alias("y"), ["band", "key"])
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.grp").alias("ga"),
+            F.col("y.grp").alias("gb"),
         )
         .distinct()
     )
-    return _pair_jaccard(cand, doc_sh).withColumnsRenamed(
-        {"doc_a": "corpus_doc", "doc_b": "new_doc"}
+    rep_pairs = _pair_jaccard(
+        cand, reps.select("doc_id", "sh"), keep=["ga", "gb"]
+    )
+    corpus_members = marked.where(~F.col("side_new")).select(
+        F.col("grp").alias("ga"), F.col("doc_id").alias("corpus_doc")
+    )
+    new_members = marked.where(F.col("side_new")).select(
+        F.col("grp").alias("gb"), F.col("doc_id").alias("new_doc")
+    )
+    return (
+        rep_pairs.join(corpus_members, "ga")
+        .join(new_members, "gb")
+        .select("corpus_doc", "new_doc", "jaccard")
     )
 
 

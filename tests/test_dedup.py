@@ -418,3 +418,52 @@ def test_jaccard_collapse_matches_uncollapsed_with_dup_family(spark):
         got = {tuple(r) for r in q_near_dup_ngram_jaccard(spark, d).collect()}
     assert got == want
     assert {(a, b, 1.0) for a in range(5) for b in range(5) if a < b} <= got
+
+
+def test_incremental_collapse_matches_uncollapsed_with_dup_family(spark):
+    """Per-side collapse for the incremental probe: a batch family of
+    identical docs probes once and expands to all cross-side pairs at
+    J = 1; output equals the uncollapsed corpus-bands x batch-bands
+    formulation."""
+    import tempfile
+
+    from mapreduce_lab_spark.operators.dedup import (
+        INCR_MOD,
+        _band_keys,
+        minhash_signature,
+        q_near_dup_incremental_minhash,
+    )
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+
+    fam = "the quick brown fox jumps over the lazy dog near the river bank"
+    # ids multiple of 10 = incoming batch; others = corpus. The family
+    # spans BOTH sides.
+    rows = [(1, fam), (2, fam), (10, fam), (20, fam)]
+    rows += [(11, fam + " extra"), (30, "unrelated maritime charts digest"),
+             (3, "another unrelated corpus document body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    doc_sh = _doc_shingles(docs).cache()
+    sig = doc_sh.select("doc_id", *minhash_signature(F.transform("sh", hex8_int)))
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+    )
+    cand = (
+        bands.where(F.col("doc_id") % INCR_MOD != 0).alias("x")
+        .join(bands.where(F.col("doc_id") % INCR_MOD == 0).alias("y"), ["band", "key"])
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _pair_jaccard(cand, doc_sh).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r.corpus_doc, r.new_doc, r.jaccard)
+            for r in q_near_dup_incremental_minhash(spark, d).collect()
+        }
+    assert got == want
+    # Corpus family members x batch family members, all at J = 1.
+    assert {(c, n, 1.0) for c in (1, 2) for n in (10, 20)} <= got

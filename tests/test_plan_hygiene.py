@@ -145,9 +145,13 @@ DUP_SCAN_AUDITED = {
                                    "64MB broadcast threshold inlines each "
                                    "twice); persisted intermediate at scale "
                                    "(dedup.py)"),
-    "near_dup_incremental_minhash": (8, "corpus/new band split + verify "
-                                        "endpoints (4 subtrees, doubled by "
-                                        "test-profile broadcast inlining)"),
+    "near_dup_incremental_minhash": (12, "CACHED per-side-collapsed frame "
+                                         "consumed by corpus/new band sides, "
+                                         "verify endpoints, and both member-"
+                                         "expansion sides (6 subtrees, doubled "
+                                         "by test-profile broadcast inlining); "
+                                         "InMemoryTableScan serves all after "
+                                         "first compute"),
     "scalar_subquery_above_avg_price": (5, "correlated scalar-subquery "
                                            "decorrelation duplicates the keyed "
                                            "aggregate (TPC-H Q17 shape)"),
