@@ -109,6 +109,74 @@ _KIND_COMPAT = {
 }
 
 
+def live_scan_counts(df: DataFrame) -> dict[str, int]:
+    """Per-parquet-table count of FileScan nodes that will actually
+    EXECUTE for this DataFrame — the number the 100 TB cost model
+    cares about, and what the plan-hygiene sweep audits.
+
+    Counting ``file:.../<t>.parquet`` occurrences in the executed-plan
+    TEXT (the round-4 approach) is wrong in two cache-shaped ways:
+    a cached subtree's plan nests (recursively) under every
+    ``InMemoryRelation`` appearance, so one materialize-once scan
+    counts N times, and cached frames left behind by OTHER queries
+    plan-substitute into matching subtrees, making the count depend
+    on which queries were built earlier in the session (the round-4
+    red test). This walks the plan TREE instead:
+
+    - ``InMemoryTableScanExec``: the cached plan materializes once no
+      matter how many consumers — count each DISTINCT cached relation's
+      subtree exactly once (dedup by JVM identity).
+    - ``ReusedExchangeExec`` / ``ReusedSubqueryExec``: reuse of an
+      already-materialized result — no re-scan, don't descend.
+    - ``AdaptiveSparkPlanExec`` / ``*QueryStageExec``: unwrap to the
+      current inner plan.
+    - subqueries (scalar/IN): real executions, descended.
+    """
+    import re
+
+    counts: dict[str, int] = {}
+    seen_caches: set[int] = set()
+    jvm = df.sparkSession._jvm
+
+    def visit(node: object) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            visit(node.executedPlan())
+            subs(node)
+            return
+        if cls.endswith("QueryStageExec"):
+            visit(node.plan())
+            return
+        if cls == "InMemoryTableScanExec":
+            # Catalyst hands each consumer its own column-pruned COPY
+            # of the InMemoryRelation; the shared materialize-once
+            # identity is the underlying CachedRDDBuilder.
+            rel = node.relation()
+            key = jvm.java.lang.System.identityHashCode(rel.cacheBuilder())
+            if key not in seen_caches:
+                seen_caches.add(key)
+                visit(rel.cachedPlan())
+            return
+        if "FileSourceScan" in cls or cls == "BatchScanExec":
+            m = re.search(r"/(\w+)\.parquet", node.toString().splitlines()[0])
+            t = m.group(1) if m else "<unknown>"
+            counts[t] = counts.get(t, 0) + 1
+        kids = node.children()
+        for i in range(kids.size()):
+            visit(kids.apply(i))
+        subs(node)
+
+    def subs(node: object) -> None:
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            visit(sq.apply(i))
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return counts
+
+
 def compare(name: str, spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> DiffResult:
     sp = spark_df.toPandas()
     du = con.execute(sql).fetchdf()

@@ -4,8 +4,11 @@ Round 4 found dup_span_fraction_13gram silently scanning + re-running
 its tokenize/explode subtree TWICE because two consumers pruned the
 shared DataFrame differently (no ReusedExchange). This script makes
 that pattern visible for every registered query: it builds each plan
-and reports queries whose PHYSICAL plan contains more than one
-FileScan of the same parquet input, with the per-table scan count.
+against a clean cache and reports queries whose plan contains more
+than one LIVE FileScan of the same parquet input (cache-served
+subtrees counted once — testing.live_scan_counts), with the
+per-table scan count. Recalibrate tests/test_plan_hygiene.py's
+DUP_SCAN_AUDITED from the --all output.
 
 A duplicate scan is not automatically a defect — broadcast dimensions
 scanned twice are cheap, and self-joins genuinely read twice — but
@@ -21,7 +24,6 @@ Usage: python scripts/audit_scans.py [--all]
 from __future__ import annotations
 
 import os
-import re
 import sys
 from collections import Counter
 
@@ -50,6 +52,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from mapreduce_lab_spark import registry
+    from mapreduce_lab_spark.testing import live_scan_counts
 
     spark = (
         SparkSession.builder.master("local[4]")
@@ -69,15 +72,13 @@ def main() -> None:
     for name, fn in qs.items():
         if name in SKIP:
             continue
+        spark.catalog.clearCache()
         try:
             df = fn(spark, SF)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            tables = Counter(live_scan_counts(df))
         except Exception as ex:  # streaming-only constructs, env gates
             errors.append((name, str(ex).splitlines()[0][:100]))
             continue
-        tables = Counter(
-            m.group(1) for m in re.finditer(r"file:[^\]]*/(\w+)\.parquet", plan)
-        )
         dups = {t: c for t, c in tables.items() if c > 1}
         if dups:
             flagged.append((name, dups))

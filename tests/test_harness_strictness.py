@@ -68,6 +68,35 @@ def test_registry_prefix_samples_every_family():
     )
 
 
+def test_registry_order_immune_to_new_driver_artifacts(tmp_path):
+    """META-TEST for the round-4 failure mode: the driver writes
+    CORRECTNESS_r{N}.json AFTER the builder's last commit, so any
+    queries() ordering derived from live-globbing those artifacts
+    changes under the driver's feet mid-round (and flipped the plan-
+    hygiene sweep). Ordering must depend only on the COMMITTED
+    driver_seen.json snapshot: dropping a synthetic new artifact at
+    the repo root must not move a single query."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
+    synthetic = os.path.join(root, "CORRECTNESS_r99.json")
+    assert not os.path.exists(synthetic)
+    before = list(registry.queries())
+    # Plausible artifact content: marks every currently-unseen query
+    # seen — the strongest possible perturbation of the old scheme.
+    import json
+
+    seen, _ = registry._previously_sampled()
+    payload = {n: {"rows_match": True} for n in before if n not in seen}
+    try:
+        with open(synthetic, "w") as f:
+            json.dump(payload, f)
+        after = list(registry.queries())
+    finally:
+        os.remove(synthetic)
+    assert before == after
+
+
 def test_every_query_has_unique_name_and_callable():
     q = registry.queries()
     assert len(q) >= 91

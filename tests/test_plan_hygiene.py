@@ -25,6 +25,7 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_lab_spark import registry
+from mapreduce_lab_spark.testing import live_scan_counts
 
 # name -> what the broadcast side is, and why it is bounded.
 BNLJ_AUDITED = {
@@ -57,14 +58,18 @@ BNLJ_AUDITED = {
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    # Cached frames left by earlier test modules get plan-substituted
-    # into ANY matching subtree here (InMemoryRelation text nests the
-    # cached child plan, recursively), which inflates FileScan text
-    # counts nondeterministically depending on which tests ran first.
-    # Start from a clean cache so the sweep sees the same plans as a
-    # fresh session.
-    spark.catalog.clearCache()
+def _built(spark, sf_dir):
+    """name -> (executed-plan text, live scan counts).
+
+    clearCache() before EACH build: cached frames left by earlier test
+    modules — or by earlier queries in THIS loop — plan-substitute into
+    any matching subtree, so without the per-build clear both the plan
+    text and the scan counts depend on registry ordering (the round-4
+    red test: a new committed CORRECTNESS artifact reordered the loop
+    and flipped the counts). Plan construction executes nothing, so
+    the per-build clear is free; each query is measured exactly as a
+    fresh session would see it.
+    """
     out = {}
     for name, fn in registry.queries().items():
         # Queries whose FUNCTION executes a stream to drain it: the
@@ -73,9 +78,24 @@ def plans(spark, sf_dir):
         # full drain.
         if name.startswith("streaming_") or name == "python_datasource_stream_replay":
             continue
+        spark.catalog.clearCache()
         df = fn(spark, sf_dir)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = (
+            df._jdf.queryExecution().executedPlan().toString(),
+            live_scan_counts(df),
+        )
+    spark.catalog.clearCache()
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(_built):
+    return {n: p for n, (p, _) in _built.items()}
+
+
+@pytest.fixture(scope="module")
+def scan_counts(_built):
+    return {n: c for n, (_, c) in _built.items()}
 
 
 def test_no_cartesian_product_anywhere(plans):
@@ -124,34 +144,25 @@ def test_no_row_at_a_time_python_udfs(plans):
     assert offenders == [], offenders
 
 
-# 4. **Duplicate scans bounded and audited.** Round 4's sweep
-# (scripts/audit_scans.py) found queries whose plan re-scans — and
-# re-COMPUTES the subtree above — the same parquet input because
-# multiple consumers of one DataFrame prune differently and never
-# canonicalize into a ReusedExchange. Six queries were rewritten to
-# single-lineage forms (window rank instead of min-per-key + join
-# back; conditional rollups instead of per-stage counts; window
-# totals over tiny aggregates instead of crossJoin'd scalar frames).
-# What remains is either inherent (self-joins, set ops, per-edge
-# audits, independent retrieval rankings) or an explicitly documented
-# persist-at-scale intermediate; every query scanning one table >= 4
-# times must be listed here with its reason, and nothing may exceed 6.
+# 4. **Duplicate scans bounded and audited.** Round 4's sweep counted
+# ``file:.../<t>.parquet`` occurrences in the executed-plan TEXT —
+# which (a) counts a cached subtree once per InMemoryRelation
+# appearance even though it materializes once, and (b) changes with
+# whatever caches earlier-built queries left behind, so the gate
+# flipped whenever registry ordering moved (the round-4 red test).
+# Round 5 counts what actually EXECUTES instead
+# (testing.live_scan_counts: tree walk, distinct cached relations
+# counted once, ReusedExchange/ReusedSubquery skipped) against a
+# per-build-clean cache, so the number is the per-execution scan
+# count a 100 TB cost model sees and is a pure function of the
+# query's own lineage. Under live semantics the whole cached-dedup
+# family drops to <= 2; what remains >= 4 is inherent multi-pass work
+# (self-joins, per-FK-edge audits, independent rankings, IVM delta
+# terms). Every query scanning one table >= 4 times must be listed
+# here with its reason, and nothing may exceed 6.
 DUP_SCAN_AUDITED = {
     "fk_integrity_audit": (6, "one independent key-column audit pass per FK "
                               "edge; lineitem carries three edges"),
-    "near_dup_ngram_jaccard": (12, "candidate-then-verify: shingle table "
-                                   "feeds the prefix index and both pair "
-                                   "endpoints (6 subtrees; the test profile's "
-                                   "64MB broadcast threshold inlines each "
-                                   "twice); persisted intermediate at scale "
-                                   "(dedup.py)"),
-    "near_dup_incremental_minhash": (12, "CACHED per-side-collapsed frame "
-                                         "consumed by corpus/new band sides, "
-                                         "verify endpoints, and both member-"
-                                         "expansion sides (6 subtrees, doubled "
-                                         "by test-profile broadcast inlining); "
-                                         "InMemoryTableScan serves all after "
-                                         "first compute"),
     "scalar_subquery_above_avg_price": (5, "correlated scalar-subquery "
                                            "decorrelation duplicates the keyed "
                                            "aggregate (TPC-H Q17 shape)"),
@@ -163,25 +174,9 @@ DUP_SCAN_AUDITED = {
                             "base/delta; 16-byte fingerprints only"),
     "embedding_correlation": (5, "mean/std stats frame + centered Gramian "
                                  "pass over the vector column"),
-    "near_dup_minhash_lsh": (8, "CACHED marked-groups frame consumed by the "
-                                "collapse representatives, both band-join "
-                                "sides, both verify endpoints, and both "
-                                "member-expansion sides — InMemoryTableScan "
-                                "serves every appearance after the first "
-                                "compute; signature table persisted at scale"),
-    "near_dup_band_edit_distance": (8, "CACHED marked-groups frame consumed "
-                                       "by the collapse representatives, band "
-                                       "sides, verify endpoints, and member "
-                                       "expansion — same cache-served shape "
-                                       "as near_dup_minhash_lsh"),
-    "near_dup_simhash": (4, "CACHED signature frame consumed by the "
-                            "distinct-fp banding and both expansion "
-                            "endpoints — InMemoryTableScan serves all four "
-                            "plan-text appearances after the first compute"),
     "near_dup_snm_multipass": (4, "two passes (forward + reversed key) x "
                                   "(main + boundary) — each linear"),
     "bm25_search": (4, "term stats + doc-length stats + scored postings"),
-    "ivf_knn_cosine": (4, "centroid sample, assignment, and probe passes"),
     "copurchase_degree_hist": (4, "basket self-join (2 sides) + degree rollup"),
     "bigram_pmi_top": (4, "bigram counts + two unigram marginals"),
     "mad_outlier_events": (4, "exact median, then MAD, then outlier gate — "
@@ -197,42 +192,43 @@ DUP_SCAN_AUDITED = {
 }
 
 
-# Iterative loops whose driver-side unrolling re-references a CACHED
-# frame: the FileScan text repeats under InMemoryRelation per
-# iteration but is served by the cache, never re-executed — scan-count
-# text matching is a false positive there.
-DUP_SCAN_ITERATIVE_EXEMPT = {"pagerank_copurchase"}
-
-
-def test_duplicate_scans_bounded_and_audited(plans):
-    import re
-    from collections import Counter
-
+def test_duplicate_scans_bounded_and_audited(scan_counts):
     offenders = {}
-    for name, plan in plans.items():
-        if name in DUP_SCAN_ITERATIVE_EXEMPT:
-            continue
-        tables = Counter(re.findall(r"file:[^\]]*/(\w+)\.parquet", plan))
+    for name, tables in scan_counts.items():
         mx = max(tables.values(), default=0)
         cap = DUP_SCAN_AUDITED.get(name, (3, ""))[0]
         if mx > cap:
             offenders[name] = dict(tables)
     assert offenders == {}, (
-        f"plans re-scanning an input beyond their audited bound: {offenders}; "
-        "run scripts/audit_scans.py, fix the duplicated lineage (see the "
-        "round-4 rewrites) or audit it here with a reason"
+        f"plans re-executing an input scan beyond their audited bound: "
+        f"{offenders}; run scripts/audit_scans.py, fix the duplicated "
+        "lineage (cache/persist the shared frame, or rewrite single-scan "
+        "as in the round-4 rewrites) or audit it here with a reason"
     )
 
 
-def test_dup_scan_audit_list_not_stale(plans):
-    import re
-    from collections import Counter
-
+def test_dup_scan_audit_list_not_stale(scan_counts):
     stale = []
     for name, (cap, _why) in DUP_SCAN_AUDITED.items():
-        if name not in plans:
+        if name not in scan_counts:
             continue
-        tables = Counter(re.findall(r"file:[^\]]*/(\w+)\.parquet", plans[name]))
-        if max(tables.values(), default=0) < 4:
+        if max(scan_counts[name].values(), default=0) < 4:
             stale.append(name)
-    assert stale == [], f"DUP_SCAN_AUDITED entries below 4 scans now: {stale}"
+    assert stale == [], f"DUP_SCAN_AUDITED entries below 4 live scans now: {stale}"
+
+
+def test_scan_counts_immune_to_leftover_caches(spark, sf_dir):
+    """META-TEST for the round-4 failure mode: building query B after
+    query A left cached frames behind must report the same live scan
+    counts as building B against a clean cache. Uses the two queries
+    whose counts actually flipped in round 4."""
+    a = "near_dup_minhash_lsh"
+    b = "near_dup_ngram_jaccard"
+    q = registry.queries()
+    spark.catalog.clearCache()
+    clean = live_scan_counts(q[b](spark, sf_dir))
+    spark.catalog.clearCache()
+    q[a](spark, sf_dir)  # leaves its .cache()-marked frames registered
+    dirty = live_scan_counts(q[b](spark, sf_dir))
+    spark.catalog.clearCache()
+    assert clean == dirty, (clean, dirty)
