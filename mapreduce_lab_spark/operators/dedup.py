@@ -86,6 +86,36 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", shingles(F.col("text")).alias("sh"))
 
 
+def _set_grp() -> Column:
+    """Group key for identical-SHINGLE-SET collapse: md5 of the sorted
+    shingle array. Every function downstream of a collapse (minhash
+    signatures, band keys, Jaccard) is a pure function of the set, so
+    any member of a group is an equivalent representative."""
+    return F.md5(F.concat_ws("\x01", F.sort_array("sh")))
+
+
+def _collapse_reps(keyed: DataFrame, group_cols: list[str], rep_cols: list[str]) -> DataFrame:
+    """min-doc_id representative row per identical-set group, as a
+    map-side-partial hash aggregate.
+
+    Round 4 selected representatives with
+    ``row_number().over(Window.partitionBy(grp))`` — a full shuffle
+    plus a per-partition SORT of every row, just to keep rank 1. That
+    was the bulk of the round-4 +17% warm cost of multiplicity
+    immunity on mostly-duplicate-free corpora (BENCH r4), where the
+    window sorted thousands of size-1 groups. The aggregate form
+    computes the same representative (min doc_id; payload columns via
+    min_by for determinism — any member is equivalent because the
+    group key fixes them) with PARTIAL aggregation: duplicate
+    families collapse in the map-side combine and nothing is ever
+    sorted. Output is row-identical to the window form.
+    """
+    return keyed.groupBy(*group_cols).agg(
+        F.min("doc_id").alias("doc_id"),
+        *[F.min_by(c, "doc_id").alias(c) for c in rep_cols],
+    )
+
+
 def naive_candidate_pairs(doc_sh: DataFrame) -> DataFrame:
     """All (doc_a < doc_b) pairs sharing ANY shingle — the unfiltered
     inverted-index join. Quadratic in the hottest shingle's document
@@ -241,19 +271,12 @@ def q_near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify step: cache it so tokenization+shingling runs once, not
     # 4x (at scale this is a materialized signature table).
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
-    marked = (
-        doc_sh.withColumn("grp", F.md5(F.concat_ws("\x01", F.sort_array("sh"))))
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("doc_id"))
-        )
-        .cache()
-    )
-    rep_sh = marked.where(F.col("rn") == 1).select("doc_id", "sh")
+    keyed = doc_sh.withColumn("grp", _set_grp()).cache()
+    rep = _collapse_reps(keyed, ["grp"], ["sh"]).cache()
+    rep_sh = rep.select("doc_id", "sh")
     rep_pairs = _pair_jaccard(prefix_filtered_pairs(rep_sh), rep_sh)
-    rep_map = marked.where(F.col("rn") == 1).select(
-        F.col("doc_id").alias("rep"), "grp"
-    )
-    members = marked.select("grp", "doc_id")
+    rep_map = rep.select(F.col("doc_id").alias("rep"), "grp")
+    members = keyed.select("grp", "doc_id")
     cross = (
         rep_pairs.join(
             rep_map.select(F.col("rep").alias("doc_a"), F.col("grp").alias("ga")),
@@ -385,14 +408,8 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache it so it computes once (the production analog is a
     # persisted signature table keyed by doc_id).
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
-    marked = (
-        doc_sh.withColumn("grp", F.md5(F.concat_ws("\x01", F.sort_array("sh"))))
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("doc_id"))
-        )
-        .cache()
-    )
-    rep_sh = marked.where(F.col("rn") == 1).select("grp", "doc_id", "sh")
+    keyed = doc_sh.withColumn("grp", _set_grp()).cache()
+    rep_sh = _collapse_reps(keyed, ["grp"], ["sh"]).cache()
     sig = rep_sh.select(
         "grp", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
@@ -413,7 +430,7 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_pairs = _pair_jaccard(cand, rep_sh.select("doc_id", "sh"), keep=["ga", "gb"])
 
-    members = marked.select("grp", "doc_id")
+    members = keyed.select("grp", "doc_id")
     cross = (
         rep_pairs.join(
             members.select(F.col("grp").alias("ga"), F.col("doc_id").alias("da")),
@@ -505,19 +522,13 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    marked = (
-        docs.select(
-            "doc_id",
-            F.md5("text").alias("grp"),
-            norm.alias("norm"),
-            shingles(F.col("text")).alias("sh"),
-        )
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("doc_id"))
-        )
-        .cache()
-    )
-    base = marked.where(F.col("rn") == 1)
+    keyed = docs.select(
+        "doc_id",
+        F.md5("text").alias("grp"),
+        norm.alias("norm"),
+        shingles(F.col("text")).alias("sh"),
+    ).cache()
+    base = _collapse_reps(keyed, ["grp"], ["norm", "sh"]).cache()
     sig = base.select(
         "grp", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
@@ -552,7 +563,7 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("edit_distance") >= 0)
         .select("ga", "gb", "edit_distance")
     )
-    members = marked.select("grp", "doc_id")
+    members = keyed.select("grp", "doc_id")
     cross = (
         rep_pairs.join(
             members.select(F.col("grp").alias("ga"), F.col("doc_id").alias("da")),
@@ -995,18 +1006,12 @@ def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     signature plus a membership side-table.
     """
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
-    marked = (
+    keyed = (
         doc_sh.withColumn("side_new", F.col("doc_id") % INCR_MOD == 0)
-        .withColumn("grp", F.md5(F.concat_ws("\x01", F.sort_array("sh"))))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("grp", "side_new").orderBy("doc_id")
-            ),
-        )
+        .withColumn("grp", _set_grp())
         .cache()
     )
-    reps = marked.where(F.col("rn") == 1)
+    reps = _collapse_reps(keyed, ["grp", "side_new"], ["sh"]).cache()
     sig = reps.select(
         "grp", "side_new", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
@@ -1034,10 +1039,10 @@ def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     rep_pairs = _pair_jaccard(
         cand, reps.select("doc_id", "sh"), keep=["ga", "gb"]
     )
-    corpus_members = marked.where(~F.col("side_new")).select(
+    corpus_members = keyed.where(~F.col("side_new")).select(
         F.col("grp").alias("ga"), F.col("doc_id").alias("corpus_doc")
     )
-    new_members = marked.where(F.col("side_new")).select(
+    new_members = keyed.where(F.col("side_new")).select(
         F.col("grp").alias("gb"), F.col("doc_id").alias("new_doc")
     )
     return (
