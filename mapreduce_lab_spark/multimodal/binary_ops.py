@@ -72,7 +72,13 @@ def decode_image(payload: bytes, fmt: str):
     from mapreduce_lab_spark.multimodal import codecs
 
     if payload[:2] in (b"BM", b"P6"):
-        return codecs.decode_payload(payload)
+        try:
+            return codecs.decode_payload(payload)
+        except ValueError:
+            # Valid-but-unsupported variant (8/32-bit or RLE BMP, odd
+            # PPM): fall through to PIL, which handles the full
+            # formats, before giving up (ADVICE r4).
+            pass
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -643,11 +649,18 @@ def decode_image_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, schema=schema)
 
 
+# The oracle indexes text by CHARACTER (substr/ascii) while the Spark
+# side cycles raw utf-8 BYTES — equivalent only for ASCII corpora,
+# which the committed fixtures are (pinned executably by
+# tests/test_multimodal.py::test_decode_oracle_ascii_assumption).
+# greatest(n, 1) mirrors the Spark side's empty-text guard
+# (``text.encode() or b"\\x00"``): DuckDB's ascii('') is 0, exactly the
+# zero byte the Spark path feeds the encoder.
 _DECODE_SQL = """
 WITH dims AS (
     SELECT doc_id, text,
            (4 + doc_id % 5) AS w, (3 + doc_id % 7) AS h,
-           octet_length(encode(text)) AS n
+           greatest(octet_length(encode(text)), 1) AS n
     FROM documents
 )
 SELECT doc_id,

@@ -421,11 +421,15 @@ def _item_totals_fit_broadcast(
 ) -> bool:
     """Whether the per-item totals dimension is small enough to
     broadcast. Two tiers, cheapest first: the RAW input row count
-    upper-bounds the item count and parquet scans answer it from
-    footers (no data read); only when that bound is blown does the
-    exact item count (one aggregate job, amortized against the giant
-    pair join it steers) decide. ``None`` disables broadcasting
-    outright (always shuffle)."""
+    upper-bounds the item count, and counting it is an empty-
+    projection scan — Spark still schedules a job over the files, but
+    no column data is decoded, so it costs file-listing + footer
+    metadata, not a table read (true footer-only counts need the v2
+    ``spark.sql.parquet.aggregatePushdown`` path, which the v1
+    ``spark.read.parquet`` scan here doesn't use — ADVICE r4); only
+    when that bound is blown does the exact item count (one aggregate
+    job, amortized against the giant pair join it steers) decide.
+    ``None`` disables broadcasting outright (always shuffle)."""
     if max_items is None:
         return False
     if raw.count() <= max_items:

@@ -90,3 +90,45 @@ def test_decode_image_seam_uses_real_codecs():
     if not has_pil:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG\r\n\x1a\n", "png")
+
+
+def test_decode_image_falls_through_to_pil_on_unsupported_variant():
+    """A payload with a BMP/PPM magic but a variant the pure-Python
+    codec rejects (e.g. 8-bit BMP) must try the PIL path — not die on
+    the codec's ValueError (ADVICE r4). Without PIL installed that
+    surfaces as NotImplementedError; either way, never ValueError."""
+    import pytest
+
+    from mapreduce_lab_spark.multimodal.binary_ops import decode_image
+
+    # Minimal BMP header claiming 8 bits per pixel (unsupported).
+    bogus = b"BM" + b"\x00" * 26 + b"\x08\x00" + b"\x00" * 20
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        with pytest.raises(Exception) as exc:
+            decode_image(bogus, "bmp")
+        assert not isinstance(exc.value, ValueError)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(bogus, "bmp")
+
+
+def test_decode_oracle_ascii_assumption(spark, sf_dir):
+    """_DECODE_SQL's oracle indexes text by CHARACTER while the Spark
+    side cycles utf-8 BYTES; parity needs the fixture corpus to be
+    pure ASCII and the empty-text guard to hold. Pin both so a future
+    fixture with unicode or empty docs fails HERE, not as a silent
+    driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    non_ascii = docs.filter(
+        F.octet_length(F.encode("text", "utf-8")) != F.length("text")
+    ).count()
+    assert non_ascii == 0, f"{non_ascii} non-ASCII documents break _DECODE_SQL parity"
