@@ -32,8 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = os.environ.get("AUDIT_SF", "/root/testdata/sf0.001")
 
 # Iterative operators execute jobs during plan CONSTRUCTION (collect
-# on convergence state); building their "plan" runs the whole loop.
-# They are audited by their own round-shape docs, not this sweep.
+# on convergence state); building their "plan" here runs the whole
+# loop, so this convenience script skips them for speed. They are NOT
+# exempt from the gate: tests/test_plan_hygiene.py builds every
+# non-streaming query (these included) and audits the same
+# live_scan_counts, so each has a per-round sweep row there.
 SKIP = {
     "kmeans_embeddings",
     "ann_ivf_trained",
