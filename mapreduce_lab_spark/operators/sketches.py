@@ -7,13 +7,18 @@ of ``incremental_daily_revenue``'s partial-sum contract. An exact
 count_distinct cannot be merged (yesterday's count + today's count
 double-counts returning users); a sketch can.
 
-Two operators:
+Three operators:
 
 - ``hll_union_users`` — Spark's native Datasketches HLL:
   ``hll_sketch_agg`` per (event_type, day), ``hll_union_agg`` across
   days, estimate per type. Registered rows-only (the sketch binary is
   engine-specific, like ``approx_count_distinct``); the accuracy and
   the merge-vs-direct consistency are pinned in tests instead.
+- ``hll_portable_users`` — the same daily-partial/union rollup as a
+  hand-rolled HLL on the portable md5 hash, register math exact in
+  both engines, FULLY oracle-checked (see its docstring for the
+  cross-engine determinism argument, including the linear-counting
+  floor-gap proof).
 - ``kmv_distinct_users`` — a K-Minimum-Values sketch built from
   first principles on the engine-portable md5 hash, so the ENTIRE
   sketch pipeline is deterministic and oracle-checked: both engines
@@ -105,6 +110,126 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user estimate per event_type, bit-identical in
     both engines (portable hash + identical floor estimator)."""
     return kmv_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+# --- portable HyperLogLog --------------------------------------------------
+
+# Precision p=8: m=256 registers, standard error 1.04/sqrt(256) = 6.5%.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+_HLL_W_BITS = 32 - HLL_P  # low bits that feed the rank
+_HLL_W_MOD = 1 << _HLL_W_BITS
+# alpha_m * m^2 evaluated ONCE here and embedded as the same literal
+# in both engines, so the raw estimate is a single identical IEEE
+# division on both sides (same discipline as exact_ratio).
+_HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M
+_HLL_LINEAR_MAX = 2.5 * HLL_M  # below this, linear counting applies
+
+
+def hll_portable_users(events: DataFrame) -> DataFrame:
+    """Hand-rolled HLL distinct-user estimate per event_type, built as
+    DAILY REGISTER PARTIALS max-merged across days — the same
+    partial->union rollup shape as ``hll_union_users``, but every step
+    is engine-portable and oracle-checked (the native Datasketches
+    binary is not).
+
+    Register math is exact in both engines by construction:
+
+    - hash: the portable md5-based 32-bit ``hex8_int``; top p bits
+      pick the register, the rank is leading-zeros(+1) of the low
+      24 bits, computed as ``25 - length(bin(w))`` — ``bin`` drops
+      leading zeros identically in Spark and DuckDB, no float log.
+    - harmonic denominator: sum of 2^-rank terms. Every term and
+      every partial sum is a multiple of 2^-24 bounded by m, well
+      inside 53 significand bits, so S is EXACT (order-independent)
+      in IEEE double — no fold-order discipline needed.
+    - raw estimate: one shared alpha*m^2 literal divided by S — a
+      single identical IEEE op per engine.
+    - small-range correction: linear counting ``m * ln(m/V)`` when
+      raw <= 2.5m and V > 0 (V = empty registers). ln is the one
+      libm call; safe because V has only m possible values and the
+      closest ``m*ln(m/V)`` comes to an integer over all of them is
+      3.8e-4 (V=164) — six orders of magnitude wider than any
+      cross-libm divergence, so floor() cannot flip (checked
+      executably in tests/test_sketches.py).
+
+    Scale shape: users reduce to 32-bit hashes before any shuffle;
+    the shuffled payload is (type, day, bucket, rank<=25) — at most
+    types x days x 256 rows survive the partial, and the cross-day
+    merge touches registers, never raw events. This is the
+    production contract: yesterday's 256 small ints + today's 256
+    small ints = the exact union estimate, no rescan.
+    """
+    h = hex8_int(F.col("user_id").cast("string"))
+    hashed = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (h / _HLL_W_MOD).cast("long").alias("bucket"),
+        (h % _HLL_W_MOD).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, _HLL_W_BITS + 1).otherwise(
+        _HLL_W_BITS + 1 - F.length(F.bin(F.col("w")))
+    )
+    daily = hashed.groupBy("event_type", "day", "bucket").agg(
+        F.max(rank).alias("reg")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+    per_type = merged.groupBy("event_type").agg(
+        F.count("*").alias("n_occ"),
+        # 2^-reg via integer shift + exact double division (pow() is
+        # exact for powers of two on any sane libm, but the shift
+        # never depends on libm at all).
+        F.sum(F.expr("1.0D / double(shiftleft(1L, reg))")).alias("s_occ"),
+    )
+    s = F.col("s_occ") + (F.lit(HLL_M) - F.col("n_occ")).cast("double")
+    v = F.lit(HLL_M) - F.col("n_occ")
+    raw = F.lit(_HLL_ALPHA_M2) / s
+    est = F.when(
+        (raw <= F.lit(_HLL_LINEAR_MAX)) & (v > 0),
+        F.floor(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))),
+    ).otherwise(F.floor(raw))
+    return per_type.select("event_type", est.cast("long").alias("est_users"))
+
+
+_HLL_SQL = f"""
+WITH hashed AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           {oracle_hex8_int("CAST(user_id AS STRING)")} // {_HLL_W_MOD} AS bucket,
+           {oracle_hex8_int("CAST(user_id AS STRING)")} % {_HLL_W_MOD} AS w
+    FROM events
+),
+daily AS (
+    SELECT event_type, day, bucket,
+           max(CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                    ELSE {_HLL_W_BITS + 1} - length(bin(w)) END) AS reg
+    FROM hashed GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT event_type, bucket, max(reg) AS reg
+    FROM daily GROUP BY 1, 2
+),
+per_type AS (
+    SELECT event_type, count(*) AS n_occ,
+           sum(1.0::DOUBLE / (1::BIGINT << reg)) AS s_occ
+    FROM merged GROUP BY 1
+)
+SELECT event_type,
+       CAST(CASE WHEN {_HLL_ALPHA_M2!r} / (s_occ + ({HLL_M} - n_occ))
+                      <= {_HLL_LINEAR_MAX!r}
+                  AND n_occ < {HLL_M}
+            THEN floor({float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_occ)))
+            ELSE floor({_HLL_ALPHA_M2!r} / (s_occ + ({HLL_M} - n_occ)))
+       END AS BIGINT) AS est_users
+FROM per_type
+"""
+
+
+@query("hll_portable_users", oracle=_HLL_SQL)
+def q_hll_portable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HLL (p=8) distinct users per event_type via daily
+    register partials — fully oracle-checked, unlike the native-sketch
+    twin ``hll_union_users``."""
+    return hll_portable_users(load_table(spark, sf_dir, "events"))
 
 
 # --- count-min sketch -----------------------------------------------------

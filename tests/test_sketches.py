@@ -147,3 +147,76 @@ def test_sampled_quantiles_merge_exactly(spark, sf_dir):
         for r in sampled_quantiles_prices(partials[0].unionByName(partials[1])).collect()
     )
     assert merged == whole
+
+
+def test_hll_portable_tracks_truth(spark, sf_dir):
+    """Portable HLL (p=8) estimates per type: linear-counting regime
+    at the test SFs, so the estimate should be within a few % of the
+    exact distinct count (exact at sf0.001's 15 users/type)."""
+    from mapreduce_lab_spark.operators.sketches import hll_portable_users
+
+    exact = _exact(spark, sf_dir)
+    est = {r["event_type"]: r["est_users"]
+           for r in hll_portable_users(load_table(spark, sf_dir, "events")).collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(2, 0.1 * n), (t, est[t], n)
+
+
+def test_hll_portable_daily_partials_equal_direct(spark, sf_dir):
+    """The re-aggregation contract: registers built per day then
+    max-merged must equal registers built in one pass (register max is
+    associative), so the estimates are identical."""
+    from mapreduce_lab_spark.operators.sketches import (
+        _HLL_W_BITS,
+        _HLL_W_MOD,
+        hll_portable_users,
+    )
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+
+    ev = load_table(spark, sf_dir, "events")
+    h = hex8_int(F.col("user_id").cast("string"))
+    hashed = ev.select(
+        "event_type",
+        (h / _HLL_W_MOD).cast("long").alias("bucket"),
+        (h % _HLL_W_MOD).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, _HLL_W_BITS + 1).otherwise(
+        _HLL_W_BITS + 1 - F.length(F.bin(F.col("w")))
+    )
+    direct = (
+        hashed.groupBy("event_type", "bucket")
+        .agg(F.max(rank).alias("reg"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_occ"), F.sum("reg").alias("reg_sum"))
+    )
+    via_days = {r["event_type"]: (r["n_occ"], r["reg_sum"]) for r in direct.collect()}
+    # Recompute the register table through the operator's day-level
+    # path by reusing its output estimate as the comparator: identical
+    # registers => identical estimates.
+    est_daily = {r["event_type"]: r["est_users"] for r in hll_portable_users(ev).collect()}
+    # And the single-pass estimate derived from `direct` registers:
+    import math
+
+    m = 1 << 8
+    est_direct = {}
+    for t, (n_occ, _) in via_days.items():
+        v = m - n_occ
+        # Linear-counting regime at test SFs (few distinct users).
+        est_direct[t] = math.floor(m * math.log(m / v))
+    assert est_daily == est_direct, (est_daily, est_direct)
+
+
+def test_hll_portable_linear_counting_floor_gaps():
+    """Pin the ULP-safety claim: over all possible empty-register
+    counts V, m*ln(m/V) never comes within 1e-4 of an integer, so a
+    cross-libm ln divergence (~1e-11 absolute here) cannot flip the
+    floor(). V=256 is exact zero in both engines (ln(1))."""
+    import math
+
+    m = 256
+    worst = min(
+        abs(m * math.log(m / v) - round(m * math.log(m / v)))
+        for v in range(1, 256)
+    )
+    assert worst > 1e-4, worst
