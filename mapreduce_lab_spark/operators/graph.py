@@ -10,13 +10,13 @@ pass of any large-graph pipeline).
 parts that appear in the same order. Output is the degree histogram
 (how many parts have degree d).
 
-Scale shape: the pair generation is a self-join of lineitem on
-``l_orderkey`` — safe because its output is sum over orders of
-k·(k−1)/2 where k is lines-per-order, and k is BOUNDED (≤7 in
-TPC-H-shaped data; bounded basket size generally). This is the
-standard "join on a bounded-fanout key" pattern; for unbounded
-baskets the guard is a per-order line cap (filter before join), the
-same discipline as the shingle prefix filter in ``dedup.py``. The
+Scale shape: pair generation collects each order's distinct items
+into a basket array (one groupBy shuffle) and expands (p1 < p2)
+pairs in-task — output is sum over orders of k·(k−1)/2 where k is
+lines-per-order, and k is BOUNDED (≤7 in TPC-H-shaped data; bounded
+basket size generally). For unbounded baskets the guard is a
+per-order line cap (filter before the expansion), the same
+discipline as the shingle prefix filter in ``dedup.py``. The
 projection dedups (part-pair) with a map-side-combinable distinct,
 then degree and histogram are two more integer aggregations — every
 shuffle carries keys+counts only.
@@ -32,17 +32,35 @@ from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import load_table
 
 
-def copurchase_degree_hist(lineitem: DataFrame) -> DataFrame:
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .distinct()
+def _order_baskets(lineitem: DataFrame) -> DataFrame:
+    """Per-order sorted distinct item arrays: ONE groupBy(orderkey)
+    shuffle, with collect_set doing the per-order distinct inside the
+    same exchange (replaces the round-4 distinct() + self-join, which
+    shuffled twice)."""
+    return lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+
+
+def _basket_pair_rows(baskets: DataFrame) -> DataFrame:
+    """(p1 < p2) co-occurrence rows, one per (order, pair), expanded
+    in-task from the basket array — quadratic only in the basket size,
+    which is bounded by construction in a basket graph (TPC-H <= 7,
+    retail ~100s): the same bounded-fanout assumption the former
+    self-join relied on for its join output size."""
+    pair_expr = F.expr(
+        """
+        flatten(transform(ps, (x, i) ->
+          transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))
+        """
+    )
+    return baskets.select(F.explode(pair_expr).alias("pr")).select(
+        F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
+    )
+
+
+def copurchase_degree_hist(lineitem: DataFrame) -> DataFrame:
+    pairs = _basket_pair_rows(_order_baskets(lineitem)).distinct()
     # Each undirected edge contributes degree to both endpoints.
     degrees = (
         pairs.select(F.col("p1").alias("part"))
@@ -288,27 +306,12 @@ def triangle_stats(lineitem: DataFrame) -> DataFrame:
     onto the edge list (the degree frame is one row per node with an
     edge — bounded by m).
     """
-    # Pair generation via per-order BASKET ARRAYS: one shuffle
-    # (groupBy orderkey, with collect_set doing the per-order distinct
-    # inside the same exchange) instead of the round-4 distinct()
-    # + self-join's two. The in-task pair expansion is quadratic in
-    # the BASKET size — bounded by construction in a basket graph
-    # (TPC-H <= 7; retail ~100s), which is the same bounded-fanout
-    # assumption the self-join form already relied on for its join
-    # output. Measured at sf0.1: warm 1.34 -> 1.21 s, cold 5.1 ->
-    # 2.4 s for the pair subtree.
-    baskets = lineitem.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_expr = F.expr(
-        """
-        flatten(transform(ps, (x, i) ->
-          transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))
-        """
-    )
+    # Basket-array pair generation (_order_baskets/_basket_pair_rows):
+    # measured at sf0.1, warm 1.34 -> 1.21 s and cold 5.1 -> 2.4 s for
+    # the pair subtree vs the round-4 distinct() + self-join.
     pairs = (
-        baskets.select(F.explode(pair_expr).alias("pr"))
-        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        _basket_pair_rows(_order_baskets(lineitem))
+        .groupBy("p1", "p2")
         .agg(F.count("*").alias("_c"))
         .where(F.col("_c") >= F.lit(MIN_COPURCHASES))
         .select("p1", "p2")
@@ -478,23 +481,28 @@ def item_similarity_cosine(
     top-k is a TakeOrdered over the sparse scored-edge table, never a
     global sort of raw pairs.
     """
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # Per-order basket arrays, as in triangle_stats: one
+    # groupBy(orderkey) shuffle (collect_set = the per-order distinct,
+    # inside the same exchange) replaces the round-4 distinct() +
+    # self-join pair; in-task pair expansion is quadratic only in the
+    # bounded basket size. Both item_n and the pair table hang off the
+    # same baskets exchange, which Catalyst reuses.
     # NOT checkpointed, deliberately: measured at sf0.1, an eager
-    # checkpoint of item_n costs a separate scan+distinct job and runs
-    # ~1.4x slower than letting both endpoint-join broadcasts build
-    # inside the one action (Catalyst reuses the distinct exchange;
-    # the checkpoint rationale only pays off when consumers would race
+    # checkpoint costs a separate job and runs slower than letting
+    # both endpoint-join broadcasts build inside the one action (the
+    # checkpoint rationale only pays off when consumers would race
     # concurrently, as in the triangle census above).
-    item_n = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    baskets = _order_baskets(lineitem)
+    item_n = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+    )
     bcast = _item_totals_fit_broadcast(lineitem, item_n, broadcast_max_items)
     hint = F.broadcast if bcast else (lambda d: d)
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
+        _basket_pair_rows(baskets)
+        .groupBy("p1", "p2")
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= F.lit(MIN_COPURCHASES))
     )

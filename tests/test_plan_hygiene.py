@@ -177,15 +177,11 @@ DUP_SCAN_AUDITED = {
     "near_dup_snm_multipass": (4, "two passes (forward + reversed key) x "
                                   "(main + boundary) — each linear"),
     "bm25_search": (4, "term stats + doc-length stats + scored postings"),
-    "copurchase_degree_hist": (4, "basket self-join (2 sides) + degree rollup"),
     "bigram_pmi_top": (4, "bigram counts + two unigram marginals"),
     "mad_outlier_events": (4, "exact median, then MAD, then outlier gate — "
                               "three order-statistic passes by definition"),
     "scd2_incremental_refresh": (4, "delta-affected rebuild joins base "
                                     "snapshot + delta on both branches"),
-    "item_similarity_cosine": (4, "basket self-join (2 sides) + per-item "
-                                  "totals on both pair endpoints (gated "
-                                  "broadcast)"),
     "bag_set_ops_probe": (4, "EXCEPT ALL / INTERSECT ALL operands are "
                              "branches of the same table by definition"),
     "ivm_join_revenue": (4, "three IVM delta terms each join a delta side"),
