@@ -1191,13 +1191,17 @@ def _snm_pass(base: DataFrame, w: int, prefix: int, key_expr) -> DataFrame:
     main = _snm_lead_pairs(blocked, w, key="skey")
 
     asc = Window.partitionBy("blk").orderBy("skey", "doc_id")
-    desc = Window.partitionBy("blk").orderBy(
-        F.col("skey").desc(), F.col("doc_id").desc()
-    )
+    # Distance from the block's END is block-size minus the ascending
+    # rank — one unordered count window over the same partition
+    # instead of a second full DESCENDING sort (round-4 shape): the
+    # exchange is shared and the sort runs once per pass, not twice.
     boundary = (
         blocked.withColumn("rn_a", F.row_number().over(asc))
-        .withColumn("rn_d", F.row_number().over(desc))
-        .where((F.col("rn_a") <= w - 1) | (F.col("rn_d") <= w - 1))
+        .withColumn("n_blk", F.count("*").over(Window.partitionBy("blk")))
+        .where(
+            (F.col("rn_a") <= w - 1)
+            | (F.col("n_blk") - F.col("rn_a") + 1 <= w - 1)
+        )
         .select(F.substring("skey", 1, 1).alias("blk"), "norm", "doc_id", "skey")
     )
     edge = _snm_lead_pairs(boundary, w, key="skey")
@@ -1256,7 +1260,10 @@ def near_dup_snm_multipass(
     ≤ 4·(w−1)·n candidates — still linear — with strictly more recall
     than either pass alone.
     """
-    base = _snm_normalize(docs)
+    # Both passes (and each pass's main + boundary windows) consume
+    # the normalized projection: cache it so the documents scan +
+    # normalize runs once, not four times.
+    base = _snm_normalize(docs).cache()
     fwd = _snm_pass(base, w, prefix, F.col("norm"))
     rev = _snm_pass(base, w, prefix, F.reverse(F.col("norm")))
     return _snm_verify(fwd.unionByName(rev))

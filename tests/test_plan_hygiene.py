@@ -174,8 +174,6 @@ DUP_SCAN_AUDITED = {
                             "base/delta; 16-byte fingerprints only"),
     "embedding_correlation": (5, "mean/std stats frame + centered Gramian "
                                  "pass over the vector column"),
-    "near_dup_snm_multipass": (4, "two passes (forward + reversed key) x "
-                                  "(main + boundary) — each linear"),
     "bm25_search": (4, "term stats + doc-length stats + scored postings"),
     "bigram_pmi_top": (4, "bigram counts + two unigram marginals"),
     "mad_outlier_events": (4, "exact median, then MAD, then outlier gate — "
