@@ -85,6 +85,7 @@ REPRESENTATIVES = [
     "bigram_pmi_top",
     "kmv_distinct_users",
     "hll_union_users",
+    "hll_portable_users",
     "near_dup_incremental_minhash",
     "gapfill_interp_signups",
     "not_in_null_aware_probe",
