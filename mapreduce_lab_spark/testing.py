@@ -160,8 +160,29 @@ def live_scan_counts(df: DataFrame) -> dict[str, int]:
                 visit(rel.cachedPlan())
             return
         if "FileSourceScan" in cls or cls == "BatchScanExec":
-            m = re.search(r"/(\w+)\.parquet", node.toString().splitlines()[0])
-            t = m.group(1) if m else "<unknown>"
+            # Prefer the relation's rootPaths over the display string:
+            # toString() abbreviates metadata to
+            # spark.sql.maxMetadataStringLength (default 100) chars, so
+            # a long enough test-data path truncates before the
+            # "<table>.parquet" suffix and the regex would miss.
+            t = None
+            try:
+                paths = node.relation().location().rootPaths()
+                if paths.size() > 0:
+                    m = re.search(r"/(\w+)\.parquet", paths.apply(0).toString())
+                    t = m.group(1) if m else None
+            except Exception:
+                pass
+            if t is None:
+                m = re.search(r"/(\w+)\.parquet", node.toString().splitlines()[0])
+                # Key unmatched scans by node identity so two DIFFERENT
+                # unidentifiable scans never merge into one bucket and
+                # read as a duplicate scan of a single table.
+                t = (
+                    m.group(1)
+                    if m
+                    else f"<unknown@{jvm.java.lang.System.identityHashCode(node)}>"
+                )
             counts[t] = counts.get(t, 0) + 1
         kids = node.children()
         for i in range(kids.size()):

@@ -184,26 +184,54 @@ def test_hll_portable_daily_partials_equal_direct(spark, sf_dir):
     rank = F.when(F.col("w") == 0, _HLL_W_BITS + 1).otherwise(
         _HLL_W_BITS + 1 - F.length(F.bin(F.col("w")))
     )
+    # Register-by-register comparison: one-pass registers vs the
+    # operator's day-partial -> max-merge path. This is the actual
+    # re-aggregation contract — a merge bug that corrupts register
+    # VALUES while preserving the occupied-bucket count would still
+    # flip some (event_type, bucket, reg) row here.
     direct = (
         hashed.groupBy("event_type", "bucket")
         .agg(F.max(rank).alias("reg"))
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_occ"), F.sum("reg").alias("reg_sum"))
     )
-    via_days = {r["event_type"]: (r["n_occ"], r["reg_sum"]) for r in direct.collect()}
-    # Recompute the register table through the operator's day-level
-    # path by reusing its output estimate as the comparator: identical
-    # registers => identical estimates.
-    est_daily = {r["event_type"]: r["est_users"] for r in hll_portable_users(ev).collect()}
-    # And the single-pass estimate derived from `direct` registers:
+    daily_merged = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (h / _HLL_W_MOD).cast("long").alias("bucket"),
+            (h % _HLL_W_MOD).alias("w"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max(rank).alias("reg"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    one_pass = {(r["event_type"], r["bucket"]): r["reg"] for r in direct.collect()}
+    via_days = {(r["event_type"], r["bucket"]): r["reg"] for r in daily_merged.collect()}
+    assert one_pass == via_days
+    # Identical registers => identical estimates, through the
+    # operator's own raw/linear-counting branch (not an unconditional
+    # linear-count re-derivation, which would be the wrong comparator
+    # once a larger SF leaves the linear regime).
     import math
 
-    m = 1 << 8
+    from mapreduce_lab_spark.operators.sketches import (
+        _HLL_ALPHA_M2,
+        _HLL_LINEAR_MAX,
+        HLL_M,
+    )
+
     est_direct = {}
-    for t, (n_occ, _) in via_days.items():
-        v = m - n_occ
-        # Linear-counting regime at test SFs (few distinct users).
-        est_direct[t] = math.floor(m * math.log(m / v))
+    for t in {k[0] for k in one_pass}:
+        regs = [v for k, v in one_pass.items() if k[0] == t]
+        n_occ = len(regs)
+        s = sum(2.0 ** -r for r in regs) + (HLL_M - n_occ)
+        raw = _HLL_ALPHA_M2 / s
+        v_empty = HLL_M - n_occ
+        if raw <= _HLL_LINEAR_MAX and v_empty > 0:
+            est_direct[t] = math.floor(HLL_M * math.log(HLL_M / v_empty))
+        else:
+            est_direct[t] = math.floor(raw)
+    est_daily = {r["event_type"]: r["est_users"] for r in hll_portable_users(ev).collect()}
     assert est_daily == est_direct, (est_daily, est_direct)
 
 
