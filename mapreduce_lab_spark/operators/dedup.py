@@ -94,7 +94,12 @@ def _set_grp() -> Column:
     return F.md5(F.concat_ws("\x01", F.sort_array("sh")))
 
 
-def _collapse_reps(keyed: DataFrame, group_cols: list[str], rep_cols: list[str]) -> DataFrame:
+def _collapse_reps(
+    keyed: DataFrame,
+    group_cols: list[str],
+    rep_cols: list[str],
+    members: bool = False,
+) -> DataFrame:
     """min-doc_id representative row per identical-set group, as a
     map-side-partial hash aggregate.
 
@@ -109,11 +114,20 @@ def _collapse_reps(keyed: DataFrame, group_cols: list[str], rep_cols: list[str])
     group key fixes them) with PARTIAL aggregation: duplicate
     families collapse in the map-side combine and nothing is ever
     sorted. Output is row-identical to the window form.
+
+    With ``members=True`` the rep row also carries the ascending
+    doc_id list of its whole family — the same partial aggregate
+    produces it, and the consumer can then expand family pairs
+    in-task (array explode) instead of re-joining a per-doc members
+    table, which is what the minhash query's round-5 expansion does.
     """
-    return keyed.groupBy(*group_cols).agg(
+    aggs = [
         F.min("doc_id").alias("doc_id"),
         *[F.min_by(c, "doc_id").alias(c) for c in rep_cols],
-    )
+    ]
+    if members:
+        aggs.append(F.sort_array(F.collect_list("doc_id")).alias("members"))
+    return keyed.groupBy(*group_cols).agg(*aggs)
 
 
 def naive_candidate_pairs(doc_sh: DataFrame) -> DataFrame:
@@ -303,48 +317,50 @@ def q_near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, so both worlds emit the same set — the all-pairs J >= 0.5
     definition the oracle states directly.
     """
-    # The shingle table feeds both sides of the self-join and the
-    # verify step: cache it so tokenization+shingling runs once, not
-    # 4x (at scale this is a materialized signature table).
+    # The rep-level shingle table feeds both sides of the self-join
+    # and the verify step: cache it so tokenization+shingling runs
+    # once, not 4x (at scale this is a materialized signature table).
+    # The collapse aggregate also emits each family's sorted doc_id
+    # list, so the expansions below are in-task array explodes — two
+    # rep-keyed joins replace the round-4 four-join + members
+    # self-join fan-back.
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
-    keyed = doc_sh.withColumn("grp", _set_grp()).cache()
-    rep = _collapse_reps(keyed, ["grp"], ["sh"]).cache()
+    keyed = doc_sh.withColumn("grp", _set_grp())
+    rep = _collapse_reps(keyed, ["grp"], ["sh"], members=True).cache()
     rep_sh = rep.select("doc_id", "sh")
     rep_pairs = _pair_jaccard(prefix_filtered_pairs(rep_sh), rep_sh)
-    rep_map = rep.select(F.col("doc_id").alias("rep"), "grp")
-    members = keyed.select("grp", "doc_id")
     cross = (
         rep_pairs.join(
-            rep_map.select(F.col("rep").alias("doc_a"), F.col("grp").alias("ga")),
+            rep.select(F.col("doc_id").alias("doc_a"), F.col("members").alias("ma")),
             "doc_a",
         )
         .join(
-            rep_map.select(F.col("rep").alias("doc_b"), F.col("grp").alias("gb")),
+            rep.select(F.col("doc_id").alias("doc_b"), F.col("members").alias("mb")),
             "doc_b",
         )
-        .join(
-            members.select(F.col("grp").alias("ga"), F.col("doc_id").alias("da")),
-            "ga",
-        )
-        .join(
-            members.select(F.col("grp").alias("gb"), F.col("doc_id").alias("db")),
-            "gb",
-        )
         .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ma, a -> transform(mb, b -> "
+                    "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"
+                )
+            ).alias("p"),
             "jaccard",
         )
+        .select("p.doc_a", "p.doc_b", "jaccard")
     )
     within = (
-        members.alias("p")
-        .join(members.alias("q"), "grp")
-        .where(F.col("p.doc_id") < F.col("q.doc_id"))
+        rep.where(F.size("members") > 1)
         .select(
-            F.col("p.doc_id").alias("doc_a"),
-            F.col("q.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (a, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
     )
     return cross.unionByName(within)
 
@@ -441,11 +457,14 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Shingling + per-shingle md5 + 16 permutations is the expensive
     # subtree and feeds both self-join sides plus the Jaccard verify:
-    # cache it so it computes once (the production analog is a
-    # persisted signature table keyed by doc_id).
+    # cache the REP-level frame so it computes once (the production
+    # analog is a persisted signature table keyed by doc_id). The
+    # collapse aggregate also emits each family's sorted doc_id list,
+    # so both expansions below are in-task array explodes over the
+    # cached rep frame — no per-doc members table, no self-join.
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
-    keyed = doc_sh.withColumn("grp", _set_grp()).cache()
-    rep_sh = _collapse_reps(keyed, ["grp"], ["sh"]).cache()
+    keyed = doc_sh.withColumn("grp", _set_grp())
+    rep_sh = _collapse_reps(keyed, ["grp"], ["sh"], members=True).cache()
     sig = rep_sh.select(
         "grp", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
@@ -466,31 +485,40 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_pairs = _pair_jaccard(cand, rep_sh.select("doc_id", "sh"), keep=["ga", "gb"])
 
-    members = keyed.select("grp", "doc_id")
+    # Cross-family expansion: every (a in family(ga), b in family(gb))
+    # pair inherits the verified rep-level Jaccard (all members of a
+    # group share the exact shingle SET). Joins hit the cached
+    # group-level frame; the pair product expands inside the task.
+    fam = rep_sh.select("grp", "members")
     cross = (
-        rep_pairs.join(
-            members.select(F.col("grp").alias("ga"), F.col("doc_id").alias("da")),
-            "ga",
-        )
-        .join(
-            members.select(F.col("grp").alias("gb"), F.col("doc_id").alias("db")),
-            "gb",
-        )
+        rep_pairs.join(fam.select(F.col("grp").alias("ga"), F.col("members").alias("ma")), "ga")
+        .join(fam.select(F.col("grp").alias("gb"), F.col("members").alias("mb")), "gb")
         .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ma, a -> transform(mb, b -> "
+                    "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"
+                )
+            ).alias("p"),
             "jaccard",
         )
+        .select("p.doc_a", "p.doc_b", "jaccard")
     )
+    # Within-family pairs (exact duplicates: Jaccard 1 by definition)
+    # come straight off the sorted member arrays — ascending order
+    # makes a<b positional, so no least/greatest and no join at all.
     within = (
-        members.alias("p")
-        .join(members.alias("q"), "grp")
-        .where(F.col("p.doc_id") < F.col("q.doc_id"))
+        rep_sh.where(F.size("members") > 1)
         .select(
-            F.col("p.doc_id").alias("doc_a"),
-            F.col("q.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (a, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
     )
     return cross.unionByName(within)
 
@@ -563,8 +591,8 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.md5("text").alias("grp"),
         norm.alias("norm"),
         shingles(F.col("text")).alias("sh"),
-    ).cache()
-    base = _collapse_reps(keyed, ["grp"], ["norm", "sh"]).cache()
+    )
+    base = _collapse_reps(keyed, ["grp"], ["norm", "sh"], members=True).cache()
     sig = base.select(
         "grp", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
@@ -599,31 +627,35 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("edit_distance") >= 0)
         .select("ga", "gb", "edit_distance")
     )
-    members = keyed.select("grp", "doc_id")
+    fam = base.select("grp", "members")
     cross = (
         rep_pairs.join(
-            members.select(F.col("grp").alias("ga"), F.col("doc_id").alias("da")),
-            "ga",
+            fam.select(F.col("grp").alias("ga"), F.col("members").alias("ma")), "ga"
         )
-        .join(
-            members.select(F.col("grp").alias("gb"), F.col("doc_id").alias("db")),
-            "gb",
-        )
+        .join(fam.select(F.col("grp").alias("gb"), F.col("members").alias("mb")), "gb")
         .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ma, a -> transform(mb, b -> "
+                    "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"
+                )
+            ).alias("p"),
             "edit_distance",
         )
+        .select("p.doc_a", "p.doc_b", "edit_distance")
     )
     within = (
-        members.alias("p")
-        .join(members.alias("q"), "grp")
-        .where(F.col("p.doc_id") < F.col("q.doc_id"))
+        base.where(F.size("members") > 1)
         .select(
-            F.col("p.doc_id").alias("doc_a"),
-            F.col("q.doc_id").alias("doc_b"),
-            F.lit(0).cast("long").alias("edit_distance"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (a, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", F.lit(0).cast("long").alias("edit_distance"))
     )
     return cross.unionByName(within)
 
@@ -1054,12 +1086,10 @@ def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     signature plus a membership side-table.
     """
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
-    keyed = (
-        doc_sh.withColumn("side_new", F.col("doc_id") % INCR_MOD == 0)
-        .withColumn("grp", _set_grp())
-        .cache()
-    )
-    reps = _collapse_reps(keyed, ["grp", "side_new"], ["sh"]).cache()
+    keyed = doc_sh.withColumn(
+        "side_new", F.col("doc_id") % INCR_MOD == 0
+    ).withColumn("grp", _set_grp())
+    reps = _collapse_reps(keyed, ["grp", "side_new"], ["sh"], members=True).cache()
     sig = reps.select(
         "grp", "side_new", "doc_id", *minhash_signature(F.transform("sh", hex8_int))
     )
@@ -1087,16 +1117,26 @@ def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     rep_pairs = _pair_jaccard(
         cand, reps.select("doc_id", "sh"), keep=["ga", "gb"]
     )
-    corpus_members = keyed.where(~F.col("side_new")).select(
-        F.col("grp").alias("ga"), F.col("doc_id").alias("corpus_doc")
+    fam = reps.select("grp", "side_new", "members")
+    corpus_fam = fam.where(~F.col("side_new")).select(
+        F.col("grp").alias("ga"), F.col("members").alias("ma")
     )
-    new_members = keyed.where(F.col("side_new")).select(
-        F.col("grp").alias("gb"), F.col("doc_id").alias("new_doc")
+    new_fam = fam.where(F.col("side_new")).select(
+        F.col("grp").alias("gb"), F.col("members").alias("mb")
     )
     return (
-        rep_pairs.join(corpus_members, "ga")
-        .join(new_members, "gb")
-        .select("corpus_doc", "new_doc", "jaccard")
+        rep_pairs.join(corpus_fam, "ga")
+        .join(new_fam, "gb")
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ma, a -> transform(mb, b -> "
+                    "struct(a AS corpus_doc, b AS new_doc))))"
+                )
+            ).alias("p"),
+            "jaccard",
+        )
+        .select("p.corpus_doc", "p.new_doc", "jaccard")
     )
 
 
