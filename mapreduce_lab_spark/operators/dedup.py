@@ -130,6 +130,46 @@ def _collapse_reps(
     return keyed.groupBy(*group_cols).agg(*aggs)
 
 
+def _expand_cross(
+    pairs: DataFrame, metric: str, a_out: str = "doc_a", b_out: str = "doc_b",
+    ordered: bool = True,
+) -> DataFrame:
+    """Stream the ``ma`` x ``mb`` member product of verified rep pairs
+    as TWO chained explodes (one side, then the other), never as one
+    flattened pair array: generate/explode is pipelined iterator-style
+    inside the stage, so per-row memory stays O(|family|) — a single
+    flatten(transform(ma, a -> transform(mb, ...))) would materialize
+    the whole |ma|*|mb| struct array in one row first, which on a
+    degenerate corpus (one family of ~45k identical docs, the sf1
+    sweep's worst case) is ~1e9 structs before the explode even
+    starts."""
+    one = pairs.select(F.explode("ma").alias("_a"), "mb", metric)
+    two = one.select("_a", F.explode("mb").alias("_b"), metric)
+    if ordered:
+        return two.select(
+            F.least("_a", "_b").alias(a_out),
+            F.greatest("_a", "_b").alias(b_out),
+            metric,
+        )
+    return two.select(F.col("_a").alias(a_out), F.col("_b").alias(b_out), metric)
+
+
+def _expand_within(rep: DataFrame, metric: Column, metric_name: str) -> DataFrame:
+    """All intra-family (a < b) pairs from the sorted member arrays,
+    streamed the same two-step way as _expand_cross (posexplode the
+    array, then explode each element's ascending tail slice). The
+    sort makes a < b positional, so no least/greatest."""
+    tails = rep.where(F.size("members") > 1).select(
+        "members", F.posexplode("members").alias("_i", "_a")
+    )
+    return tails.select(
+        F.col("_a").alias("doc_a"),
+        F.explode(
+            F.expr("slice(members, _i + 2, size(members) - _i - 1)")
+        ).alias("doc_b"),
+    ).select("doc_a", "doc_b", metric.alias(metric_name))
+
+
 def naive_candidate_pairs(doc_sh: DataFrame) -> DataFrame:
     """All (doc_a < doc_b) pairs sharing ANY shingle — the unfiltered
     inverted-index join. Quadratic in the hottest shingle's document
@@ -321,47 +361,25 @@ def q_near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the verify step: cache it so tokenization+shingling runs
     # once, not 4x (at scale this is a materialized signature table).
     # The collapse aggregate also emits each family's sorted doc_id
-    # list, so the expansions below are in-task array explodes — two
-    # rep-keyed joins replace the round-4 four-join + members
+    # list, so the expansions below are in-task streamed explodes —
+    # two rep-keyed joins replace the round-4 four-join + members
     # self-join fan-back.
     doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
     keyed = doc_sh.withColumn("grp", _set_grp())
     rep = _collapse_reps(keyed, ["grp"], ["sh"], members=True).cache()
     rep_sh = rep.select("doc_id", "sh")
     rep_pairs = _pair_jaccard(prefix_filtered_pairs(rep_sh), rep_sh)
-    cross = (
+    cross = _expand_cross(
         rep_pairs.join(
             rep.select(F.col("doc_id").alias("doc_a"), F.col("members").alias("ma")),
             "doc_a",
-        )
-        .join(
+        ).join(
             rep.select(F.col("doc_id").alias("doc_b"), F.col("members").alias("mb")),
             "doc_b",
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ma, a -> transform(mb, b -> "
-                    "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"
-                )
-            ).alias("p"),
-            "jaccard",
-        )
-        .select("p.doc_a", "p.doc_b", "jaccard")
+        ),
+        "jaccard",
     )
-    within = (
-        rep.where(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (a, i) -> "
-                    "transform(slice(members, i + 2, size(members) - i - 1), b -> "
-                    "struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
-    )
+    within = _expand_within(rep, F.lit(1.0), "jaccard")
     return cross.unionByName(within)
 
 
@@ -488,38 +506,18 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cross-family expansion: every (a in family(ga), b in family(gb))
     # pair inherits the verified rep-level Jaccard (all members of a
     # group share the exact shingle SET). Joins hit the cached
-    # group-level frame; the pair product expands inside the task.
+    # group-level frame; the pair product streams inside the task.
     fam = rep_sh.select("grp", "members")
-    cross = (
-        rep_pairs.join(fam.select(F.col("grp").alias("ga"), F.col("members").alias("ma")), "ga")
-        .join(fam.select(F.col("grp").alias("gb"), F.col("members").alias("mb")), "gb")
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ma, a -> transform(mb, b -> "
-                    "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"
-                )
-            ).alias("p"),
-            "jaccard",
-        )
-        .select("p.doc_a", "p.doc_b", "jaccard")
+    cross = _expand_cross(
+        rep_pairs.join(
+            fam.select(F.col("grp").alias("ga"), F.col("members").alias("ma")), "ga"
+        ).join(
+            fam.select(F.col("grp").alias("gb"), F.col("members").alias("mb")), "gb"
+        ),
+        "jaccard",
     )
-    # Within-family pairs (exact duplicates: Jaccard 1 by definition)
-    # come straight off the sorted member arrays — ascending order
-    # makes a<b positional, so no least/greatest and no join at all.
-    within = (
-        rep_sh.where(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (a, i) -> "
-                    "transform(slice(members, i + 2, size(members) - i - 1), b -> "
-                    "struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
-    )
+    # Within-family pairs: exact duplicates, Jaccard 1 by definition.
+    within = _expand_within(rep_sh, F.lit(1.0), "jaccard")
     return cross.unionByName(within)
 
 
@@ -628,35 +626,15 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("ga", "gb", "edit_distance")
     )
     fam = base.select("grp", "members")
-    cross = (
+    cross = _expand_cross(
         rep_pairs.join(
             fam.select(F.col("grp").alias("ga"), F.col("members").alias("ma")), "ga"
-        )
-        .join(fam.select(F.col("grp").alias("gb"), F.col("members").alias("mb")), "gb")
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ma, a -> transform(mb, b -> "
-                    "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"
-                )
-            ).alias("p"),
-            "edit_distance",
-        )
-        .select("p.doc_a", "p.doc_b", "edit_distance")
+        ).join(
+            fam.select(F.col("grp").alias("gb"), F.col("members").alias("mb")), "gb"
+        ),
+        "edit_distance",
     )
-    within = (
-        base.where(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (a, i) -> "
-                    "transform(slice(members, i + 2, size(members) - i - 1), b -> "
-                    "struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", F.lit(0).cast("long").alias("edit_distance"))
-    )
+    within = _expand_within(base, F.lit(0).cast("long"), "edit_distance")
     return cross.unionByName(within)
 
 
@@ -1124,19 +1102,12 @@ def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     new_fam = fam.where(F.col("side_new")).select(
         F.col("grp").alias("gb"), F.col("members").alias("mb")
     )
-    return (
-        rep_pairs.join(corpus_fam, "ga")
-        .join(new_fam, "gb")
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ma, a -> transform(mb, b -> "
-                    "struct(a AS corpus_doc, b AS new_doc))))"
-                )
-            ).alias("p"),
-            "jaccard",
-        )
-        .select("p.corpus_doc", "p.new_doc", "jaccard")
+    return _expand_cross(
+        rep_pairs.join(corpus_fam, "ga").join(new_fam, "gb"),
+        "jaccard",
+        a_out="corpus_doc",
+        b_out="new_doc",
+        ordered=False,
     )
 
 
