@@ -74,6 +74,8 @@ HEADLINE = [
     # round 4:
     "near_dup_snm_multipass",
     "multimodal_decode_stats",
+    # round 5:
+    "near_dup_embedding_lsh",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -117,6 +119,7 @@ PRIMARY_INPUT = {
     "multi_grain_event_rollup": "events",
     "near_dup_snm_multipass": "documents",
     "multimodal_decode_stats": "documents",
+    "near_dup_embedding_lsh": "embeddings",
 }
 
 

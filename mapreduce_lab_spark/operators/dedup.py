@@ -34,6 +34,8 @@ so membership never hinges on a float ULP.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -843,6 +845,188 @@ def q_near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# --- embedding near-dup, banded random-hyperplane LSH ----------------------
+
+# 16 sign bits from fixed-seed Gaussian hyperplanes, banded 4x4: two
+# vectors collide when some band's 4 sign bits all agree. P[bit
+# agrees] = 1 - theta/pi, so a cos >= 0.4 pair (theta <= 66 deg)
+# collides with p >= 1 - (1 - 0.63^4)**4 ~ 0.50 per independent
+# band set — the recall/cost trade every banded LSH makes, and the
+# oracle reproduces the exact bands so the construction itself is
+# what parity checks (same contract as near_dup_minhash_lsh).
+RP_BANDS = 4
+RP_BAND_BITS = 4
+_rp_rng = random.Random(7)
+# Weights rounded to 6 decimals: each literal parses to the identical
+# nearest-double in Spark and DuckDB, so both engines run the same
+# IEEE dot product bit-for-bit and the sign test cannot diverge.
+RP_PLANES: list[list[float]] = [
+    [round(_rp_rng.gauss(0.0, 1.0), 6) for _ in range(64)]
+    for _ in range(RP_BANDS * RP_BAND_BITS)
+]
+
+
+def _rp_band_vals() -> list[Column]:
+    """One integer per band: RP_BAND_BITS hyperplane sign bits packed
+    LSB-first. Each dot is a left fold in index order over the
+    double-cast embedding — the oracle's flat sum evaluates the same
+    IEEE sequence."""
+    vals = []
+    for band in range(RP_BANDS):
+        v = F.lit(0)
+        for r in range(RP_BAND_BITS):
+            w = RP_PLANES[band * RP_BAND_BITS + r]
+            dot = _fold_sum(
+                F.zip_with("v", F.array(*[F.lit(x) for x in w]), lambda a, b: a * b)
+            )
+            v = v + F.when(dot >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+        vals.append(v)
+    return vals
+
+
+def _oracle_rp_bands() -> str:
+    """UNION ALL of per-band (vec_id, band, val) selects mirroring
+    _rp_band_vals: flat left-to-right sums, same literals."""
+    selects = []
+    for band in range(RP_BANDS):
+        bits = []
+        for r in range(RP_BAND_BITS):
+            w = RP_PLANES[band * RP_BAND_BITS + r]
+            dot = " + ".join(f"v[{k + 1}] * ({x!r})" for k, x in enumerate(w))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << r} ELSE 0 END)")
+        selects.append(
+            f"SELECT vec_id, {band} AS band, ({' + '.join(bits)}) AS val FROM e"
+        )
+    return "\n      UNION ALL ".join(selects)
+
+
+# Shared CTE prefix for the random-hyperplane LSH oracles: banded
+# sign-bit signatures -> candidate pairs (no cosine verify yet).
+_RP_CAND_CTE = f"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, {_O_NORM.format(e='v')} AS norm FROM e
+    ), bands AS (
+      {_oracle_rp_bands()}
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.val = y.val AND x.vec_id < y.vec_id
+    )"""
+
+
+@query(
+    "near_dup_embedding_lsh",
+    oracle=f"""
+    WITH {_RP_CAND_CTE}
+    SELECT vec_a, vec_b,
+           round(sub.dot / sqrt(a.norm * b.norm), 6) AS cosine
+    FROM cand
+    JOIN n a ON a.vec_id = cand.vec_a
+    JOIN n b ON b.vec_id = cand.vec_b,
+    LATERAL (SELECT {_O_DOT} AS dot
+             FROM (SELECT a.v AS ea, b.v AS eb)) sub
+    WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+    """,
+)
+def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) via banded
+    random-hyperplane LSH — the SCALE PATH whose recall the exact
+    O(n²) ``near_dup_embedding_cosine`` baseline measures.
+
+    100 TB shape: signatures are a narrow per-row projection (16 dots
+    against broadcast-literal hyperplanes — no shuffle, no UDF), the
+    corpus meets itself only inside (band, val) buckets (~n/2^4 rows
+    per band under the hashing assumption), and the exact-cosine
+    verify runs on the collision set alone. Compare
+    ``near_dup_minhash_lsh`` (same band-verify-expand skeleton over
+    token shingles); the planes are seed-pinned module constants the
+    oracle re-embeds as literals, which is what makes the
+    construction differentially testable end-to-end.
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    base = e.withColumn(
+        "norm", _fold_sum(F.zip_with("v", "v", lambda x, y: x * y))
+    ).cache()
+    bands = base.select(
+        "vec_id", F.posexplode(F.array(*_rp_band_vals())).alias("band", "val")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "val"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query(
+    "near_dup_embedding_clusters",
+    oracle=f"""
+    WITH {_RP_CAND_CTE}, pairs AS (
+      SELECT vec_a, vec_b
+      FROM cand
+      JOIN n a ON a.vec_id = cand.vec_a
+      JOIN n b ON b.vec_id = cand.vec_b,
+      LATERAL (SELECT {_O_DOT} AS dot
+               FROM (SELECT a.v AS ea, b.v AS eb)) sub
+      WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+    ), edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM r JOIN edges e2 ON r.dst = e2.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+    """,
+)
+def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters: connected components over the banded
+    random-hyperplane LSH pairs (cosine >= 0.4), labeled by min
+    vec_id — the scale-safe OUTPUT contract for embedding dedup.
+
+    Pair lists are inherently quadratic on duplicate-heavy corpora
+    (the round-4 sf1 lesson, docs/SCALE.md); a pipeline that keeps
+    one vector per CLUSTER needs component labels, not pairs. Same
+    min-label-propagation loop as the shingle-based
+    ``near_dup_clusters``; the oracle recomputes the identical LSH
+    pair set and closes it with a recursive CTE — a different
+    algorithm reaching the same fixpoint.
+    """
+    pairs = q_near_dup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
     )
 
 

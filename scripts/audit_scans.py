@@ -43,6 +43,7 @@ SKIP = {
     "kcore_parts",
     "pagerank_copurchase",
     "near_dup_clusters",
+    "near_dup_embedding_clusters",
     "cluster_representatives",
     "bpe_train_merges",
     "bpe_token_counts",

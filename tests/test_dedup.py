@@ -467,3 +467,58 @@ def test_incremental_collapse_matches_uncollapsed_with_dup_family(spark):
     assert got == want
     # Corpus family members x batch family members, all at J = 1.
     assert {(c, n, 1.0) for c in (1, 2) for n in (10, 20)} <= got
+
+
+def test_embedding_lsh_subset_of_exact_with_usable_recall(spark, sf_dir):
+    """The banded random-hyperplane path must emit a SUBSET of the
+    exact O(n²) baseline's pairs (the final cosine verify guarantees
+    precision 1.0 — any extra pair would be a construction bug) at a
+    recall compatible with the 4x4 banding analysis (~0.5 at the 0.4
+    threshold; floor set loosely at 0.3 to stay corpus-robust)."""
+    from mapreduce_lab_spark.operators.dedup import (
+        q_near_dup_embedding_cosine,
+        q_near_dup_embedding_lsh,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q_near_dup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q_near_dup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact), sorted(set(lsh) - set(exact))[:5]
+    for pair, cos in lsh.items():
+        assert cos == exact[pair], (pair, cos, exact[pair])
+    if exact:
+        assert len(lsh) / len(exact) >= 0.3, (len(lsh), len(exact))
+
+
+def test_embedding_clusters_consistent_with_lsh_pairs(spark, sf_dir):
+    """Component labels must agree with the pair set they were built
+    from: both endpoints of every LSH pair share a cluster_id, every
+    labeled vec appears in some pair (no singleton rows), and each
+    cluster's id is the min vec_id of its members."""
+    from mapreduce_lab_spark.operators.dedup import (
+        q_near_dup_embedding_clusters,
+        q_near_dup_embedding_lsh,
+    )
+
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in q_near_dup_embedding_lsh(spark, sf_dir).collect()
+    ]
+    label = {
+        r.vec_id: r.cluster_id
+        for r in q_near_dup_embedding_clusters(spark, sf_dir).collect()
+    }
+    endpoints = {v for p in pairs for v in p}
+    assert set(label) == endpoints
+    for a, b in pairs:
+        assert label[a] == label[b], (a, b, label[a], label[b])
+    by_cluster = {}
+    for v, c in label.items():
+        by_cluster.setdefault(c, []).append(v)
+    for c, members in by_cluster.items():
+        assert c == min(members), (c, min(members))

@@ -87,6 +87,7 @@ REPRESENTATIVES = [
     "hll_union_users",
     "hll_portable_users",
     "near_dup_incremental_minhash",
+    "near_dup_embedding_lsh",
     "gapfill_interp_signups",
     "not_in_null_aware_probe",
     "argmax_orders_probe",
