@@ -107,6 +107,78 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(load_table(spark, sf_dir, "documents"))
 
 
+# --- leakage-safe (family-aware) split -------------------------------------
+
+# Canonicalization shared with curation.dedup_normalized: the family
+# key is the md5 of lowercased text with non-alphanumerics squashed.
+_CANON_RE = r"[^\p{L}\p{N}]+"
+_O_CANON = (
+    "md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')))"
+)
+
+
+def leakage_safe_split(docs: DataFrame) -> DataFrame:
+    """Train/val/test split assigned per DUPLICATE FAMILY, not per
+    document: hash the canonicalized-text md5, so every exact/near-
+    exact copy of a document lands in the SAME split.
+
+    The per-doc-key split (``train_val_test_split``) leaks at 100 TB:
+    web crawls carry the same page under many doc_ids, and hashing the
+    id scatters those copies across train AND test — the model is then
+    evaluated on its own training data. Keying the assignment on
+    content canon instead makes the split a pure function of content:
+    straddling is impossible by construction
+    (tests/test_sampling.py pins this, and pins that the naive split
+    DOES straddle on the same corpus).
+
+    Scale shape: one narrow projection (md5 + hash gate, zero
+    shuffle), then one aggregation shuffling only (split) keys with
+    count/sum partials and an md5-distinct partial — same cost as the
+    naive split plus the distinct-family sketch.
+    """
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), _CANON_RE, " "))
+    fam = F.md5(canon)
+    bucket = hex8_int(fam) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), fam.alias("fam"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fam").alias("n_families"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CASE
+                 WHEN {oracle_hex8_int(_O_CANON)} % 100
+                      < {SPLIT_TRAIN_PCT} THEN 'train'
+                 WHEN {oracle_hex8_int(_O_CANON)} % 100
+                      < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               {_O_CANON} AS fam, n_chars
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT fam) AS n_families,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+
 # --- temperature-scaled corpus mixing -------------------------------------
 
 MIX_W_UNITS = 1_000_000_000
