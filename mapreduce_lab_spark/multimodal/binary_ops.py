@@ -71,14 +71,17 @@ def decode_image(payload: bytes, fmt: str):
     """
     from mapreduce_lab_spark.multimodal import codecs
 
+    codec_err: ValueError | None = None
     if payload[:2] in (b"BM", b"P6"):
         try:
             return codecs.decode_payload(payload)
-        except ValueError:
+        except ValueError as err:
             # Valid-but-unsupported variant (8/32-bit or RLE BMP, odd
             # PPM): fall through to PIL, which handles the full
-            # formats, before giving up (ADVICE r4).
-            pass
+            # formats, before giving up (ADVICE r4). Keep the codec's
+            # diagnostic so a genuinely corrupt payload surfaces it
+            # when PIL is absent too (ADVICE r5).
+            codec_err = err
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -89,7 +92,7 @@ def decode_image(payload: bytes, fmt: str):
             f"decoding {fmt!r} requires PIL, not available in this "
             "environment; BMP/PPM decode natively, or use fake_decode() "
             "for deterministic tests"
-        ) from exc
+        ) from (codec_err or exc)
 
 
 def fake_decode(payload: bytes, width: int, height: int) -> list[int]:

@@ -660,15 +660,18 @@ def simhash(docs: DataFrame) -> DataFrame:
     oracle's unnest + GROUP BY (an empty array would otherwise fold to
     the all-zero vote vector and emit a spurious simhash=0 row).
     """
-    bit_votes = """
+    # Lane width interpolated from SIMHASH_BITS (ADVICE r5): the oracle
+    # and the band projections derive from the same constant, so a
+    # width change cannot desynchronize Spark from the oracle.
+    bit_votes = f"""
     aggregate(
       _hashes,
-      array_repeat(0L, 32),
-      (acc, h) -> zip_with(acc, sequence(0, 31),
+      array_repeat(0L, {SIMHASH_BITS}),
+      (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
                            (v, j) -> v + ((h >> cast(j as int)) & 1L) * 2 - 1)
     )"""
-    to_sig = """
-    aggregate(zip_with(_bits, sequence(0, 31),
+    to_sig = f"""
+    aggregate(zip_with(_bits, sequence(0, {SIMHASH_BITS - 1}),
               (s, j) -> if(s > 0, shiftleft(1L, cast(j as int)), 0L)),
               0L, (a, x) -> a + x)"""
     return (
@@ -709,11 +712,21 @@ _O_SIM = " + ".join(
 def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs with hamming distance <= 3.
 
-    Spark candidates via the pigeonhole byte-banding: hamming <= 3
+    Spark candidates via TWO-LEVEL pigeonhole banding: hamming <= 3
     can corrupt at most 3 of the 4 bytes, so near-dup pairs share at
-    least one exact byte — join on (byte_idx, byte_val), then verify
-    with exact bit_count(xor). The oracle brute-forces all pairs;
-    identical final predicate → identical result.
+    least one exact byte; and GIVEN that clean byte, all <= 3 flipped
+    bits live in the remaining 24 bits, so at least one of that
+    remainder's four 6-bit pieces is also exactly equal. Every
+    qualifying pair therefore shares a full (band_id, byte_val,
+    piece_val) key for some band_id = 4*byte_idx + piece_idx — 16
+    bands per fingerprint over an effective 14-bit key instead of
+    round 4's single-level 4 bands over an 8-bit key. Bucket size at a
+    fixed corpus drops 64x, so bucket-pair work drops ~16x (16/4 bands
+    x 1/64 pair density) — this removes the sf1 quadratic the round-5
+    sweep measured (norm-ratio 1.28: ~132M bucket-pair rows from
+    43.7k fps / 256 values per byte band). Verify with exact
+    bit_count(xor). The oracle brute-forces all pairs; identical
+    final predicate → identical result.
 
     The band join runs over DISTINCT fingerprints, expanding to doc
     pairs only after the hamming verify. Template-dominated corpora
@@ -731,20 +744,33 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sim = simhash(fan_out(load_table(spark, sf_dir, "documents"), spark)).cache()
     fps = sim.select("simhash").distinct()
-    bytes_ = fps.select(
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(0xFF))
-                    for k in range(4)
-                ]
+    n_bytes = SIMHASH_BITS // 8
+    band_structs = []
+    for k in range(n_bytes):
+        byte_val = F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(0xFF))
+        # Concatenate the OTHER bytes (ascending) into a 24-bit rest,
+        # then cut it into four 6-bit pieces.
+        rest = None
+        for idx, m in enumerate(b for b in range(n_bytes) if b != k):
+            term = F.shiftleft(
+                F.shiftright("simhash", 8 * m).bitwiseAND(F.lit(0xFF)), 8 * idx
             )
-        ).alias("byte_idx", "byte_val"),
-    )
+            rest = term if rest is None else rest + term
+        for j in range(4):
+            piece_val = F.shiftright(rest, 6 * j).bitwiseAND(F.lit(0x3F))
+            band_structs.append(
+                F.struct(
+                    F.lit(4 * k + j).alias("band_id"),
+                    byte_val.alias("byte_val"),
+                    piece_val.alias("piece_val"),
+                )
+            )
+    bytes_ = fps.select(
+        "simhash", F.explode(F.array(*band_structs)).alias("_band")
+    ).select("simhash", "_band.*")
     fp_pairs = (
         bytes_.alias("a")
-        .join(bytes_.alias("b"), ["byte_idx", "byte_val"])
+        .join(bytes_.alias("b"), ["band_id", "byte_val", "piece_val"])
         .filter(F.col("a.simhash") <= F.col("b.simhash"))
         .select(
             F.col("a.simhash").alias("fa"), F.col("b.simhash").alias("fb")

@@ -522,3 +522,25 @@ def test_embedding_clusters_consistent_with_lsh_pairs(spark, sf_dir):
         by_cluster.setdefault(c, []).append(v)
     for c, members in by_cluster.items():
         assert c == min(members), (c, min(members))
+
+
+def test_rp_planes_pinned_checksum():
+    """RP_PLANES is derived from random.Random(7).gauss at import time;
+    Spark/oracle parity only needs both to share the in-process list,
+    but the BENCHMARKED recall and all band buckets silently change if
+    CPython's gauss implementation ever changes (ADVICE r5). Pin the
+    exact rounded weights with a checksum so any drift is loud."""
+    import hashlib
+
+    from mapreduce_lab_spark.operators.dedup import (
+        RP_BAND_BITS,
+        RP_BANDS,
+        RP_PLANES,
+    )
+
+    assert len(RP_PLANES) == RP_BANDS * RP_BAND_BITS
+    assert all(len(p) == 64 for p in RP_PLANES)
+    digest = hashlib.sha256(repr(RP_PLANES).encode()).hexdigest()
+    assert digest == (
+        "fee94dd2ae57a488530767cbf8768cfb19ffc18a1a922b45e46e19e2ea360c63"
+    ), "RP_PLANES drifted: freeze the literal table or re-pin recall numbers"

@@ -57,15 +57,37 @@ def test_new_exact_sum_form_is_shared_sql_safe(spark, duck, sf_dir):
 
 
 def test_registry_prefix_samples_every_family():
-    """Any 49-query prefix of queries() must contain at least one query
-    from every operator module (the round-1 driver checked exactly the
-    first 49 registered queries)."""
+    """Family coverage completes within a bounded prefix. In the EARLY
+    regime that bound is |families| (one-per-family head; the round-1
+    driver checked exactly the first 49 registered queries). In the
+    ENDGAME regime (all unseen fit in one driver prefix) the fresh
+    block comes first, so the bound is |unseen| + |families|."""
     names = list(registry.queries())
+    seen, _ = registry._previously_sampled()
+    n_unseen = sum(1 for n in names if n not in seen)
     n_families = len(registry._BY_MODULE)
-    prefix_mods = {registry._QUERIES[n].__module__ for n in names[:49]}
+    endgame = seen and 0 < n_unseen <= registry.DRIVER_PREFIX - 5
+    bound = (n_unseen + n_families) if endgame else max(49, n_families)
+    prefix_mods = {registry._QUERIES[n].__module__ for n in names[:bound]}
     assert len(prefix_mods) == n_families, (
-        f"first 49 queries cover {len(prefix_mods)}/{n_families} families"
+        f"first {bound} queries cover {len(prefix_mods)}/{n_families} families"
     )
+
+
+def test_registry_endgame_prefix_drains_unseen_tail():
+    """When the never-driver-sampled tail fits in one driver prefix
+    (with >=5 re-check slots left over), EVERY unseen query must appear
+    in the first DRIVER_PREFIX positions — otherwise first-time
+    coverage can never close (the old full-head shape capped fresh rows
+    at prefix minus seen-family count)."""
+    seen, _ = registry._previously_sampled()
+    names = list(registry.queries())
+    unseen = [n for n in names if n not in seen]
+    if not seen or not (0 < len(unseen) <= registry.DRIVER_PREFIX - 5):
+        return  # not in the endgame regime
+    prefix = set(names[: registry.DRIVER_PREFIX])
+    missing = [n for n in unseen if n not in prefix]
+    assert not missing, f"unseen queries outside the driver prefix: {missing}"
 
 
 def test_registry_order_immune_to_new_driver_artifacts(tmp_path):
@@ -116,5 +138,40 @@ def test_registry_prefix_mixes_fresh_and_resample():
         return  # fresh checkout or everything verified: nothing to mix
     n_resample = sum(1 for n in names if n in seen)
     n_fresh = len(names) - n_resample
-    assert n_fresh >= 25, (n_fresh, n_resample)     # coverage keeps growing
+    total_unseen = sum(1 for n in registry._QUERIES if n not in seen)
+    # coverage keeps growing (bounded by how many unseen still exist)
+    assert n_fresh >= min(25, total_unseen), (n_fresh, n_resample)
     assert n_resample >= 5, (n_fresh, n_resample)   # regressions get caught
+
+
+def test_driver_seen_snapshot_staleness_warns_not_gates():
+    """Non-gating staleness guard (ADVICE r5): the pinned
+    driver_seen.json must be regenerated (scripts/update_seen.py) each
+    round start. If the repo root holds CORRECTNESS_r*.json artifacts
+    the snapshot has not folded in, WARN — never fail, because the
+    driver legitimately drops a new artifact AFTER the builder's last
+    commit (the round-4 live-glob failure mode this snapshot exists to
+    avoid)."""
+    import glob
+    import json
+    import os
+    import warnings
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
+    snap_path = os.path.join(root, "mapreduce_lab_spark", "driver_seen.json")
+    try:
+        with open(snap_path) as f:
+            snap = json.load(f)
+    except (OSError, ValueError):
+        return  # fresh checkout: registry degrades gracefully
+    have = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
+    folded = sorted(snap.get("source_artifacts", []))
+    if have != folded:
+        warnings.warn(
+            f"driver_seen.json is stale: snapshot folded {folded} but repo "
+            f"root has {have} — run scripts/update_seen.py and commit",
+            stacklevel=1,
+        )

@@ -120,6 +120,20 @@ def test_audit_list_not_stale(plans):
     assert stale == [], f"BNLJ_AUDITED entries no longer needed: {stale}"
 
 
+def test_audit_lists_name_only_registered_queries():
+    """The `n in plans` guards above mean a DELETED or RENAMED query
+    lingers in the hand-maintained audit lists forever (VERDICT r5 #5).
+    Every audited name must still be a registered query."""
+    registry.load_all()
+    registered = set(registry._QUERIES)
+    ghosts = [
+        n
+        for n in (*BNLJ_AUDITED, *DUP_SCAN_AUDITED, *ROW_PYTHON_AUDITED)
+        if n not in registered
+    ]
+    assert ghosts == [], f"audited names no longer registered: {ghosts}"
+
+
 # name -> why a row-at-a-time Python eval is THE POINT of the query.
 ROW_PYTHON_AUDITED = {
     "udtf_wordcount": "reference Map-UDTF parity contract — row-at-a-time "
