@@ -321,21 +321,37 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram Jaccard --------------------------------------------------------
 
 
+# Inverted-index pair formulation shared by the jaccard / connected-
+# components / cluster-representatives oracles. Exactly the all-pairs
+# J >= 0.5 semantics of the previous brute-force cross join: shingle
+# lists are DISTINCT, so count(*) per doc pair IS |intersection|, and
+# inter = 0 pairs can never reach J >= 0.5, so the postings join loses
+# nothing. The cross join ran O(n²) list_intersects and blew the
+# 120 s sim watchdog at sf0.1 (VERDICT r5 #7); the postings join runs
+# it in seconds. Still independent of the Spark plan under test: no
+# prefix filter, no rarest-shingle selection, no identical-set
+# collapse — the properties the differential check exists to verify.
+_O_JPAIRS = f"""t AS (
+      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
+    ), e AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ), jp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, count(*) AS inter
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )"""
+
+
 @query(
     "near_dup_ngram_jaccard",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           floor(len(list_intersect(a.sh, b.sh)) * 1000000
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-             / 1000000.0 AS jaccard
-    FROM t a, t b
-    WHERE a.doc_id < b.doc_id
-      AND 2 * len(list_intersect(a.sh, b.sh))
-          >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+    WITH {_O_JPAIRS}
+    SELECT doc_a, doc_b,
+           floor(inter * 1000000 / (na + nb - inter)) / 1000000.0 AS jaccard
+    FROM jp
+    WHERE 2 * inter >= na + nb - inter
     """,
 )
 def q_near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,11 +441,11 @@ def _oracle_minhash() -> tuple[str, str]:
 
 _O_SIGS, _O_BANDS = _oracle_minhash()
 
-
-@query(
-    "near_dup_minhash_lsh",
-    oracle=f"""
-    WITH t AS (
+# Shared minhash-oracle fragments: signature/band CTE chain and the
+# Jaccard-verified band-collision pair select. Reused verbatim by
+# near_dup_minhash_lsh, minhash_jaccard_estimate, and
+# near_dup_minhash_clusters so all three check the SAME construction.
+_O_MH_CTE = f"""t AS (
       SELECT doc_id, {_ORACLE_SHINGLES} AS sh
       FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
     ), h AS (
@@ -442,7 +458,8 @@ _O_SIGS, _O_BANDS = _oracle_minhash()
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-    )
+    )"""
+_O_MH_VERIFIED = """
     SELECT doc_a, doc_b,
            floor(len(list_intersect(ta.sh, tb.sh)) * 1000000
                  / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))))
@@ -452,6 +469,14 @@ _O_SIGS, _O_BANDS = _oracle_minhash()
     JOIN t tb ON tb.doc_id = cand.doc_b
     WHERE 2 * len(list_intersect(ta.sh, tb.sh))
           >= len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))
+    """
+
+
+@query(
+    "near_dup_minhash_lsh",
+    oracle=f"""
+    WITH {_O_MH_CTE}
+    {_O_MH_VERIFIED}
     """,
 )
 def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,15 +1127,9 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
 
 
 _CLUSTERS_ORACLE = f"""
-    WITH t AS (
-      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
-    ), pairs AS (
-      SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM t a, t b
-      WHERE a.doc_id < b.doc_id
-        AND 2 * len(list_intersect(a.sh, b.sh))
-            >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+    WITH {_O_JPAIRS}, pairs AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      WHERE 2 * inter >= na + nb - inter
     ), edges AS (
       SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
     ), reach AS (
@@ -1210,6 +1229,105 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return cluster_representatives(connected_components(pairs), quality_scores(docs))
+
+
+# --- minhash estimate + clusters (completing the minhash lane) --------------
+
+_O_MH_AGREE = " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
+    for i in range(len(MINHASH_PERMS))
+)
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH {_O_MH_CTE}, ver AS ({_O_MH_VERIFIED})
+    SELECT v.doc_a, v.doc_b,
+           round(({_O_MH_AGREE}) / {len(MINHASH_PERMS)}.0, 6) AS est_jaccard,
+           v.jaccard
+    FROM ver v
+    JOIN sig a ON a.doc_id = v.doc_a
+    JOIN sig b ON b.doc_id = v.doc_b
+    """,
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based similarity estimation: for every verified minhash
+    near-dup pair, the SIGNATURE-agreement estimate of Jaccard next to
+    the exact value — the measurement a 100 TB pipeline uses to decide
+    whether it can skip the exact verify entirely (estimate-only
+    thresholding reads 16 ints per doc instead of the shingle sets).
+
+    The estimate is the fraction of the 16 minhash components that
+    agree (an unbiased estimator of J). Signatures are a zero-shuffle
+    projection; the pair list is the already-verified near-dup output,
+    so the two signature joins probe with a small pair set. Estimates
+    are multiples of 1/16, exactly representable in a double — the
+    round(6) cannot straddle a ULP, so the oracle comparison is exact.
+    """
+    pairs = q_near_dup_minhash_lsh(spark, sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sig = _doc_shingles(docs).select(
+        "doc_id",
+        F.array(*minhash_signature(F.transform("sh", hex8_int))).alias("sig"),
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(len(MINHASH_PERMS)), 6).alias("est_jaccard"),
+            "jaccard",
+        )
+    )
+
+
+@query(
+    "near_dup_minhash_clusters",
+    oracle=f"""
+    WITH {_O_MH_CTE}, ver AS ({_O_MH_VERIFIED}), pairs AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+    ), edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+    """,
+)
+def q_near_dup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash-LSH verified pairs —
+    the scale-safe OUTPUT contract for the minhash lane, matching
+    near_dup_clusters (shingle-jaccard lane) and
+    near_dup_embedding_clusters (embedding lane). A dedup pipeline
+    keeps one doc per component; pair lists are quadratic on
+    duplicate-heavy corpora, component labels are linear. The oracle
+    recomputes the identical banded construction and closes it with a
+    recursive CTE — a different algorithm, same fixpoint.
+    """
+    pairs = q_near_dup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs)
 
 
 # --- incremental MinHash dedup (new batch vs existing corpus) --------------

@@ -544,3 +544,45 @@ def test_rp_planes_pinned_checksum():
     assert digest == (
         "fee94dd2ae57a488530767cbf8768cfb19ffc18a1a922b45e46e19e2ea360c63"
     ), "RP_PLANES drifted: freeze the literal table or re-pin recall numbers"
+
+
+def test_two_level_pigeonhole_banding_lossless_for_hamming_le_3():
+    """Pure-Python mirror of q_near_dup_simhash's band construction:
+    any two 32-bit values at hamming distance <= SIMHASH_MAX_HAMMING
+    must share at least one exact (band_id, byte_val, piece_val) key —
+    the recall guarantee the 16-band two-level scheme rests on.
+    Exhaustive over structured flip patterns: every combination of up
+    to 3 bit positions applied to a spread of base fingerprints."""
+    import itertools
+    import random
+
+    from mapreduce_lab_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    n_bytes = SIMHASH_BITS // 8
+
+    def bands(fp: int) -> set[tuple[int, int, int]]:
+        out = set()
+        for k in range(n_bytes):
+            byte_val = (fp >> (8 * k)) & 0xFF
+            rest = 0
+            for idx, m in enumerate(b for b in range(n_bytes) if b != k):
+                rest |= ((fp >> (8 * m)) & 0xFF) << (8 * idx)
+            for j in range(4):
+                out.add((4 * k + j, byte_val, (rest >> (6 * j)) & 0x3F))
+        return out
+
+    rng = random.Random(42)
+    bases = [0, 2**32 - 1, 0x55555555, 0xDEADBEEF] + [
+        rng.getrandbits(32) for _ in range(8)
+    ]
+    positions = list(range(SIMHASH_BITS))
+    for base in bases:
+        for r in range(1, SIMHASH_MAX_HAMMING + 1):
+            for flips in itertools.combinations(positions, r):
+                other = base
+                for p in flips:
+                    other ^= 1 << p
+                assert bands(base) & bands(other), (hex(base), flips)
