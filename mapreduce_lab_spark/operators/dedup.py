@@ -745,13 +745,14 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair therefore shares a full (band_id, byte_val,
     piece_val) key for some band_id = 4*byte_idx + piece_idx — 16
     bands per fingerprint over an effective 14-bit key instead of
-    round 4's single-level 4 bands over an 8-bit key. Bucket size at a
-    fixed corpus drops 64x, so bucket-pair work drops ~16x (16/4 bands
-    x 1/64 pair density) — this removes the sf1 quadratic the round-5
-    sweep measured (norm-ratio 1.28: ~132M bucket-pair rows from
-    43.7k fps / 256 values per byte band). Verify with exact
-    bit_count(xor). The oracle brute-forces all pairs; identical
-    final predicate → identical result.
+    round 4's single-level 4 bands over an 8-bit key. At sf1 this cut
+    bucket-pair rows 132M -> 48.6M (less than the uniform-key 16x
+    estimate because fp mass is skewed across band keys); with the
+    pre-distinct verify and the merge-hinted self-join below, the
+    round-5 scale flag (norm 1.28) measures 0.23 — see
+    docs/SCALE.md round 6. Verify with exact bit_count(xor). The
+    oracle brute-forces all pairs; identical final predicate →
+    identical result.
 
     The band join runs over DISTINCT fingerprints, expanding to doc
     pairs only after the hamming verify. Template-dominated corpora
@@ -794,15 +795,34 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash", F.explode(F.array(*band_structs)).alias("_band")
     ).select("simhash", "_band.*")
     fp_pairs = (
+        # Sort-merge, not broadcast-hash: Catalyst sees a small build
+        # side and picks BHJ, but band buckets hold THOUSANDS of rows
+        # per key and BHJ's per-probe match-chain iteration runs ~1.5M
+        # matches/s on such keys — measured 33 s for the 48.6M match
+        # rows at sf1. SMJ streams each key group linearly at ~15M/s
+        # (3.2 s same data), and is also the only strategy that still
+        # works when the distinct-fp band table outgrows a broadcast
+        # at 100 TB. The hint costs one 16-rows/fp shuffle, trivial at
+        # every scale.
         bytes_.alias("a")
+        .hint("merge")
         .join(bytes_.alias("b"), ["band_id", "byte_val", "piece_val"])
         .filter(F.col("a.simhash") <= F.col("b.simhash"))
+        # Hamming-verify BEFORE the distinct: the test is a row-local
+        # bitop, so bucket-pair rows that fail it die inside the join
+        # task instead of riding the distinct's shuffle. Measured at
+        # sf1: 48.6M bucket-pair rows are ~90% hamming>3 noise from
+        # skewed (byte,piece) buckets — the early filter shrinks the
+        # distinct's shuffle input 49M -> 5.1M rows.
+        .filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= SIMHASH_MAX_HAMMING
+        )
         .select(
             F.col("a.simhash").alias("fa"), F.col("b.simhash").alias("fb")
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
     a = sim.select(F.col("simhash").alias("fa"), F.col("doc_id").alias("da"))
     b = sim.select(F.col("simhash").alias("fb"), F.col("doc_id").alias("db"))
