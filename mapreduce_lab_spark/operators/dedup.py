@@ -1028,7 +1028,12 @@ def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(F.array(*_rp_band_vals())).alias("band", "val")
     )
     cand = (
+        # merge hint for the same reason as the simhash band join:
+        # only 4 bands x 16 sign values exist, so every bucket holds
+        # ~n/16 rows and BHJ's per-key match-chain probe crawls;
+        # sort-merge streams the key groups (sf1: 20.5 -> ~6 s).
         bands.alias("x")
+        .hint("merge")
         .join(bands.alias("y"), ["band", "val"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
