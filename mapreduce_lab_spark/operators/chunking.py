@@ -146,3 +146,158 @@ def q_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(
         chunk_documents(fan_out(load_table(spark, sf_dir, "documents"), spark))
     )
+
+
+# --- content-defined chunking ------------------------------------------------
+
+CDC_WINDOW = 4  # tokens per boundary-test window
+CDC_DIVISOR = 16  # P[boundary] = 1/16 per position -> ~16-token chunks
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Content-defined chunks: boundaries where the hash of the
+    trailing CDC_WINDOW-token window is 0 mod CDC_DIVISOR.
+
+    Fixed-stride chunking shifts EVERY downstream chunk when one token
+    is inserted; content-defined boundaries depend only on the local
+    token window, so an edit perturbs at most the chunk it lands in —
+    the property storage dedup systems (LBFS et al.) and incremental
+    training-data pipelines rely on (tests pin it: insertion changes
+    O(1) chunk hashes). This is baseline CDC without min/max bounds,
+    whose boundaries are POSITION-INDEPENDENT — which is exactly what
+    makes the whole construction array-native and shuffle-free: flag
+    boundary positions, derive [start, end] ranges in-array, explode
+    ranges, slice. No window function, no per-doc sequential fold; a
+    production variant swaps the md5 window hash for a Gear/Rabin
+    rolling hash (O(1) per position) — md5 here because the DuckDB
+    oracle must compute the identical boundary set.
+    """
+    w, d = CDC_WINDOW, CDC_DIVISOR
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(text, '\\s+'), t -> t <> '')").alias("tokens"),
+    ).withColumn("n", F.size("tokens"))
+    with_bounds = toks.where(F.col("n") >= 1).withColumn(
+        "bpos",
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: (i >= w)
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("tokens"), i - (w - 1), w))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % d
+                == 0
+            ),
+        ),
+    )
+    ranges = with_bounds.select(
+        "doc_id",
+        "tokens",
+        F.posexplode(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(1)), F.transform("bpos", lambda b: b + 1)
+                ).alias("s"),
+                F.concat(F.col("bpos"), F.array(F.col("n"))).alias("e"),
+            )
+        ).alias("chunk_idx", "r"),
+    ).where(F.col("r.s") <= F.col("r.e"))
+    return ranges.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("r.s").alias("start_pos"),
+        (F.col("r.e") - F.col("r.s") + 1).alias("chunk_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("tokens"), F.col("r.s"), F.col("r.e") - F.col("r.s") + 1),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+_CDC_HEX8 = (
+    "('0x' || substr(md5(array_to_string("
+    f"list_slice(tokens, i - {CDC_WINDOW - 1}, i), ' ')), 1, 8))::BIGINT"
+)
+
+_CDC_ORACLE_BODY = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tokens
+    FROM documents
+), b AS (
+    SELECT doc_id, tokens, len(tokens) AS n,
+           [i for i in range({CDC_WINDOW}, len(tokens) + 1)
+            if {_CDC_HEX8} % {CDC_DIVISOR} = 0] AS bpos
+    FROM toks WHERE len(tokens) >= 1
+), rg AS (
+    SELECT doc_id, tokens,
+           list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
+           list_append(bpos, n) AS ends
+    FROM b
+), ex AS (
+    SELECT doc_id, tokens, starts, ends,
+           unnest(range(1, len(starts) + 1)) AS c
+    FROM rg
+)
+SELECT doc_id, c - 1 AS chunk_idx, starts[c] AS start_pos,
+       ends[c] - starts[c] + 1 AS chunk_tokens,
+       md5(array_to_string(list_slice(tokens, starts[c], ends[c]), ' ')) AS chunk_hash
+FROM ex WHERE starts[c] <= ends[c]
+"""
+
+
+@query("content_defined_chunks", oracle=_CDC_ORACLE_BODY)
+def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunk inventory over the documents table: one row per
+    (doc, chunk) with its start position, length, and content hash."""
+    return cdc_chunks(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+_CDC_DEDUP_ORACLE = f"""
+WITH chunks AS ({_CDC_ORACLE_BODY}),
+g AS (
+    SELECT chunk_hash,
+           count(*) AS n_copies,
+           count(DISTINCT doc_id) AS n_docs,
+           min({{'doc_id': doc_id, 'chunk_idx': chunk_idx}}) AS keep
+    FROM chunks GROUP BY 1
+)
+SELECT chunk_hash, n_copies, n_docs,
+       keep.doc_id AS keep_doc_id, keep.chunk_idx AS keep_chunk_idx
+FROM g WHERE n_copies > 1
+"""
+
+
+@query("cdc_chunk_dedup", oracle=_CDC_DEDUP_ORACLE)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over content-defined chunks: because CDC boundaries
+    survive insertions, shared boilerplate dedups even when documents
+    embed it at DIFFERENT token offsets — the case fixed-stride
+    chunk_level_dedup structurally misses. Same compact-hash shuffle
+    shape as chunk_dedup."""
+    chunks = cdc_chunks(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("keep"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "chunk_hash",
+            "n_copies",
+            "n_docs",
+            F.col("keep.doc_id").alias("keep_doc_id"),
+            F.col("keep.chunk_idx").alias("keep_chunk_idx"),
+        )
+    )

@@ -315,3 +315,135 @@ def q_pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return pii_redact(docs)
+
+
+# --- duplicated-token coverage (interval-merged) -----------------------------
+
+
+def dup_token_coverage(docs: DataFrame) -> DataFrame:
+    """Per-document fraction of TOKENS covered by cross-doc duplicated
+    13-gram spans — the removal metric of suffix-array training-data
+    dedup (Lee et al. 2021, arXiv:2107.06499): a token is "duplicated"
+    if any 13-gram span containing... starting at-or-before it and
+    duplicated in another document covers it, so overlapping duplicated
+    spans must be UNION-merged, not summed (summing double-counts every
+    overlap; dup_span_fraction above counts span positions, this
+    operator counts covered tokens).
+
+    Plan shape: the span scan collapses to one compact row per
+    (span-hash, doc) carrying its position list; the cross-doc test is
+    an unordered window count over the hash partition (no self-join,
+    same single-scan shape as dup_span_fraction); only positions of
+    ACTUALLY-duplicated spans re-explode, and the interval union is
+    the classic sweep — per-doc running max-end window, island ids by
+    cumulative new-island flags, one aggregate per island. Everything
+    after the first aggregate moves 16-byte rows keyed by doc, so a
+    100 TB corpus pays the one span shuffle and then works on
+    per-doc metadata.
+    """
+    toks = tokenize(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.posexplode(span13_hashes(F.col("text"))).alias("pos0", "s"),
+    ).select(
+        "doc_id", "n_tok", (F.col("pos0") + 1).alias("pos"), hex8_int(F.col("s")).alias("g")
+    )
+    gd = sh.groupBy("g", "doc_id").agg(
+        F.first("n_tok").alias("n_tok"), F.collect_list("pos").alias("poss")
+    )
+    nd = F.count("*").over(Window.partitionBy("g"))  # rows are distinct docs
+    iv = (
+        gd.withColumn("nd", nd)
+        .filter(F.col("nd") > 1)
+        .select("doc_id", "n_tok", F.explode("poss").alias("s"))
+        .withColumn("e", F.col("s") + F.lit(SPAN_N - 1))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        iv.withColumn("pme", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.first("n_tok").alias("n_tok"),
+            F.min("s").alias("ms"),
+            F.max("e").alias("me"),
+        )
+    )
+    return (
+        islands.groupBy("doc_id")
+        .agg(
+            F.first("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.col("me") - F.col("ms") + 1).alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            exact_ratio(F.col("dup_tokens"), F.col("n_tokens")).alias("dup_token_frac"),
+        )
+    )
+
+
+@query(
+    "dup_token_coverage_13gram",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, len(tk) AS n_tok,
+             unnest(range(1, greatest(len(tk) - {SPAN_N - 2}, 1))) AS pos
+      FROM tk
+    ), shg AS (
+      SELECT sh.doc_id, sh.n_tok, sh.pos,
+             {oracle_hex8_int(f"array_to_string(list_slice(tk.tk, sh.pos, sh.pos + {SPAN_N - 1}), ' ')")} AS g
+      FROM sh JOIN tk ON sh.doc_id = tk.doc_id
+    ), gd AS (
+      SELECT g, doc_id, any_value(n_tok) AS n_tok, list(pos) AS poss
+      FROM shg GROUP BY g, doc_id
+    ), iv AS (
+      SELECT doc_id, n_tok, unnest(poss) AS s, unnest(poss) + {SPAN_N - 1} AS e
+      FROM (SELECT *, count(*) OVER (PARTITION BY g) AS nd FROM gd)
+      WHERE nd > 1
+    ), m AS (
+      SELECT doc_id, n_tok, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv
+    ), isl AS (
+      SELECT doc_id, n_tok, s, e,
+             sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ), per AS (
+      SELECT doc_id, island, any_value(n_tok) AS n_tok,
+             min(s) AS ms, max(e) AS me
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(any_value(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(me - ms + 1) AS BIGINT) AS dup_tokens,
+           {oracle_exact_ratio("sum(me - ms + 1)", "any_value(n_tok)")} AS dup_token_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_dup_token_coverage_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-merged duplicated-token coverage over the documents
+    table. Output: every document with at least one cross-doc
+    duplicated 13-gram span, with its token count, union-merged
+    duplicated-token count, and exact-floored coverage fraction."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return dup_token_coverage(docs)

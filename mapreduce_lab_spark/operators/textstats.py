@@ -314,3 +314,140 @@ def _o_dup_m(grams: str) -> str:
 )
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- Gopher-style quality rule flags ----------------------------------------
+
+# Published Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1) rule
+# thresholds, restricted to the signals this corpus carries (no lines,
+# no symbols): word-count bounds, mean-word-length band, >=2 distinct
+# stopwords, most-frequent-token share, distinct-token ratio.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN_M = 3_000  # milli-chars
+GOPHER_MAX_MEAN_LEN_M = 10_000
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_TOKEN_X = 5  # top token must be <= 1/5 of all tokens
+GOPHER_MIN_DISTINCT_X10 = 3  # distinct/total must be >= 3/10
+
+
+def _max_token_run(srt: Column, n: Column) -> Column:
+    """Count of the most frequent element of a SORTED token array,
+    computed entirely inside codegen (no explode, no shuffle): run
+    boundaries are the positions whose value differs from their
+    predecessor; the longest gap between consecutive boundaries
+    (sentineled with n+1) is the modal count."""
+    bounds = F.concat(
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+        ),
+        F.array(n + F.lit(1)),
+    )
+    nb = F.size(bounds)
+    return F.array_max(
+        F.zip_with(
+            F.slice(bounds, 1, nb - 1),
+            F.slice(bounds, 2, nb - 1),
+            lambda a, b: b - a,
+        )
+    )
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule booleans + the composite pass flag.
+
+    Every signal is a scalar array expression over the tokenized text
+    — zero shuffle, embarrassingly parallel, the ideal 100 TB filter
+    shape (this IS how the published pipelines run it: a narrow map
+    over the corpus emitting keep/drop flags). The modal-token count
+    uses the sorted-array run scan above instead of an explode +
+    groupBy, so the hot path never leaves whole-stage codegen.
+    Integer-exact rule arithmetic throughout (milli-scaled mean
+    length, cross-multiplied ratios) so the DuckDB oracle agrees
+    bit-for-bit.
+    """
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_len_m = F.floor(total_chars * F.lit(1000) / n)
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    n_distinct = F.size(F.array_distinct(toks))
+    max_run = _max_token_run(F.array_sort(toks), n)
+    empty = n == F.lit(0)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (~empty & n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("word_count_ok"),
+        F.when(empty, F.lit(False))
+        .otherwise(mean_len_m.between(GOPHER_MIN_MEAN_LEN_M, GOPHER_MAX_MEAN_LEN_M))
+        .alias("mean_word_len_ok"),
+        (n_stop >= GOPHER_MIN_STOPWORDS).alias("stopword_ok"),
+        F.when(empty, F.lit(False))
+        .otherwise(max_run * GOPHER_MAX_TOP_TOKEN_X <= n)
+        .alias("repetition_ok"),
+        F.when(empty, F.lit(False))
+        .otherwise(n_distinct * 10 >= GOPHER_MIN_DISTINCT_X10 * n)
+        .alias("distinct_ratio_ok"),
+        F.when(empty, F.lit(False))
+        .otherwise(
+            n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mean_len_m.between(GOPHER_MIN_MEAN_LEN_M, GOPHER_MAX_MEAN_LEN_M)
+            & (n_stop >= GOPHER_MIN_STOPWORDS)
+            & (max_run * GOPHER_MAX_TOP_TOKEN_X <= n)
+            & (n_distinct * 10 >= GOPHER_MIN_DISTINCT_X10 * n)
+        )
+        .alias("passes"),
+    )
+
+
+_O_STOPLIST = "['" + "','".join(STOPWORDS) + "']"
+_O_MAXRUN = """
+    list_max(list_transform(range(1, len(b)), j -> b[j + 1] - b[j]))
+""".strip()
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents
+    ), c AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             list_sort(tk) AS ls,
+             len(list_distinct(tk)) AS nd,
+             len(list_intersect(tk, {_O_STOPLIST})) AS nstop,
+             coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS tc
+      FROM t
+    ), runs AS (
+      SELECT doc_id, n, nd, nstop,
+             CASE WHEN n > 0 THEN floor(tc * 1000 / n) END AS mlm,
+             list_append(
+               [i for i in range(1, n + 1) if i = 1 OR ls[i] <> ls[i - 1]],
+               n + 1) AS b
+      FROM c
+    ), r AS (
+      SELECT doc_id, n, nd, nstop, mlm,
+             CASE WHEN n > 0 THEN {_O_MAXRUN} END AS mr
+      FROM runs
+    )
+    SELECT doc_id, n AS n_tokens,
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AS word_count_ok,
+           (n > 0 AND mlm >= {GOPHER_MIN_MEAN_LEN_M}
+                  AND mlm <= {GOPHER_MAX_MEAN_LEN_M}) AS mean_word_len_ok,
+           (nstop >= {GOPHER_MIN_STOPWORDS}) AS stopword_ok,
+           (n > 0 AND mr * {GOPHER_MAX_TOP_TOKEN_X} <= n) AS repetition_ok,
+           (n > 0 AND nd * 10 >= {GOPHER_MIN_DISTINCT_X10} * n) AS distinct_ratio_ok,
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+            AND mlm >= {GOPHER_MIN_MEAN_LEN_M} AND mlm <= {GOPHER_MAX_MEAN_LEN_M}
+            AND nstop >= {GOPHER_MIN_STOPWORDS}
+            AND mr * {GOPHER_MAX_TOP_TOKEN_X} <= n
+            AND nd * 10 >= {GOPHER_MIN_DISTINCT_X10} * n) AS passes
+    FROM r
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_flags(fan_out(load_table(spark, sf_dir, "documents"), spark))

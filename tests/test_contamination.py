@@ -125,3 +125,50 @@ def test_dup_span_fraction_planted(spark):
         assert rows[d]["n_spans"] == 13  # 25 tokens -> 13 span positions
         assert abs(rows[d]["dup_frac"] - 1 / 13) < 1e-6
     assert rows[3]["n_dup"] == 0 and rows[3]["dup_frac"] == 0.0
+
+
+# --- dup_token_coverage ------------------------------------------------------
+
+
+def _coverage_rows(spark, docs):
+    from mapreduce_lab_spark.operators.contamination import dup_token_coverage
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in dup_token_coverage(df).collect()}
+
+
+def test_dup_token_coverage_merges_overlapping_spans(spark):
+    """Two docs sharing a 20-token block: the block carries 8
+    overlapping duplicated 13-gram spans whose union is exactly the
+    20 tokens — interval merging must report 20, not 8*13."""
+    block = " ".join(f"s{i}" for i in range(20))
+    docs = [
+        (1, block + " " + " ".join(f"a{i}" for i in range(10))),
+        (2, " ".join(f"b{i}" for i in range(5)) + " " + block),
+    ]
+    got = _coverage_rows(spark, docs)
+    assert got[1]["n_tokens"] == 30 and got[1]["dup_tokens"] == 20
+    assert got[2]["n_tokens"] == 25 and got[2]["dup_tokens"] == 20
+    assert abs(got[1]["dup_token_frac"] - 20 / 30) < 1e-5
+
+
+def test_dup_token_coverage_ignores_within_doc_repeats(spark):
+    """A span repeated only WITHIN one doc is not cross-doc duplicated."""
+    block = " ".join(f"r{i}" for i in range(13))
+    docs = [
+        (1, block + " " + block),
+        (2, " ".join(f"u{i}" for i in range(30))),
+    ]
+    assert _coverage_rows(spark, docs) == {}
+
+
+def test_dup_token_coverage_disjoint_islands_sum(spark):
+    """Two separated shared blocks in one doc: coverage sums the two
+    islands without bridging the gap between them."""
+    b1 = " ".join(f"p{i}" for i in range(13))
+    b2 = " ".join(f"q{i}" for i in range(13))
+    gap = " ".join(f"g{i}" for i in range(7))
+    docs = [(1, b1 + " " + gap + " " + b2), (2, b1), (3, b2)]
+    got = _coverage_rows(spark, docs)
+    assert got[1]["dup_tokens"] == 26
+    assert got[1]["n_tokens"] == 33

@@ -68,3 +68,56 @@ def test_go_isletter_word_regex_agrees():
 
     for text, want in zip(PROBES, EXPECTED):
         assert _WORD.findall(text) == want, text
+
+
+# --- gopher_quality_flags ----------------------------------------------------
+
+
+def _gopher(spark, docs):
+    from mapreduce_lab_spark.operators.textstats import gopher_quality_flags
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+
+
+def test_gopher_rules_fire_independently(spark):
+    # NB: tokenize() splits on non-LETTERS, so distinct words must be
+    # letter-only (word0/word1/... all collapse to "word").
+    import itertools
+
+    words = [
+        "wo" + a + b for a, b in itertools.product("abcdefghij", repeat=2)
+    ]  # woaa..wojj: 100 distinct 4-letter tokens (mean length stays >= 3)
+    long_good = "the a of " + " ".join(words[:60])
+    too_short = "the a tiny doc here"
+    repetitive = "the a " + " ".join(["spam"] * 58)
+    short_words = "the a " + " ".join(["ab"] * 58)
+    got = _gopher(
+        spark,
+        [(1, long_good), (2, too_short), (3, repetitive), (4, short_words)],
+    )
+    assert got[1]["passes"] and got[1]["word_count_ok"]
+    assert not got[2]["word_count_ok"] and got[2]["stopword_ok"]
+    assert not got[3]["repetition_ok"] and not got[3]["distinct_ratio_ok"]
+    assert not got[3]["passes"]
+    assert not got[4]["mean_word_len_ok"]
+
+
+def test_gopher_modal_token_count_matches_python(spark):
+    """The sorted-run modal count must equal collections.Counter."""
+    import collections
+
+    text = "x y z x x y the a of in q r s t u v w " * 5
+    toks = [t for t in text.split() if t]
+    top = collections.Counter(toks).most_common(1)[0][1]
+    n = len(toks)
+    got = _gopher(spark, [(1, text)])
+    assert got[1]["repetition_ok"] == (top * 5 <= n)
+
+
+def test_gopher_empty_doc_fails_all(spark):
+    got = _gopher(spark, [(1, ""), (2, "!!! ...")])
+    for d in (1, 2):
+        assert not got[d]["passes"]
+        assert not got[d]["word_count_ok"]
+        assert got[d]["n_tokens"] == 0
