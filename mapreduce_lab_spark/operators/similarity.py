@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.guards import ExactBaselineScaleError
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
@@ -632,3 +633,111 @@ def _with_norm_labeled(e: DataFrame) -> DataFrame:
 )
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(fan_out(load_table(spark, sf_dir, "embeddings"), spark))
+
+
+# --- ANN recall self-evaluation ---------------------------------------------
+
+
+def ann_recall(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact baseline,
+    computed in one job — the eval every production vector index runs
+    on a sampled query set before the approximate path is trusted.
+
+    One normed+bucketed base frame is cached and feeds all four
+    consumers (query/corpus side of both rankings), so the embeddings
+    scan runs once; both rankings broadcast the k-bounded query side
+    and the corpus never reshuffles. At 100 TB this is exactly the
+    recall job you run on a 1k-query sample: cost is the brute-force
+    pass (linear in corpus), which is the point of measuring on a
+    sample rather than the full query log.
+    """
+    base = (
+        _with_norm(e).withColumn("bucket", _bucket(F.col("v"))).cache()
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+
+    def topk(joined: DataFrame) -> DataFrame:
+        return (
+            joined.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos_raw", _cosine("qv", "cv", "qnorm", "cnorm"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(F.broadcast(q).crossJoin(c))
+    approx = topk(F.broadcast(q).join(c, F.col("qbucket") == F.col("bucket")))
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+    )
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        exact_ratio(F.col("n_hits"), F.col("n_exact")).alias("recall"),
+    )
+
+
+@query(
+    "ann_recall_at_5",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, {_O_FOLD.format(a='v', b='v')} AS norm,
+             ({_O_BUCKET}) AS bucket
+      FROM e
+    ), ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_O_FOLD.format(a='q.v', b='c.v')} / sqrt(q.norm * c.norm)
+                          DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+      WHERE rank <= {TOP_K}
+    ), ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_O_FOLD.format(a='q.v', b='c.v')} / sqrt(q.norm * c.norm)
+                          DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+      WHERE rank <= {TOP_K}
+    ), hits AS (
+      SELECT ex.query_id, count(*) AS n_hits
+      FROM ex JOIN ap ON ex.query_id = ap.query_id
+                     AND ex.neighbor_id = ap.neighbor_id
+      GROUP BY ex.query_id
+    ), per_q AS (
+      SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id
+    )
+    SELECT p.query_id, p.n_exact,
+           coalesce(h.n_hits, 0) AS n_hits,
+           {oracle_exact_ratio("coalesce(h.n_hits, 0)", "p.n_exact")} AS recall
+    FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
+    """,
+)
+def q_ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall(fan_out(load_table(spark, sf_dir, "embeddings"), spark))

@@ -311,3 +311,99 @@ GROUP BY report_day
 def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trailing-week distinct users per day (explode-to-window)."""
     return rolling_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+# --- exponentially weighted moving average ----------------------------------
+
+EWMA_WINDOW = 20  # trailing rows per series
+# Window 20 keeps the largest shifted term (cents * 2^19) within both
+# int64 and the 2^53 double-exact range up to ~1e13 cents/day/key —
+# sf1000 headroom; the true-100 TB variant would switch the
+# accumulator to DECIMAL(38) per functions/numeric.py.
+# alpha = 1/2: weights are exact powers of two, so the weighted sum is
+# EXACT INTEGER arithmetic in both engines (shift-left on cent units)
+# — the one decay constant that needs no float powers at all.
+EWMA_SHIFT = EWMA_WINDOW - 1
+
+
+def ewma_daily_revenue(orders: DataFrame) -> DataFrame:
+    """Per-priority daily revenue with its trailing-30-day EWMA
+    (alpha = 1/2, finite window, adjust-style normalization:
+    ewma_t = sum_j w^j x_{t-j} / sum_j w^j over the frame).
+
+    Shape at scale: the daily rollup is an ordinary map-side-combined
+    groupBy; the window then runs over DAYS-per-priority — dimension-
+    sized series (a decade is ~3.6k rows per key), so the per-key sort
+    is bounded by the time range, not order volume, same argument as
+    the gapfill spine above. Exactness: cent units shifted left by
+    (29 - j) make both weighted sums integers; the single closing
+    division is the shared exact-floor ratio, so Spark and DuckDB
+    agree bit-for-bit — no float pow() anywhere.
+    """
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(to_units("o_totalprice", 100)).alias("rev_units"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow)
+    )
+    lst = F.collect_list("rev_units").over(w)  # frame order: oldest -> current
+    L = F.size(lst)
+    num = F.aggregate(
+        F.sequence(F.lit(1), L),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.element_at(lst, i)
+        * F.pow(F.lit(2.0), (EWMA_SHIFT - L + i).cast("double")).cast("long"),
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(1), L),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.pow(F.lit(2.0), (EWMA_SHIFT - L + i).cast("double")).cast("long"),
+    )
+    return (
+        daily.select(
+            "priority",
+            "day",
+            (F.col("rev_units").cast("double") / 100).alias("revenue"),
+            F.floor(num.cast("double") * 100 / den).cast("double").alias("e100"),
+        )
+        .select(
+            "priority",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "revenue",
+            (F.col("e100") / 10000).alias("ewma"),
+        )
+    )
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
+             CAST(sum(round(o_totalprice * 100)::BIGINT) AS BIGINT) AS rev_units
+      FROM orders GROUP BY 1, 2
+    ), win AS (
+      SELECT priority, day, rev_units,
+             list(rev_units) OVER (
+               PARTITION BY priority ORDER BY day
+               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS l
+      FROM daily
+    )
+    SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+           (rev_units::DOUBLE / 100) AS revenue,
+           (floor(
+              list_sum([l[i] * (1::BIGINT << ({EWMA_SHIFT} - len(l) + i))
+                        for i in range(1, len(l) + 1)])::DOUBLE * 100
+              / list_sum([(1::BIGINT << ({EWMA_SHIFT} - len(l) + i))
+                          for i in range(1, len(l) + 1)]))
+            / 10000) AS ewma
+    FROM win
+    """,
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_daily_revenue(load_table(spark, sf_dir, "orders"))

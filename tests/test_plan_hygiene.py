@@ -50,6 +50,8 @@ BNLJ_AUDITED = {
     "event_pattern_match": "4-row funnel-pattern table",
     # vector-search baselines / bounded query sides:
     "knn_cosine_bruteforce": "k-bounded query side (explicit recall baseline)",
+    "ann_recall_at_5": "k-bounded query side crossed against the corpus for "
+    "the exact half of the recall measurement (sampled-query eval job)",
     "near_dup_embedding_cosine": "O(n²) recall baseline, max_rows-guarded",
     "ann_int8_quantized": "bounded query side vs quantized corpus",
     "ivf_knn_cosine": "broadcast centroid table (K rows)",

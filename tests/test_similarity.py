@@ -53,3 +53,32 @@ def test_hard_negatives_bucket_join_not_cartesian(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert inspect.broadcast_join_count(df) >= 1, plan
+
+
+# --- ann_recall_at_5 ---------------------------------------------------------
+
+
+def test_ann_recall_matches_composed_queries(spark, sf_dir):
+    """The recall rows must equal the intersection of the two
+    registered rankings computed independently."""
+    from mapreduce_lab_spark.operators.similarity import (
+        TOP_K,
+        q_ann_lsh_cosine,
+        q_ann_recall_at_5,
+        q_knn_cosine_bruteforce,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_knn_cosine_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_lsh_cosine(spark, sf_dir).collect()
+    }
+    got = {r["query_id"]: r for r in q_ann_recall_at_5(spark, sf_dir).collect()}
+    for qid, row in got.items():
+        want_hits = len({p for p in exact & approx if p[0] == qid})
+        assert row["n_hits"] == want_hits
+        assert row["n_exact"] == TOP_K
+        assert abs(row["recall"] - want_hits / TOP_K) < 1e-5
