@@ -76,6 +76,9 @@ HEADLINE = [
     "multimodal_decode_stats",
     # round 5:
     "near_dup_embedding_lsh",
+    # round 6:
+    "dup_token_coverage_13gram",
+    "cdc_chunk_dedup",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -118,6 +121,8 @@ PRIMARY_INPUT = {
     "ivm_join_revenue": "lineitem",
     "multi_grain_event_rollup": "events",
     "near_dup_snm_multipass": "documents",
+    "dup_token_coverage_13gram": "documents",
+    "cdc_chunk_dedup": "documents",
     "multimodal_decode_stats": "documents",
     "near_dup_embedding_lsh": "embeddings",
 }

@@ -1021,40 +1021,41 @@ def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _dvec("embedding").alias("v")
     )
-    base = e.withColumn(
-        "norm", _fold_sum(F.zip_with("v", "v", lambda x, y: x * y))
-    ).cache()
+    base = e.withColumn("norm", _fold_sum(F.zip_with("v", "v", lambda x, y: x * y)))
+    # The band table CARRIES (v, norm) so the cosine verify runs
+    # INSIDE the band join task and only survivors reach the distinct
+    # — the same discipline as the round-6 simhash fix. The earlier
+    # hash-only form shipped every bucket collision (n^2/64-bound on
+    # this constant-bucket scheme) through a DISTINCT shuffle and two
+    # vector back-joins; verify-in-join kills the noise rows where
+    # they are produced (sf1: 72 -> 40.3 s warm; the residual is
+    # pair-output-bound — 292x output on the 10x replica corpus —
+    # with per-output-row cost 17x SUBLINEAR; docs/SCALE.md). A pair caught
+    # by k bands is verified k times (k <= 4) — redundant dots on the
+    # collision set are far cheaper than shuffling the collision set.
     bands = base.select(
-        "vec_id", F.posexplode(F.array(*_rp_band_vals())).alias("band", "val")
+        "vec_id", "v", "norm",
+        F.posexplode(F.array(*_rp_band_vals())).alias("band", "val"),
     )
-    cand = (
-        # merge hint for the same reason as the simhash band join:
-        # only 4 bands x 16 sign values exist, so every bucket holds
-        # ~n/16 rows and BHJ's per-key match-chain probe crawls;
-        # sort-merge streams the key groups (sf1: 20.5 -> ~6 s).
-        bands.alias("x")
-        .hint("merge")
-        .join(bands.alias("y"), ["band", "val"])
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
-    a = base.select(
+    x = bands.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("norm").alias("norm_a"),
+        F.col("norm").alias("norm_a"), "band", "val",
     )
-    b = base.select(
+    y = bands.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("norm").alias("norm_b"),
+        F.col("norm").alias("norm_b"), "band", "val",
     )
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
+        # merge hint: only 4 bands x 16 sign values exist, so every
+        # bucket holds ~n/16 rows and BHJ's per-key match-chain probe
+        # crawls; sort-merge streams the key groups.
+        x.hint("merge")
+        .join(y, ["band", "val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+        .distinct()
     )
 
 
