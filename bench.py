@@ -79,6 +79,9 @@ HEADLINE = [
     # round 6:
     "dup_token_coverage_13gram",
     "cdc_chunk_dedup",
+    "dsir_select_topk",
+    "minhash_fuzzy_join",
+    "corpus_shard_manifest",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -123,6 +126,9 @@ PRIMARY_INPUT = {
     "near_dup_snm_multipass": "documents",
     "dup_token_coverage_13gram": "documents",
     "cdc_chunk_dedup": "documents",
+    "dsir_select_topk": "documents",
+    "minhash_fuzzy_join": "documents",
+    "corpus_shard_manifest": "documents",
     "multimodal_decode_stats": "documents",
     "near_dup_embedding_lsh": "embeddings",
 }

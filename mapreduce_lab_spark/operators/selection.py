@@ -1,0 +1,404 @@
+"""Data-selection operators: DSIR-style target matching, cross-table
+fuzzy join, and deterministic corpus sharding.
+
+Three pipeline stages between "corpus is clean" (dedup/quality/
+contamination modules) and "corpus is training data":
+
+- **Target-matched selection (DSIR-shaped)** — rank source documents
+  by how much their hashed-unigram distribution looks like a small
+  target domain sample, then keep the top-K (Xie et al. 2023,
+  "Data Selection for Language Models via Importance Resampling").
+  The published estimator scores docs by summed log-ratios of hashed
+  n-gram probabilities; this repo's transcendental-free discipline
+  (see ngrams.py PMI, retrieval.py BM25) replaces the log-ratio sum
+  with its exact-integer rational sibling — the per-position lift
+  ``p_target(u)/p_source(u)`` floor-scaled to ppm and summed as
+  int64 — which preserves the "which docs look like the target"
+  ranking intent while staying bit-stable across engines.
+  Scale shape: the per-bucket count table is at most N_FEAT rows no
+  matter the corpus size, so it BROADCASTS and the corpus is scored
+  in a single narrow pass — the selection stage never shuffles the
+  100 TB side; top-K is a TakeOrdered, not a global sort.
+- **MinHash fuzzy join** — match a small probe table against the
+  corpus by shingle-set similarity (entity resolution / fuzzy
+  lookup). Same signature/band machinery as the dedup self-join
+  family (dedup.py), but TWO-SIDED: the probe band table is tiny, so
+  it broadcasts and the corpus side never shuffles — the asymmetric
+  fuzzy-join shape a 100 TB corpus needs (candidate count is bounded
+  by probe-bucket x corpus-bucket occupancy, LINEAR in the corpus
+  even when the corpus is duplicate-heavy, because the probe side of
+  every bucket is small — which is why this join does not need the
+  identical-set collapse the self-join families use).
+- **Shard manifest** — the deterministic corpus shuffle: assign every
+  doc a shard and a pseudo-random within-shard position by salted
+  hash, and compute its byte offset in the concatenated shard file
+  via a running window sum. Reproducible across runs, engines, and
+  incremental loads (a new doc never moves an old doc's shard or
+  relative order). The one shuffle IS the operator's semantics —
+  partition-by-shard, and shard count grows with the corpus, so no
+  window partition outgrows an executor.
+
+The reference has no selection operators (fixed whole-corpus
+MapReduce workload, ``test.sh:70-107``); this is superset surface
+required by the training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
+from mapreduce_lab_spark.functions.text import tokenize
+from mapreduce_lab_spark.operators.dedup import (
+    _O_BANDS,
+    _O_SIGS,
+    _ORACLE_SHINGLES,
+    _band_keys,
+    minhash_signature,
+    shingles,
+)
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
+
+_ORACLE_TOKENS = "[t for t in regexp_split_to_array(text, '[^\\p{L}]+') if t <> '']"
+
+# --- DSIR-style target-matched selection -----------------------------------
+
+N_FEAT = 1024  # hashed unigram feature buckets (DSIR uses 10k; scaled down)
+DSIR_TARGET_MOD = 20  # 1-in-20 docs form the "target domain" sample
+DSIR_TOP_K = 50
+
+
+def _target_gate(col: str = "doc_id") -> Column:
+    return (
+        F.pmod(
+            hex8_int(F.concat(F.lit("dsir|"), F.col(col).cast("string"))),
+            F.lit(DSIR_TARGET_MOD),
+        )
+        == 0
+    )
+
+
+def _oracle_target_gate(col: str = "doc_id") -> str:
+    salted = f"'dsir|' || {col}::VARCHAR"
+    return f"({oracle_hex8_int(salted)} % {DSIR_TARGET_MOD}) = 0"
+
+
+def dsir_select_topk(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """Top-K source docs by mean hashed-unigram target/source lift.
+
+    Per feature bucket u: ``lift(u) = p_t(u) / p_s(u)`` where p_t
+    counts token positions in the target sample and p_s positions
+    corpus-wide. The target estimate is Jelinek-Mercer shrunk halfway
+    toward the source prior — ``p_t = (ct/T + cs/S) / 2`` — NOT
+    add-one smoothed: with a bucket count comparable to the target
+    token count, add-one inflates never-seen-in-target buckets above
+    1.0 lift (the pseudo-count dominates both distributions), so a
+    rare-garbage doc would outrank genuine target lookalikes — the
+    exact failure tests/test_selection.py pins. Under shrinkage an
+    unseen bucket's lift is exactly 1/2 and a bucket can only beat
+    1.0 by being genuinely target-enriched. Rational form
+    ``lift = (ct*S + T*cs) / (2*T*cs)`` is exact int64; a doc's score
+    is the mean over its positions of ``floor(1e6 * lift(u))`` (the
+    double rescale is the same both-engines-identical IEEE shape as
+    exact_ratio). Selection pool is the NON-target docs (DSIR selects
+    raw-corpus docs to match the target; re-selecting the target
+    itself would be trivial).
+
+    int64 envelope: ct*S must fit 2^63 — holds to ~3e9 target x 3e9
+    corpus tokens; past that the DECIMAL(38,0) wide path.
+    """
+    pos = docs.select(
+        "doc_id",
+        _target_gate().alias("is_target"),
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id", "is_target", F.pmod(hex8_int("tok"), F.lit(N_FEAT)).alias("u")
+    )
+    # <= N_FEAT rows regardless of corpus size: the broadcastable
+    # statistics artifact (persisted once per corpus at 100 TB).
+    # Cached so totals/lift derive from it without re-scanning the
+    # corpus — the scoring pass below is then the only other scan.
+    stats = pos.groupBy("u").agg(
+        F.count("*").alias("cs"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    ).cache()
+    totals = stats.agg(
+        F.sum("cs").alias("s_tot"), F.sum("ct").alias("t_tot")
+    )
+    t1 = F.greatest(F.col("t_tot"), F.lit(1))  # degenerate empty-target guard
+    lift = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "u",
+            F.floor(
+                (F.col("ct") * F.col("s_tot") + t1 * F.col("cs")).cast("double")
+                * F.lit(1_000_000)
+                / (2 * t1 * F.col("cs"))
+            ).cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    scored = (
+        pos.filter(~F.col("is_target"))
+        .join(F.broadcast(lift), "u")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lift_ppm").alias("sum_lift"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            exact_ratio(F.col("sum_lift"), F.col("n_tokens"), 1).alias(
+                "mean_lift_ppm"
+            ),
+        )
+    )
+    topk = scored.orderBy(F.desc("mean_lift_ppm"), "doc_id").limit(DSIR_TOP_K)
+    # row_number over the K-row result only (driver-scale frame, same
+    # P-row-window pattern as windows.py partition metadata).
+    w = Window.orderBy(F.desc("mean_lift_ppm"), "doc_id")
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "n_tokens",
+        "mean_lift_ppm",
+    )
+
+
+@query(
+    "dsir_select_topk",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             {_oracle_target_gate()} AS is_target,
+             ({oracle_hex8_int('tok')}) % {N_FEAT} AS u
+      FROM (SELECT doc_id, unnest({_ORACLE_TOKENS}) AS tok FROM documents)
+    ), stats AS (
+      SELECT u, count(*) AS cs,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+      FROM pos GROUP BY u
+    ), totals AS (
+      SELECT sum(cs) AS s_tot, sum(ct) AS t_tot FROM stats
+    ), lift AS (
+      SELECT u,
+             CAST(floor(CAST(ct * s_tot + greatest(t_tot, 1) * cs AS DOUBLE)
+                        * 1000000
+                        / (2 * greatest(t_tot, 1) * cs)) AS BIGINT)
+               AS lift_ppm
+      FROM stats CROSS JOIN totals
+    ), scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             {oracle_exact_ratio('sum(lift_ppm)', 'count(*)', 1)}
+               AS mean_lift_ppm
+      FROM pos JOIN lift USING (u)
+      WHERE NOT is_target
+      GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY mean_lift_ppm DESC, doc_id)
+                AS INTEGER) AS rank,
+           doc_id, n_tokens, mean_lift_ppm
+    FROM scored
+    ORDER BY mean_lift_ppm DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+)
+def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_select_topk(
+        fan_out(load_table(spark, sf_dir, "documents"), spark), spark
+    )
+
+
+# --- MinHash fuzzy join ----------------------------------------------------
+
+FUZZY_PROBE_MOD = 25  # ~4% of docs stand in for the external probe table
+# J >= 0.4 acceptance: fuzzy match is looser than the dedup families'
+# 0.5 (the probe record need not be a near-duplicate, just the same
+# entity/passage). Integer predicate: 5*inter >= 2*union.
+FUZZY_JACCARD_NUM, FUZZY_JACCARD_DEN = 2, 5
+
+
+def _probe_gate(col: str = "doc_id") -> Column:
+    return (
+        F.pmod(
+            hex8_int(F.concat(F.lit("fuzzy|"), F.col(col).cast("string"))),
+            F.lit(FUZZY_PROBE_MOD),
+        )
+        == 0
+    )
+
+
+def _oracle_probe_gate(col: str) -> str:
+    salted = f"'fuzzy|' || {col}::VARCHAR"
+    return f"({oracle_hex8_int(salted)} % {FUZZY_PROBE_MOD}) = 0"
+
+
+def minhash_fuzzy_join(docs: DataFrame) -> DataFrame:
+    """Probe-vs-corpus fuzzy match: MinHash band collisions between the
+    probe slice and the rest of the corpus, exact-Jaccard verified.
+
+    One signature pass over all docs (identical construction to the
+    dedup self-join family — same 16 perms, 4x4 bands), split by the
+    probe gate AFTER banding so both sides share the construction the
+    oracle replicates. The probe band table is broadcast: the corpus
+    band stream joins it without shuffling, candidates are
+    (probe-bucket-size x corpus-bucket-size)-bounded — linear in the
+    corpus for any fixed probe table, including duplicate-heavy
+    corpora, which is why no identical-set collapse is needed here.
+    """
+    doc_sh = docs.select("doc_id", shingles(F.col("text")).alias("sh")).cache()
+    sig = doc_sh.select(
+        "doc_id",
+        _probe_gate().alias("is_probe"),
+        *minhash_signature(F.transform("sh", hex8_int)),
+    )
+    # Cached: the probe-side broadcast build and the corpus-side
+    # probe otherwise each re-run the 16-permutation signature
+    # pipeline over the whole corpus. Hash-only rows (4 per doc) —
+    # this is the persisted signature table a production deployment
+    # keys by doc_id, same as the dedup self-join family.
+    bands = sig.select(
+        "doc_id", "is_probe",
+        F.posexplode(F.array(*_band_keys())).alias("band", "key"),
+    ).cache()
+    probe_b = bands.filter(F.col("is_probe")).select(
+        F.col("doc_id").alias("query_doc"), "band", "key"
+    )
+    corpus_b = bands.filter(~F.col("is_probe")).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "key"
+    )
+    cand = (
+        corpus_b.join(F.broadcast(probe_b), ["band", "key"])
+        .select("query_doc", "corpus_doc")
+        .distinct()
+    )
+    qs = doc_sh.select(F.col("doc_id").alias("query_doc"), F.col("sh").alias("sh_q"))
+    cs = doc_sh.select(F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c"))
+    inter = F.size(F.array_intersect("sh_q", "sh_c"))
+    union = F.size("sh_q") + F.size("sh_c") - inter
+    return (
+        cand.join(F.broadcast(qs), "query_doc")
+        .join(cs, "corpus_doc")
+        .withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(
+            FUZZY_JACCARD_DEN * F.col("inter")
+            >= FUZZY_JACCARD_NUM * F.col("uni")
+        )
+        .select(
+            "query_doc",
+            "corpus_doc",
+            (F.floor(F.col("inter") * 1_000_000 / F.col("uni")) / 1e6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@query(
+    "minhash_fuzzy_join",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
+    ), h AS (
+      SELECT doc_id, list_transform(sh, s -> {oracle_hex8_int('s')}) AS hx FROM t
+    ), sig AS (
+      SELECT doc_id, {_O_SIGS} FROM h
+    ), bands AS (
+      {_O_BANDS}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS query_doc, y.doc_id AS corpus_doc
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+      WHERE {_oracle_probe_gate('x.doc_id')}
+        AND NOT {_oracle_probe_gate('y.doc_id')}
+    )
+    SELECT query_doc, corpus_doc,
+           floor(len(list_intersect(tq.sh, tc.sh)) * 1000000
+                 / (len(tq.sh) + len(tc.sh) - len(list_intersect(tq.sh, tc.sh))))
+             / 1000000.0 AS jaccard
+    FROM cand
+    JOIN t tq ON tq.doc_id = cand.query_doc
+    JOIN t tc ON tc.doc_id = cand.corpus_doc
+    WHERE {FUZZY_JACCARD_DEN} * len(list_intersect(tq.sh, tc.sh))
+          >= {FUZZY_JACCARD_NUM}
+             * (len(tq.sh) + len(tc.sh) - len(list_intersect(tq.sh, tc.sh)))
+    """,
+)
+def q_minhash_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_fuzzy_join(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- deterministic shard manifest ------------------------------------------
+
+N_SHARDS = 8
+
+
+def corpus_shard_manifest(docs: DataFrame) -> DataFrame:
+    """Shard + position + byte offset for every document.
+
+    The training-data "global shuffle": shard by one salted hash,
+    order within the shard by another (so shard membership and order
+    are independent), byte offset by running sum of ``n_chars + 1``
+    (one newline separator per doc in the concatenated shard file).
+    Every assignment is a pure function of doc_id, so re-runs and
+    incremental loads reproduce it; appended docs interleave by hash
+    without moving existing docs' shard or relative order (their
+    absolute positions/offsets shift only where new docs land before
+    them, exactly like a merge).
+    """
+    h_shard = F.pmod(
+        hex8_int(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+        F.lit(N_SHARDS),
+    )
+    h_pos = hex8_int(F.concat(F.lit("pos|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            h_shard.alias("shard"),
+            h_pos.alias("shuffle_key"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).alias("pos"),
+            F.coalesce(
+                F.sum(F.col("n_chars") + 1).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("byte_offset"),
+            "n_chars",
+        )
+    )
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ({oracle_hex8_int("'shard|' || doc_id::VARCHAR")}) % {N_SHARDS}
+               AS shard,
+             {oracle_hex8_int("'pos|' || doc_id::VARCHAR")} AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER
+                  (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+                AS INTEGER) AS pos,
+           CAST(coalesce(sum(n_chars + 1) OVER
+                  (PARTITION BY shard ORDER BY shuffle_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS byte_offset,
+           n_chars
+    FROM keyed
+    """,
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_shard_manifest(load_table(spark, sf_dir, "documents"))

@@ -45,6 +45,9 @@ REPRESENTATIVES = [
     "multimodal_blob_stats",
     "multimodal_audio_energy",
     "train_val_test_split",
+    "dsir_select_topk",
+    "minhash_fuzzy_join",
+    "corpus_shard_manifest",
     "weighted_sample_orders",
     "winsorized_price_stats",
     "attribution_linear",

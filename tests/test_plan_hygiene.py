@@ -45,6 +45,8 @@ BNLJ_AUDITED = {
     "trailing-window tail",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
     "weighted_sample_orders": "1-row total-weight frame",
+    "dsir_select_topk": "1-row corpus/target token-total frame scales the "
+    "per-bucket lift",
     # exact percentile / fence frames (per-group, group-count bounded):
     "range_join_price_bands": "static band table (constant rows)",
     "event_pattern_match": "4-row funnel-pattern table",
