@@ -356,3 +356,157 @@ def q_upsample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language doc and copy counts after deterministic fractional
     upsampling (rates in UPSAMPLE_PERMILLE)."""
     return upsample_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+# --- data-constrained mixture planning (water-filling) ---------------------
+
+# Repeat cap: no domain contributes more than 2 epochs of its available
+# mass (data-constrained scaling keeps repetition low — repeating past
+# ~4 epochs is near-worthless per Muennighoff et al. 2023, "Scaling
+# Data-Constrained Language Models"; 2 stays in the safe zone).
+WF_EPOCH_CAP = 2
+# Budget = 3/2 of total available char mass: large enough that the
+# uniform level exceeds every tail domain's cap on the synthetic
+# distribution (en ~43% of mass, others ~14% each), so the saturation
+# prefix and the redistribution branch are both exercised at every SF.
+WF_BUDGET_NUM, WF_BUDGET_DEN = 3, 2
+
+
+def mixture_water_fill(docs: DataFrame) -> DataFrame:
+    """Per-domain token-budget allocation by exact integer water-filling.
+
+    The mixture-planning stage of a data-constrained training run:
+    given per-domain available mass ``avail`` (chars as the token
+    proxy) and a global budget ``B``, allocate as EQUALLY as possible
+    across domains — the maximally-flattened mix that upsamples tail
+    domains hardest — subject to the repeat cap
+    ``alloc_d <= WF_EPOCH_CAP * avail_d``. Budget freed by capped
+    (saturated) domains flows to the rest, i.e. classic water-filling:
+    saturated domains sit below the water level, every unsaturated
+    domain gets the level.
+
+    Exact integer construction (no floats anywhere): sort domains by
+    cap ascending; domain i (1-based, D total, prefix-cap-sum P) is
+    saturated iff ``cap_i * (D - i + 1) <= B - P_{i-1}`` — the
+    classic prefix criterion; monotone because
+    ``f(i+1) - f(i) = (D - i)(cap_i - cap_{i+1}) <= 0``, so the
+    saturated set is exactly the first k rows. The rest each take
+    ``L = (B - P_k) div (D - k)`` with the mod-remainder spread as +1
+    to the first rows in the same order — Σ alloc == min(B, Σ cap)
+    exactly, pinned in tests/test_sampling.py.
+
+    Scale shape: the corpus aggregates ONCE to a |domains|-row frame;
+    every window below runs over that tiny frame (same pattern as
+    temperature_mix — never re-aggregating the corpus). At 100 TB the
+    output is the plan table a broadcast gate then applies (the gate
+    itself is demonstrated by temperature_mix/upsample_by_lang).
+
+    Reference: no counterpart (fixed whole-corpus workload); superset
+    surface for the training-pipeline mandate.
+    """
+    stats = docs.groupBy("lang").agg(F.sum("n_chars").alias("avail"))
+    wall = Window.partitionBy(F.lit(1))
+    worder = Window.partitionBy(F.lit(1)).orderBy("cap", "lang")
+    frame = (
+        stats.select("lang", "avail", (F.col("avail") * WF_EPOCH_CAP).alias("cap"))
+        .select(
+            "*",
+            F.row_number().over(worder).alias("i"),
+            F.count("*").over(wall).alias("d_n"),
+            F.coalesce(
+                F.sum("cap").over(worder.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("p_prev"),
+        )
+        .withColumn(
+            "budget",
+            F.expr(f"(sum(avail) over ()) * {WF_BUDGET_NUM} div {WF_BUDGET_DEN}"),
+        )
+        .withColumn(
+            "saturated",
+            F.col("cap") * (F.col("d_n") - F.col("i") + 1)
+            <= F.col("budget") - F.col("p_prev"),
+        )
+    )
+    plan = (
+        frame.select(
+            "*",
+            F.sum(F.col("saturated").cast("long")).over(wall).alias("k"),
+            F.coalesce(
+                F.sum(F.when(F.col("saturated"), F.col("cap"))).over(wall),
+                F.lit(0),
+            ).alias("p_k"),
+        )
+        .withColumn("m", F.col("d_n") - F.col("k"))
+        .withColumn(
+            "level",
+            F.when(F.col("m") > 0, F.expr("(budget - p_k) div m")).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "extra",
+            F.when(F.col("m") > 0, F.expr("(budget - p_k) % m")).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "alloc",
+            F.when(F.col("saturated"), F.col("cap")).otherwise(
+                F.col("level")
+                + F.when(F.col("i") - F.col("k") <= F.col("extra"), 1).otherwise(0)
+            ),
+        )
+    )
+    return plan.select(
+        "lang",
+        "avail",
+        F.col("cap").alias("cap_chars"),
+        F.col("alloc").alias("alloc_chars"),
+        F.expr("alloc * 1000000 div avail").alias("epochs_ppm"),
+        "saturated",
+    )
+
+
+@query(
+    "mixture_water_fill",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail FROM documents GROUP BY lang
+    ), frame AS (
+      SELECT lang, avail, avail * {WF_EPOCH_CAP} AS cap,
+             CAST(row_number() OVER (ORDER BY avail * {WF_EPOCH_CAP}, lang)
+                  AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS d_n,
+             CAST(coalesce(sum(avail * {WF_EPOCH_CAP}) OVER
+                    (ORDER BY avail * {WF_EPOCH_CAP}, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS p_prev,
+             (CAST(sum(avail) OVER () AS BIGINT) * {WF_BUDGET_NUM})
+               // {WF_BUDGET_DEN} AS budget
+      FROM stats
+    ), flagged AS (
+      SELECT *, cap * (d_n - i + 1) <= budget - p_prev AS saturated FROM frame
+    ), planned AS (
+      SELECT *,
+             CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+             CAST(coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0)
+                  AS BIGINT) AS p_k
+      FROM flagged
+    ), leveled AS (
+      SELECT *,
+             CASE WHEN d_n - k > 0 THEN (budget - p_k) // (d_n - k) ELSE 0 END
+               AS level,
+             CASE WHEN d_n - k > 0 THEN (budget - p_k) % (d_n - k) ELSE 0 END
+               AS extra
+      FROM planned
+    )
+    SELECT lang, avail, cap AS cap_chars,
+           CASE WHEN saturated THEN cap
+                ELSE level + CASE WHEN i - k <= extra THEN 1 ELSE 0 END
+           END AS alloc_chars,
+           (CASE WHEN saturated THEN cap
+                 ELSE level + CASE WHEN i - k <= extra THEN 1 ELSE 0 END
+            END) * 1000000 // avail AS epochs_ppm,
+           saturated
+    FROM leveled
+    """,
+)
+def q_mixture_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_water_fill(load_table(spark, sf_dir, "documents"))

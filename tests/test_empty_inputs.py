@@ -48,6 +48,7 @@ REPRESENTATIVES = [
     "dsir_select_topk",
     "minhash_fuzzy_join",
     "corpus_shard_manifest",
+    "mixture_water_fill",
     "weighted_sample_orders",
     "winsorized_price_stats",
     "attribution_linear",
