@@ -7,7 +7,8 @@ of ``incremental_daily_revenue``'s partial-sum contract. An exact
 count_distinct cannot be merged (yesterday's count + today's count
 double-counts returning users); a sketch can.
 
-Three operators:
+Operators (plus CMS frequency and bottom-k quantiles below, and the
+KMV set-algebra pairwise corpus overlap at the end of the module):
 
 - ``hll_union_users`` — Spark's native Datasketches HLL:
   ``hll_sketch_agg`` per (event_type, day), ``hll_union_agg`` across
@@ -43,6 +44,7 @@ from pyspark.sql import functions as F
 from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
 from mapreduce_lab_spark.functions.numeric import to_units
 from mapreduce_lab_spark.functions.text import tokenize
+from mapreduce_lab_spark.operators.dedup import _ORACLE_SHINGLES, shingles
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import load_table
 
@@ -425,3 +427,160 @@ def q_sampled_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/p90 order price per priority from the mergeable bottom-k
     hash sample, bit-identical in both engines."""
     return sampled_quantiles_prices(load_table(spark, sf_dir, "orders"))
+
+
+# --- KMV set algebra: cross-corpus overlap estimation -----------------------
+
+_O_TOKENS = "[t for t in regexp_split_to_array(text, '[^\\p{L}]+') if t <> '']"
+
+
+def kmv_corpus_overlap(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise corpus overlap (union / intersection / Jaccard of the
+    word-3-gram shingle sets) estimated from per-corpus KMV sketches —
+    the planning probe a 100 TB pipeline runs BEFORE committing to a
+    cross-corpus dedup join (skip pairs whose estimated overlap is
+    negligible). Corpus = the documents ``source`` column.
+
+    Multiset-operation KMV (Beyer et al. 2007, "On Synopses for
+    Distinct-Value Estimation"): each corpus keeps its k smallest
+    distinct shingle hashes; for a pair, the k smallest of the two
+    sketches' union form the union sketch (n kept, K = its max),
+    ``union_est = n < k ? n : floor((k-1)*2^32 / K)`` (exact when the
+    union fits the sketch), and the fraction rho of kept hashes
+    present in BOTH sketches estimates Jaccard, so
+    ``inter_est = rho_num * union_est div n``. All-integer estimators
+    on the same md5-derived hashes in both engines -> bit-identical
+    (same discipline as kmv_distinct_users above).
+
+    Scale shape: ONE distinct-aggregate over (corpus, shingle-hash)
+    (map-side partial collapses repeats), a per-corpus top-k window
+    over the distinct stream, and then ALL pair algebra runs on
+    |corpora| * k sketch rows — the corpus text is never joined
+    pairwise. Sketches are mergeable: daily/per-shard partials union
+    then re-rank, the same contract as the HLL register partials
+    above. Shingles (not unigrams) because the synthetic corpus draws
+    every doc from one 31-word vocabulary — unigram sets are identical
+    across corpora, while 3-gram sets overlap partially (~2-3%%
+    Jaccard), so the estimator is actually exercised.
+    """
+    sh = (
+        docs.select("source", F.explode(shingles(F.col("text"))).alias("s"))
+        .select("source", hex8_int("s").alias("h"))
+        .distinct()
+    )
+    sk = (
+        sh.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+        )
+        .where(F.col("rn") <= k)
+        .select("source", "h")
+        .cache()
+    )
+    # Pair list = |corpora| choose 2 rows; each pair's union sketch is
+    # the distinct hashes of BOTH members' sketches (<= 2k rows per
+    # pair), tagged with how many sides carry the hash.
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    sides = pairs.join(
+        sk.select(F.col("source").alias("source_a"), "h"), "source_a"
+    ).select("source_a", "source_b", "h").unionByName(
+        pairs.join(
+            sk.select(F.col("source").alias("source_b"), "h"), "source_b"
+        ).select("source_a", "source_b", "h")
+    )
+    merged = sides.groupBy("source_a", "source_b", "h").agg(
+        (F.count("*") == 2).cast("long").alias("in_both")
+    )
+    ranked = merged.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source_a", "source_b").orderBy("h")
+        ),
+    ).where(F.col("rn") <= k)
+    est = ranked.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.sum("in_both").alias("rho_num"),
+    )
+    union_est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.floor(F.lit(float((k - 1) * _2_32)) / F.col("h_k")).cast("long")
+    )
+    return est.select(
+        "source_a",
+        "source_b",
+        union_est.alias("union_est"),
+        F.expr("rho_num * 1000000 div n_kept").alias("jaccard_ppm"),
+        F.col("rho_num"),
+        F.col("n_kept"),
+    ).withColumn(
+        "inter_est", F.expr("rho_num * union_est div n_kept")
+    ).drop("rho_num", "n_kept")
+
+
+_KMV_OVERLAP_SQL = f"""
+WITH toks AS (
+    SELECT source, {_O_TOKENS.replace('text', 'text')} AS tk FROM documents
+),
+dh AS (
+    SELECT DISTINCT source, {oracle_hex8_int('s')} AS h
+    FROM (SELECT source, unnest({_ORACLE_SHINGLES}) AS s FROM toks)
+),
+sk AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM dh
+    ) WHERE rn <= {KMV_K}
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM (SELECT DISTINCT source FROM sk) a,
+         (SELECT DISTINCT source FROM sk) b
+    WHERE a.source < b.source
+),
+sides AS (
+    SELECT p.source_a, p.source_b, s.h
+    FROM pairs p JOIN sk s ON s.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, s.h
+    FROM pairs p JOIN sk s ON s.source = p.source_b
+),
+merged AS (
+    SELECT source_a, source_b, h,
+           CASE WHEN count(*) = 2 THEN 1 ELSE 0 END AS in_both
+    FROM sides GROUP BY source_a, source_b, h
+),
+ranked AS (
+    SELECT source_a, source_b, h, in_both,
+           row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+    FROM merged
+),
+est AS (
+    SELECT source_a, source_b, count(*) AS n_kept, max(h) AS h_k,
+           CAST(sum(in_both) AS BIGINT) AS rho_num
+    FROM ranked WHERE rn <= {KMV_K}
+    GROUP BY source_a, source_b
+)
+SELECT source_a, source_b,
+       CASE WHEN n_kept < {KMV_K} THEN n_kept
+            ELSE CAST(floor({float((KMV_K - 1) * _2_32)} / h_k) AS BIGINT)
+       END AS union_est,
+       rho_num * 1000000 // n_kept AS jaccard_ppm,
+       rho_num * (CASE WHEN n_kept < {KMV_K} THEN n_kept
+                       ELSE CAST(floor({float((KMV_K - 1) * _2_32)} / h_k)
+                            AS BIGINT)
+                  END) // n_kept AS inter_est
+FROM est
+"""
+
+
+@query("kmv_corpus_overlap", oracle=_KMV_OVERLAP_SQL)
+def q_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-corpus shingle overlap from mergeable KMV
+    sketches — union/intersection/Jaccard without a cross-corpus
+    join."""
+    return kmv_corpus_overlap(load_table(spark, sf_dir, "documents"))

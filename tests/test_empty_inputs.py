@@ -49,6 +49,7 @@ REPRESENTATIVES = [
     "minhash_fuzzy_join",
     "corpus_shard_manifest",
     "mixture_water_fill",
+    "kmv_corpus_overlap",
     "weighted_sample_orders",
     "winsorized_price_stats",
     "attribution_linear",

@@ -47,6 +47,8 @@ BNLJ_AUDITED = {
     "weighted_sample_orders": "1-row total-weight frame",
     "dsir_select_topk": "1-row corpus/target token-total frame scales the "
     "per-bucket lift",
+    "kmv_corpus_overlap": "|corpora|-row distinct-source frame self-crossed "
+    "into the pair list (corpus COUNT, not corpus size)",
     # exact percentile / fence frames (per-group, group-count bounded):
     "range_join_price_bands": "static band table (constant rows)",
     "event_pattern_match": "4-row funnel-pattern table",

@@ -248,3 +248,82 @@ def test_hll_portable_linear_counting_floor_gaps():
         for v in range(1, 256)
     )
     assert worst > 1e-4, worst
+
+
+def test_kmv_overlap_exact_when_union_fits_sketch(spark):
+    """Two tiny corpora whose shingle-set union is far below k: the
+    sketch IS the full set, so union/intersection/Jaccard are exact."""
+    from mapreduce_lab_spark.operators.sketches import kmv_corpus_overlap
+
+    # 12-token docs -> 10 distinct shingles each; overlap by shared text.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " lambda mu", "A", "en", 1),
+            (2, shared + " nu xi", "B", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = kmv_corpus_overlap(docs).collect()
+    assert len(out) == 1
+    row = out[0]
+    # Exact sets: each doc has 10 shingles, 8 shared (the shingles
+    # fully inside the common prefix), union = 12.
+    assert row["union_est"] == 12
+    assert row["jaccard_ppm"] == 8 * 1_000_000 // 12
+    assert row["inter_est"] == 8
+
+
+def test_kmv_overlap_estimates_track_exact_at_sf(spark, sf_dir):
+    """At sf0.01 the per-source unions (~2.3-2.8k shingles) exceed
+    k=256, so the estimator is genuinely exercised; with k=256 the
+    standard error is ~1/sqrt(k) ~ 6%, so demand union within 25% and
+    Jaccard within 0.05 absolute on every pair (loose enough for the
+    k-th-value tail, tight enough to catch a broken estimator)."""
+    import duckdb
+
+    from mapreduce_lab_spark.operators.sketches import kmv_corpus_overlap
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    est = {
+        (r["source_a"], r["source_b"]): r
+        for r in kmv_corpus_overlap(load_table(spark, sf_dir, "documents")).collect()
+    }
+    exact = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duckdb.sql(
+            f"""
+            WITH t AS (
+              SELECT source,
+                     [x for x in regexp_split_to_array(text, '[^\\p{{L}}]+')
+                      if x <> ''] AS tk
+              FROM '{sf_dir}/documents.parquet'
+            ), sh AS (
+              SELECT DISTINCT source,
+                     unnest(CASE WHEN len(tk) >= 3
+                            THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  for i in range(1, len(tk) - 1)]
+                            ELSE [array_to_string(tk, ' ')] END) AS s
+              FROM t
+            ), card AS (SELECT source, count(*) AS c FROM sh GROUP BY source)
+            SELECT x.source, y.source,
+                   count(*) AS inter, cx.c + cy.c - count(*) AS uni
+            FROM sh x JOIN sh y ON x.s = y.s AND x.source < y.source
+            JOIN card cx ON cx.source = x.source
+            JOIN card cy ON cy.source = y.source
+            GROUP BY 1, 2, cx.c, cy.c
+            """
+        ).fetchall()
+    }
+    assert est, "no pairs"
+    checked = 0
+    for pair, row in est.items():
+        if pair not in exact:
+            continue  # zero-intersection pair absent from the equi-join
+        i_exact, u_exact = exact[pair]
+        assert abs(row["union_est"] - u_exact) / u_exact < 0.25, (pair, row, u_exact)
+        assert abs(row["jaccard_ppm"] / 1e6 - i_exact / u_exact) < 0.05, (
+            pair, row, i_exact / u_exact,
+        )
+        checked += 1
+    assert checked >= 100  # nearly every pair overlaps at sf0.01
