@@ -82,6 +82,8 @@ HEADLINE = [
     "dsir_select_topk",
     "minhash_fuzzy_join",
     "corpus_shard_manifest",
+    "mixture_water_fill",
+    "kmv_corpus_overlap",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -129,6 +131,8 @@ PRIMARY_INPUT = {
     "dsir_select_topk": "documents",
     "minhash_fuzzy_join": "documents",
     "corpus_shard_manifest": "documents",
+    "mixture_water_fill": "documents",
+    "kmv_corpus_overlap": "documents",
     "multimodal_decode_stats": "documents",
     "near_dup_embedding_lsh": "embeddings",
 }

@@ -46,7 +46,7 @@ from mapreduce_lab_spark.functions.numeric import to_units
 from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.operators.dedup import _ORACLE_SHINGLES, shingles
 from mapreduce_lab_spark.registry import query
-from mapreduce_lab_spark.sources.tables import load_table
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
 KMV_K = 256
 _2_32 = 4_294_967_296
@@ -582,5 +582,8 @@ FROM est
 def q_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-corpus shingle overlap from mergeable KMV
     sketches — union/intersection/Jaccard without a cross-corpus
-    join."""
-    return kmv_corpus_overlap(load_table(spark, sf_dir, "documents"))
+    join. fan_out: the shingle+hash pass is compute-heavy per row, so
+    a single-split scan must not serialize it onto one core."""
+    return kmv_corpus_overlap(
+        fan_out(load_table(spark, sf_dir, "documents"), spark)
+    )
