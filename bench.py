@@ -84,6 +84,10 @@ HEADLINE = [
     "corpus_shard_manifest",
     "mixture_water_fill",
     "kmv_corpus_overlap",
+    # round 8: the scale-safe embedding near-dup contract (cluster ids,
+    # output linear in docs) alongside the pair query whose output is
+    # inherently quadratic in replica-duplicated corpora.
+    "near_dup_embedding_clusters",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -135,6 +139,7 @@ PRIMARY_INPUT = {
     "kmv_corpus_overlap": "documents",
     "multimodal_decode_stats": "documents",
     "near_dup_embedding_lsh": "embeddings",
+    "near_dup_embedding_clusters": "embeddings",
 }
 
 
@@ -159,6 +164,14 @@ def main() -> None:
 
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
+    # Optional subset (comma-separated) for targeted scale runs; the
+    # per-round driver invocation sets neither, so BENCH_r{N} numbers
+    # always cover the full headline list.
+    only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n}
+    if only:
+        unknown = only - set(names)
+        assert not unknown, f"SPARK_GRAFT_ONLY not in headline: {sorted(unknown)}"
+        names = [n for n in names if n in only]
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT/IO.
@@ -224,7 +237,7 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
         cold[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
-    for _ in range(3):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_PASSES", "3"))):
         for name in names:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).count()

@@ -275,7 +275,16 @@ def minhash_fuzzy_join(docs: DataFrame) -> DataFrame:
         .select("query_doc", "corpus_doc")
         .distinct()
     )
-    qs = doc_sh.select(F.col("doc_id").alias("query_doc"), F.col("sh").alias("sh_q"))
+    # Verify-side broadcast is built from the PROBE SLICE ONLY: candidate
+    # pairs carry probe ids on query_doc by construction, so restricting
+    # here changes nothing semantically but shrinks the broadcast build
+    # side from |corpus| shingle sets to |probe| (at a production 0.1%
+    # probe fraction, 1000x smaller). The corpus shingle side (cs) stays
+    # streamed — the corpus never broadcasts and never shuffles more
+    # than the candidate join requires.
+    qs = doc_sh.where(_probe_gate()).select(
+        F.col("doc_id").alias("query_doc"), F.col("sh").alias("sh_q")
+    )
     cs = doc_sh.select(F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c"))
     inter = F.size(F.array_intersect("sh_q", "sh_c"))
     union = F.size("sh_q") + F.size("sh_c") - inter

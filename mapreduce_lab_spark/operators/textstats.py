@@ -336,13 +336,23 @@ def _max_token_run(srt: Column, n: Column) -> Column:
     computed entirely inside codegen (no explode, no shuffle): run
     boundaries are the positions whose value differs from their
     predecessor; the longest gap between consecutive boundaries
-    (sentineled with n+1) is the modal count."""
+    (sentineled with n+1) is the modal count.
+
+    Position 1 is seeded structurally (array(lit(1)) ++ filter over
+    sequence(2, n)) so the lambda only ever sees i >= 2 and
+    element_at(srt, i-1) is always a valid 1-based index — correctness
+    does not depend on boolean-Or evaluation order. The n >= 2 guard
+    keeps sequence() ascending (Spark's sequence(2, n) DESCENDS for
+    n < 2 rather than returning empty)."""
     bounds = F.concat(
-        F.filter(
-            F.sequence(F.lit(1), n),
-            lambda i: (i == F.lit(1))
-            | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
-        ),
+        F.array(F.lit(1)),
+        F.when(
+            n >= F.lit(2),
+            F.filter(
+                F.sequence(F.lit(2), n),
+                lambda i: F.element_at(srt, i) != F.element_at(srt, i - 1),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
         F.array(n + F.lit(1)),
     )
     nb = F.size(bounds)

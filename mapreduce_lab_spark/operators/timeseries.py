@@ -327,16 +327,18 @@ EWMA_SHIFT = EWMA_WINDOW - 1
 
 
 def ewma_daily_revenue(orders: DataFrame) -> DataFrame:
-    """Per-priority daily revenue with its trailing-30-day EWMA
-    (alpha = 1/2, finite window, adjust-style normalization:
-    ewma_t = sum_j w^j x_{t-j} / sum_j w^j over the frame).
+    """Per-priority daily revenue with its trailing-EWMA_WINDOW-row
+    EWMA — the window counts trailing PRESENT ROWS of the per-priority
+    daily series, not calendar days (alpha = 1/2, finite window,
+    adjust-style normalization: ewma_t = sum_j w^j x_{t-j} / sum_j w^j
+    over the frame).
 
     Shape at scale: the daily rollup is an ordinary map-side-combined
     groupBy; the window then runs over DAYS-per-priority — dimension-
     sized series (a decade is ~3.6k rows per key), so the per-key sort
     is bounded by the time range, not order volume, same argument as
     the gapfill spine above. Exactness: cent units shifted left by
-    (29 - j) make both weighted sums integers; the single closing
+    (EWMA_SHIFT - j) make both weighted sums integers; the single closing
     division is the shared exact-floor ratio, so Spark and DuckDB
     agree bit-for-bit — no float pow() anywhere.
     """

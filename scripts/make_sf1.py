@@ -24,7 +24,12 @@ artifact:
 region/nation are fixed dimensions and copy through unchanged.
 Deterministic (pure column arithmetic on seed-42 inputs, no RNG).
 
-Usage: python scripts/make_sf1.py [outdir]   (default /tmp/sfdata/sf1)
+Usage: python scripts/make_sf1.py [outdir] [copies]
+       (default /tmp/sfdata/sf1, 10 copies = ~sf1; 100 copies = ~sf10)
+
+copies up to ~1000 stays safe: keys offset by i * 1e8 fit int64, and
+documents stream one copy at a time through a ParquetWriter so memory
+is bounded by one sf0.1 copy regardless of the target scale.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfdata/sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 OFF = 100_000_000  # larger than any sf0.1 key
 
 PLAIN = {"region", "nation"}
@@ -113,24 +118,30 @@ def replica_sql(table: str) -> str:
 
 
 def make_documents() -> None:
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     src = duckdb.sql(f"SELECT * FROM '{SRC}/documents.parquet'").df()
-    copies = []
-    for i in range(COPIES):
-        d = src.copy()
-        d["doc_id"] = d["doc_id"] + i * OFF
-        if i > 0:
-            d["text"] = [
-                _weave(t, i, int(did)) for t, did in zip(d["text"], d["doc_id"])
-            ]
-            d["n_chars"] = d["text"].str.len().astype("int64")
-        copies.append(d)
-    all_docs = pd.concat(copies, ignore_index=True)  # noqa: F841
-    duckdb.sql(
-        f"COPY (SELECT * FROM all_docs) TO '{OUT}/documents.parquet' (FORMAT PARQUET)"
-    )
-    print(f"documents: {len(all_docs)} rows")
+    writer = None
+    total = 0
+    try:
+        for i in range(COPIES):
+            d = src.copy()
+            d["doc_id"] = d["doc_id"] + i * OFF
+            if i > 0:
+                d["text"] = [
+                    _weave(t, i, int(did)) for t, did in zip(d["text"], d["doc_id"])
+                ]
+                d["n_chars"] = d["text"].str.len().astype("int64")
+            tbl = pa.Table.from_pandas(d, preserve_index=False)
+            if writer is None:
+                writer = pq.ParquetWriter(f"{OUT}/documents.parquet", tbl.schema)
+            writer.write_table(tbl)
+            total += len(d)
+    finally:
+        if writer is not None:
+            writer.close()
+    print(f"documents: {total} rows")
 
 
 def main() -> None:

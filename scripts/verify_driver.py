@@ -73,6 +73,11 @@ def main():
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    only = {n for n in os.environ.get("SIM_ONLY", "").split(",") if n}
+    if only:
+        missing = only - set(qs)
+        assert not missing, f"SIM_ONLY names not registered: {sorted(missing)}"
+        qs = {n: f for n, f in qs.items() if n in only}
     fails, rows_only = [], []
     t_start = time.time()
     for i, (name, fn) in enumerate(qs.items()):
