@@ -1094,7 +1094,7 @@ def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     Pair lists are inherently quadratic on duplicate-heavy corpora
     (the round-4 sf1 lesson, docs/SCALE.md); a pipeline that keeps
     one vector per CLUSTER needs component labels, not pairs. Same
-    min-label-propagation loop as the shingle-based
+    alternating-star components loop as the shingle-based
     ``near_dup_clusters``; the oracle recomputes the identical LSH
     pair set and closes it with a recursive CTE — a different
     algorithm reaching the same fixpoint.
@@ -1110,46 +1110,108 @@ def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- near-dup clusters (connected components) ------------------------------
 
 
-def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Min-label propagation to fixpoint over an undirected edge list.
+def connected_components(edges: DataFrame, max_iters: int = 15) -> DataFrame:
+    """Connected components via the alternating large-star / small-star
+    algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014):
+    each round is two groupBy-min passes plus one join over the
+    CURRENT edge set, and the edge set contracts to per-component
+    stars rooted at the component minimum in O(log^2 n) rounds (~3-6
+    observed) — versus O(graph diameter) rounds for plain min-label
+    propagation. Diameter is NOT scale-free for near-dup graphs: the
+    sf1/sf10 replicas (and any real corpus with chained revisions)
+    contain duplicate CHAINS a->b->c->... whose length grows with the
+    corpus, which round-8 profiling caught costing 582 s at sf1.
 
-    The iterative-algorithm pattern the DataFrame API lacks natively:
-    a driver-controlled loop of distributed joins, with
-    localCheckpoint() per round so the plan/lineage stays O(1) instead
-    of doubling each iteration. Convergence is detected by the sum of
-    labels (strictly decreasing integers — unchanged sum == fixpoint),
-    one cheap scalar action per round. Rounds needed = graph diameter
-    (near-dup clusters are small and dense, so 2-3 in practice).
+    The other half of that 582 s: the input edge list is materialized
+    ONCE here with localCheckpoint(), so the (expensive) upstream
+    pair-finding pipeline runs exactly once and every round afterwards
+    joins checkpointed 2-column rows only. Per-round frames are also
+    localCheckpoint()ed so lineage stays O(1) across iterations.
+
+    Convergence: the edge set is a monotone contraction toward the
+    star fixpoint; we stop when its (count, sum-of-xxhash64) signature
+    repeats — one cheap scalar action per round, collision probability
+    ~2^-64 per comparison. max_iters is a backstop only (log^2 of any
+    achievable component size fits well under 15); if it trips, the
+    min-aggregate in the label step below still emits each node's best
+    known root, identical to stopping label propagation early.
 
     Input: edges (src, dst). Output: (doc_id, cluster_id) where
-    cluster_id is the component's min doc_id.
+    cluster_id is the component's min doc_id; every distinct endpoint
+    of the input appears exactly once.
     """
-    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = (
-        both.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("comp", F.col("doc_id"))
+    u, v = F.col("u"), F.col("v")
+    # one materialization of the upstream pair pipeline; nodes keeps
+    # self-loop-only endpoints (they label as their own singleton
+    # cluster) while the star iteration works on proper edges only.
+    raw = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    e = raw.where(u != v)
+    nodes = (
+        raw.select(u.alias("doc_id"))
+        .union(raw.select(v.alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(E: DataFrame) -> tuple:
+        # count + xor-of-hashes: order-independent, overflow-free under
+        # ANSI mode (a SUM of 64-bit hashes overflows), and xor
+        # cancellation needs duplicate rows, which .distinct() rules out.
+        r = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def large_star(E: DataFrame) -> DataFrame:
+        # group the FULL neighborhood of each node; attach every
+        # strictly-larger neighbor to min(N(u) + {u}).
+        nbrs = E.union(E.select(v.alias("u"), u.alias("v")))
+        m = nbrs.groupBy("u").agg(F.min(F.least(u, v)).alias("m"))
+        return (
+            nbrs.join(m, "u")
+            .where(v > u)  # (v, m): v > u >= m, so never a self-loop
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(E: DataFrame) -> DataFrame:
+        # orient edges toward the smaller endpoint, group by the larger;
+        # attach the center and all its smaller neighbors to the min.
+        o = E.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        j = o.join(o.groupBy("u").agg(F.min(v).alias("m")), "u")
+        return (
+            j.select(v.alias("u"), F.col("m").alias("v"))
+            .union(j.select(u, F.col("m").alias("v")))
+            .where(u != v)  # drops the (m, m) row from the first leg
+            .distinct()
+        )
+
+    sig = signature(e)
     for _ in range(max_iters):
-        nbr_min = (
-            both.join(labels, both.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        e = small_star(large_star(e)).localCheckpoint()
+        cur = signature(e)
+        if cur == sig:
             break
-        prev_sum = cur_sum
-    return labels.select("doc_id", F.col("comp").alias("cluster_id"))
+        sig = cur
+    # converged state is a star per component: (child, root). The
+    # min-agg + left join make the labeling robust to a (theoretical)
+    # max_iters backstop trip and re-attach root nodes to themselves.
+    roots = e.groupBy("u").agg(F.min(v).alias("comp"))
+    return (
+        nodes.join(roots.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 _CLUSTERS_ORACLE = f"""

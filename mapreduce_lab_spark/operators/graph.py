@@ -602,7 +602,8 @@ def kcore_parts(
 
     The third iterative-fixpoint pattern in this module, distinct from
     both PageRank (value iteration over a FIXED graph) and connected
-    components (label propagation): here the GRAPH ITSELF shrinks
+    components (alternating-star edge contraction): here the GRAPH
+    ITSELF shrinks
     monotonically. Each round is one degree aggregation + one
     broadcast anti-join of the (bounded, only-shrinking) weak-node
     set against the edge list; ``localCheckpoint`` per round truncates

@@ -586,3 +586,75 @@ def test_two_level_pigeonhole_banding_lossless_for_hamming_le_3():
                 for p in flips:
                     other ^= 1 << p
                 assert bands(base) & bands(other), (hex(base), flips)
+
+
+# --- connected components (large-star / small-star) --------------------------
+
+
+def _cc(spark, pairs):
+    from mapreduce_lab_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+
+
+def test_cc_long_chain(spark):
+    """A 60-node path — the diameter-bound worst case that plain
+    min-label propagation needs 60 rounds for; the alternating-star
+    algorithm must close it inside its default max_iters."""
+    got = _cc(spark, [(i, i + 1) for i in range(60)])
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_cc_components_and_self_loops(spark):
+    got = _cc(
+        spark,
+        [
+            (5, 3), (3, 9),          # component {3, 5, 9} -> 3
+            (20, 21),                # component {20, 21} -> 20
+            (42, 42),                # self-loop only: singleton
+        ],
+    )
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 42: 42}
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    got = _cc(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_empty(spark):
+    assert _cc(spark, []) == {}
+
+
+def test_cc_matches_pure_python_union_find(spark):
+    """Random graphs vs a reference union-find."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30 + 10 * trial)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        touched = {a for e in edges for a in e}
+        for x in touched:
+            r = find(x)
+            want[x] = min(y for y in touched if find(y) == r)
+        got = _cc(spark, edges)
+        assert got == want, f"trial {trial}"

@@ -115,6 +115,36 @@ def test_gopher_modal_token_count_matches_python(spark):
     assert got[1]["repetition_ok"] == (top * 5 <= n)
 
 
+def test_max_token_run_structural_edges(spark):
+    """Run-boundary scan edge shapes after the r8 structural rewrite
+    (seeded boundary 1, lambda over sequence(2, n) — no dependence on
+    Or evaluation order, no element_at(srt, 0) ever constructed):
+    n=0, n=1, all-identical, all-distinct, longest-run-at-end."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.operators.textstats import _max_token_run
+
+    cases = [
+        ([], 0),            # n=0: sentinel-only bounds, max gap 0
+        (["a"], 1),         # n=1: single run of 1
+        (["a"] * 7, 7),     # all identical
+        (["a", "b", "c", "d"], 1),  # all distinct
+        (["a", "b", "b", "b"], 3),  # longest run at the end
+        (["a", "a", "b"], 2),       # longest run at the start
+    ]
+    df = spark.createDataFrame(
+        [(i, srt) for i, (srt, _) in enumerate(cases)], "id int, srt array<string>"
+    )
+    got = {
+        r["id"]: r["mr"]
+        for r in df.select(
+            "id", _max_token_run(F.col("srt"), F.size("srt")).alias("mr")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: got {got[i]}, want {want}"
+
+
 def test_gopher_empty_doc_fails_all(spark):
     got = _gopher(spark, [(1, ""), (2, "!!! ...")])
     for d in (1, 2):
