@@ -1107,6 +1107,52 @@ def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "lsh_band_census",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), bands AS (
+      {_oracle_rp_bands()}
+    ), occ AS (
+      SELECT band, val, count(*) AS n FROM bands GROUP BY band, val
+    )
+    SELECT band, count(*) AS buckets,
+           CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS cand_pairs,
+           max(n) AS max_bucket
+    FROM occ GROUP BY band
+    """,
+)
+def q_lsh_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band occupancy census of the random-hyperplane LSH table:
+    bucket count, implied candidate-pair workload sum(C(n_b, 2)), and
+    the largest bucket — per band, WITHOUT running the pair join.
+
+    This is the sizing pass a 100 TB dedup launches FIRST: the census
+    costs one narrow signature scan + a (band, val)-cardinality-bounded
+    aggregate, and its ``cand_pairs`` column is exactly the number of
+    comparisons the band self-join in ``near_dup_embedding_lsh`` will
+    enumerate. Round-8 measurement (scripts/probe_band_candidates.py,
+    docs/SCALE.md): 0.53M -> 53.3M -> 7.23B candidates at sf0.1 ->
+    sf1 -> sf10 — pure n^2 growth on this constant-16-bucket-per-band
+    scheme, which is how you discover BEFORE launching that a corpus
+    needs more signature bits (bits must grow ~log n to keep bucket
+    occupancy flat) or a data-dependent (IVF-style) partitioning,
+    rather than by watching the join stall. ``max_bucket`` additionally
+    exposes occupancy skew (the straggler task bound).
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    bands = e.select(F.posexplode(F.array(*_rp_band_vals())).alias("band", "val"))
+    occ = bands.groupBy("band", "val").agg(F.count(F.lit(1)).alias("n"))
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("buckets"),
+        (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("cand_pairs"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
 # --- near-dup clusters (connected components) ------------------------------
 
 

@@ -93,6 +93,7 @@ REPRESENTATIVES = [
     "hll_portable_users",
     "near_dup_incremental_minhash",
     "near_dup_embedding_lsh",
+    "lsh_band_census",
     "gapfill_interp_signups",
     "not_in_null_aware_probe",
     "argmax_orders_probe",
