@@ -1153,6 +1153,70 @@ def q_lsh_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_band_census",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
+    ), h AS (
+      SELECT doc_id, list_sort(sh)::VARCHAR AS grp,
+             list_transform(sh, s -> {oracle_hex8_int('s')}) AS hx
+      FROM t
+    ), sig AS (
+      SELECT doc_id, grp, {_O_SIGS} FROM h
+    ), bands AS (
+      {_O_BANDS.replace("SELECT doc_id,", "SELECT doc_id, grp,")}
+    ), occ AS (
+      SELECT band, key, count(*) AS n, count(DISTINCT grp) AS r
+      FROM bands GROUP BY band, key
+    )
+    SELECT band, count(*) AS buckets,
+           CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS cand_pairs,
+           CAST(sum(r * (r - 1)) / 2 AS BIGINT) AS rep_cand_pairs,
+           max(n) AS max_bucket
+    FROM occ GROUP BY band
+    """,
+)
+def q_minhash_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight occupancy census for the MinHash band join — the
+    token-lane twin of ``lsh_band_census``.
+
+    Per band: bucket count, the candidate-pair workload of the
+    textbook doc-level band join (``cand_pairs`` = sum C(n_b, 2)),
+    the workload AFTER identical-shingle-set collapse
+    (``rep_cand_pairs`` = sum C(reps_b, 2) — what
+    ``near_dup_minhash_lsh``'s rep-level join actually enumerates),
+    and the hottest bucket (straggler bound). The gap between the two
+    pair columns is the measured value of the collapse: an exact-dup
+    family of k docs inflates cand_pairs by C(k, 2) but adds one to
+    rep_cand_pairs. Unlike the constant-bucket embedding scheme, the
+    minhash key space is unbounded (4 chained 64-bit minhashes), so
+    occupancy tracks TRUE duplicate density, not corpus size — the
+    census proves which regime a corpus is in before the join runs.
+    The oracle groups families by the sorted shingle list itself
+    rather than the md5 the Spark side uses; only the partition
+    matters, so the counts match.
+    """
+    doc_sh = _doc_shingles(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    keyed = doc_sh.withColumn("grp", _set_grp())
+    sig = keyed.select(
+        "doc_id", "grp", *minhash_signature(F.transform("sh", hex8_int))
+    )
+    bands = sig.select(
+        "doc_id", "grp", F.posexplode(F.array(*_band_keys())).alias("band", "key")
+    )
+    occ = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("grp").alias("r")
+    )
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("buckets"),
+        (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("cand_pairs"),
+        (F.sum(F.col("r") * (F.col("r") - 1)) / 2).cast("long").alias("rep_cand_pairs"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
 # --- near-dup clusters (connected components) ------------------------------
 
 

@@ -94,6 +94,7 @@ REPRESENTATIVES = [
     "near_dup_incremental_minhash",
     "near_dup_embedding_lsh",
     "lsh_band_census",
+    "minhash_band_census",
     "gapfill_interp_signups",
     "not_in_null_aware_probe",
     "argmax_orders_probe",
