@@ -1536,10 +1536,9 @@ def q_near_dup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCR_MOD = 10  # doc_id % INCR_MOD == 0 plays the "incoming batch"
 
-
-@query(
-    "near_dup_incremental_minhash",
-    oracle=f"""
+# Shared by the batch query below and its streaming replay twin
+# (streaming/replay.py): both must deliver exactly this answer.
+_INCR_MINHASH_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, {_ORACLE_SHINGLES} AS sh
       FROM (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents)
@@ -1564,8 +1563,10 @@ INCR_MOD = 10  # doc_id % INCR_MOD == 0 plays the "incoming batch"
     JOIN t tb ON tb.doc_id = cand.new_doc
     WHERE 2 * len(list_intersect(ta.sh, tb.sh))
           >= len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))
-    """,
-)
+    """
+
+
+@query("near_dup_incremental_minhash", oracle=_INCR_MINHASH_ORACLE)
 def q_near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: an INCOMING batch (doc_id % 10 == 0 stands in
     for today's crawl) is checked against the EXISTING corpus's

@@ -29,6 +29,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_lab_spark.operators.chunking import _CHUNK_ORACLE_BODY
+from mapreduce_lab_spark.operators.dedup import _INCR_MINHASH_ORACLE
 from mapreduce_lab_spark.operators.events import (
     _MULTI_GRAIN_SQL,
     SESSION_ORACLE,
@@ -255,3 +256,105 @@ def q_streaming_multigrain_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     from mapreduce_lab_spark.operators.events import multi_grain_event_rollup
 
     return _drain(multi_grain_event_rollup(_stream(spark, sf_dir)), "complete")
+
+
+@query("streaming_incremental_dedup_replay", oracle=_INCR_MINHASH_ORACLE)
+def q_streaming_incremental_dedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingest near-dup: the incoming document stream probes
+    a STATIC persisted LSH band index via a stream-static join — the
+    streaming twin of ``near_dup_incremental_minhash``, same oracle.
+
+    This is the shape a 100 TB pipeline actually runs between
+    backfills: the corpus band index is a materialized batch artifact
+    (here: built once from the doc_id % 10 != 0 slice and cached — in
+    production, read back from the index table); each microbatch of
+    arriving documents computes its own signatures (narrow), meets the
+    index in a stream-static equi-join on (band, key), and
+    Jaccard-verifies IN the join task. No stream-side aggregation, no
+    watermark, no state store — per-batch cost is O(batch + bucket
+    collisions), and the drained total equals the batch answer
+    row-for-row (proved by the shared oracle).
+
+    Two deliberate deviations from the batch plan, both
+    output-neutral: the stream side probes per DOCUMENT rather than
+    per identical-set representative (a microbatch is small; identical
+    sets produce identical signatures, so collisions — and verified
+    pairs — are unchanged), and candidate dedup across the <= 4
+    colliding bands happens post-drain (a streaming ``distinct`` would
+    need state; the duplicates carry identical verified rows, so the
+    final distinct is exact).
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+    from mapreduce_lab_spark.operators.dedup import (
+        INCR_MOD,
+        _band_keys,
+        _collapse_reps,
+        _doc_shingles,
+        _set_grp,
+        minhash_signature,
+    )
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # Static side: the persisted corpus index — rep-level band rows
+    # plus each rep's shingle set and member list for verify/expand.
+    corpus = _doc_shingles(
+        docs.where(F.col("doc_id") % INCR_MOD != 0)
+    ).withColumn("grp", _set_grp())
+    reps = _collapse_reps(corpus, ["grp"], ["sh"], members=True).cache()
+    corpus_bands = reps.select(
+        "grp", *minhash_signature(F.transform("sh", hex8_int))
+    ).select(
+        F.col("grp").alias("ga"),
+        F.posexplode(F.array(*_band_keys())).alias("band", "key"),
+    )
+    corpus_sets = reps.select(
+        F.col("grp").alias("ga"),
+        F.col("sh").alias("sh_a"),
+        F.col("members").alias("ma"),
+    )
+
+    # Stream side: arriving documents -> own signatures -> band rows.
+    sdocs = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    new_sig = _doc_shingles(
+        sdocs.where(F.col("doc_id") % INCR_MOD == 0)
+    ).select("doc_id", "sh", *minhash_signature(F.transform("sh", hex8_int)))
+    new_bands = new_sig.select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("sh").alias("sh_b"),
+        F.posexplode(F.array(*_band_keys())).alias("band", "key"),
+    )
+
+    # Stream-static probe + in-join exact-Jaccard verify (same integer
+    # predicate and floor-scaled value as _pair_jaccard) + member
+    # expansion — all append-mode-legal (joins + scalar expressions).
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    size_ok = 2 * F.least(F.size("sh_a"), F.size("sh_b")) >= F.greatest(
+        F.size("sh_a"), F.size("sh_b")
+    )
+    verified = (
+        new_bands.join(corpus_bands, ["band", "key"])
+        .join(corpus_sets, "ga")
+        .filter(size_ok)
+        .withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(2 * F.col("inter") >= F.col("uni"))
+        .select(
+            F.explode("ma").alias("corpus_doc"),
+            "new_doc",
+            (F.floor(F.col("inter") * 1_000_000 / F.col("uni")) / 1e6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return _drain(verified, "append").distinct()
