@@ -320,27 +320,12 @@ def q_pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- duplicated-token coverage (interval-merged) -----------------------------
 
 
-def dup_token_coverage(docs: DataFrame) -> DataFrame:
-    """Per-document fraction of TOKENS covered by cross-doc duplicated
-    13-gram spans — the removal metric of suffix-array training-data
-    dedup (Lee et al. 2021, arXiv:2107.06499): a token is "duplicated"
-    if any 13-gram span containing... starting at-or-before it and
-    duplicated in another document covers it, so overlapping duplicated
-    spans must be UNION-merged, not summed (summing double-counts every
-    overlap; dup_span_fraction above counts span positions, this
-    operator counts covered tokens).
-
-    Plan shape: the span scan collapses to one compact row per
-    (span-hash, doc) carrying its position list; the cross-doc test is
-    an unordered window count over the hash partition (no self-join,
-    same single-scan shape as dup_span_fraction); only positions of
-    ACTUALLY-duplicated spans re-explode, and the interval union is
-    the classic sweep — per-doc running max-end window, island ids by
-    cumulative new-island flags, one aggregate per island. Everything
-    after the first aggregate moves 16-byte rows keyed by doc, so a
-    100 TB corpus pays the one span shuffle and then works on
-    per-doc metadata.
-    """
+def _dup_islands(docs: DataFrame) -> DataFrame:
+    """UNION-merged per-document intervals of cross-doc duplicated
+    13-gram spans: (doc_id, island, n_tok, ms, me) with ms/me 1-based
+    inclusive token positions. The shared core of the coverage metric
+    (`dup_token_coverage`) and the removal transform
+    (`remove_dup_spans`)."""
     toks = tokenize(F.col("text"))
     sh = docs.select(
         "doc_id",
@@ -369,7 +354,7 @@ def dup_token_coverage(docs: DataFrame) -> DataFrame:
         .orderBy("s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    islands = (
+    return (
         iv.withColumn("pme", F.max("e").over(w_prev))
         .withColumn(
             "new_island",
@@ -383,8 +368,32 @@ def dup_token_coverage(docs: DataFrame) -> DataFrame:
             F.max("e").alias("me"),
         )
     )
+
+
+def dup_token_coverage(docs: DataFrame) -> DataFrame:
+    """Per-document fraction of TOKENS covered by cross-doc duplicated
+    13-gram spans — the removal metric of suffix-array training-data
+    dedup (Lee et al. 2021, arXiv:2107.06499): a token is "duplicated"
+    if any 13-gram span starting at-or-before it and duplicated in
+    another document covers it, so overlapping duplicated spans must
+    be UNION-merged, not summed (summing double-counts every overlap;
+    dup_span_fraction above counts span positions, this operator
+    counts covered tokens).
+
+    Plan shape: the span scan collapses to one compact row per
+    (span-hash, doc) carrying its position list; the cross-doc test is
+    an unordered window count over the hash partition (no self-join,
+    same single-scan shape as dup_span_fraction); only positions of
+    ACTUALLY-duplicated spans re-explode, and the interval union is
+    the classic sweep — per-doc running max-end window, island ids by
+    cumulative new-island flags, one aggregate per island (all in
+    ``_dup_islands``). Everything after the first aggregate moves
+    16-byte rows keyed by doc, so a 100 TB corpus pays the one span
+    shuffle and then works on per-doc metadata.
+    """
     return (
-        islands.groupBy("doc_id")
+        _dup_islands(docs)
+        .groupBy("doc_id")
         .agg(
             F.first("n_tok").cast("long").alias("n_tokens"),
             F.sum(F.col("me") - F.col("ms") + 1).alias("dup_tokens"),
@@ -398,10 +407,10 @@ def dup_token_coverage(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dup_token_coverage_13gram",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents),
+# Shared oracle CTE chain: tokens -> 13-gram span hashes -> cross-doc
+# duplicated positions -> sweep-merged per-doc islands (`per`). Used by
+# the coverage metric and the removal transform below.
+_DUP_ISLAND_CTES = f"""tk AS (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents),
     sh AS (
       SELECT doc_id, len(tk) AS n_tok,
              unnest(range(1, greatest(len(tk) - {SPAN_N - 2}, 1))) AS pos
@@ -432,7 +441,13 @@ def dup_token_coverage(docs: DataFrame) -> DataFrame:
       SELECT doc_id, island, any_value(n_tok) AS n_tok,
              min(s) AS ms, max(e) AS me
       FROM isl GROUP BY doc_id, island
-    )
+    )"""
+
+
+@query(
+    "dup_token_coverage_13gram",
+    oracle=f"""
+    WITH {_DUP_ISLAND_CTES}
     SELECT doc_id,
            CAST(any_value(n_tok) AS BIGINT) AS n_tokens,
            CAST(sum(me - ms + 1) AS BIGINT) AS dup_tokens,
@@ -447,3 +462,83 @@ def q_dup_token_coverage_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-token count, and exact-floored coverage fraction."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return dup_token_coverage(docs)
+
+
+def remove_dup_spans(docs: DataFrame) -> DataFrame:
+    """THE REMOVAL TRANSFORM: rewrite every document with its
+    cross-doc duplicated 13-gram spans excised — the action
+    `dup_token_coverage` only measures (Lee et al. 2021: cut every
+    repeated span from the training corpus, keep the remainder).
+
+    Plan shape: the island pipeline (`_dup_islands`) pays the one span
+    shuffle; the rewrite side is a LEFT join of the corpus against
+    per-doc interval metadata (a handful of 8-byte pairs per affected
+    doc) followed by pure array expressions — at 100 TB the text
+    column moves through exactly one narrow stage and never shuffles.
+    A token is kept iff no merged island covers its 1-based position;
+    the cleaned text is the kept tokens space-joined (the tokenized
+    analog of the published character-range cut — tokenization is this
+    engine's canonical text form). Documents with no duplicated span
+    pass through with every token kept; a fully-covered document
+    yields an empty string (count kept_tokens = 0), which is exactly
+    the "drop it" signal downstream filters key on.
+    """
+    islands = _dup_islands(docs)
+    ivs = islands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("ms", "me")).alias("ivs")
+    )
+    base = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    no_ivs = F.array().cast("array<struct<ms:int,me:int>>")
+    kept = F.when(
+        F.size("tk") > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size("tk")),
+            lambda i: ~F.exists(
+                F.coalesce(F.col("ivs"), no_ivs),
+                lambda v: (v["ms"] <= i) & (i <= v["me"]),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        base.join(ivs, "doc_id", "left")
+        .select("doc_id", "tk", kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.size("kept").cast("long").alias("kept_tokens"),
+            F.concat_ws(
+                " ", F.transform("kept", lambda i: F.element_at(F.col("tk"), i))
+            ).alias("clean_text"),
+        )
+    )
+
+
+@query(
+    "remove_dup_spans_13gram",
+    oracle=f"""
+    WITH {_DUP_ISLAND_CTES}, ivl AS (
+      SELECT doc_id, list(struct_pack(ms := ms, me := me)) AS ivs
+      FROM per GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(k.kept) AS BIGINT) AS kept_tokens,
+           coalesce(array_to_string(list_transform(k.kept, i -> t.tk[i]), ' '), '')
+             AS clean_text
+    FROM tk t
+    LEFT JOIN ivl ON t.doc_id = ivl.doc_id,
+    LATERAL (
+      SELECT list_filter(
+               range(1, len(t.tk) + 1),
+               i -> len(list_filter(coalesce(ivl.ivs, []),
+                                    v -> v.ms <= i AND i <= v.me)) = 0
+             ) AS kept
+    ) k
+    """,
+)
+def q_remove_dup_spans_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal over the documents table. Output: every
+    document with its token count, kept-token count, and the cleaned
+    (space-joined kept tokens) text."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return remove_dup_spans(docs)

@@ -172,3 +172,49 @@ def test_dup_token_coverage_disjoint_islands_sum(spark):
     got = _coverage_rows(spark, docs)
     assert got[1]["dup_tokens"] == 26
     assert got[1]["n_tokens"] == 33
+
+
+# --- remove_dup_spans --------------------------------------------------------
+
+
+def test_remove_dup_spans_excises_planted_block(spark):
+    """Two docs share one 13-token block: removal excises exactly the
+    block from both (kept tokens preserve order), an unrelated doc
+    passes through untouched, and a fully-covered doc empties."""
+    from mapreduce_lab_spark.operators.contamination import remove_dup_spans
+
+    block = " ".join(f"x{c}" for c in "abcdefghijklm")  # 13 tokens
+    pre = " ".join(f"p{c}" for c in "abcde")
+    post = " ".join(f"q{c}" for c in "abcde")
+    other = " ".join(f"z{c}" for c in "abcdefghij")
+    docs = spark.createDataFrame(
+        [
+            (1, pre + " " + block + " " + post),
+            (2, block),
+            (3, other),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    assert got[1]["n_tokens"] == 23 and got[1]["kept_tokens"] == 10
+    assert got[1]["clean_text"] == pre + " " + post
+    assert got[2]["n_tokens"] == 13 and got[2]["kept_tokens"] == 0
+    assert got[2]["clean_text"] == ""
+    assert got[3]["kept_tokens"] == 10 and got[3]["clean_text"] == other
+
+
+def test_remove_dup_spans_is_consistent_with_coverage(spark, sf_dir):
+    """kept_tokens must equal n_tokens minus dup_token_coverage's
+    union-merged dup_tokens on every document of the real corpus."""
+    from mapreduce_lab_spark.operators.contamination import (
+        dup_token_coverage,
+        remove_dup_spans,
+    )
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cov = {
+        r["doc_id"]: r["dup_tokens"] for r in dup_token_coverage(docs).collect()
+    }
+    for r in remove_dup_spans(docs).collect():
+        assert r["n_tokens"] - r["kept_tokens"] == cov.get(r["doc_id"], 0), r

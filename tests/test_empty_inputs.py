@@ -68,6 +68,7 @@ REPRESENTATIVES = [
     "chunk_level_dedup",
     "pipeline_chunk_dedup_stats",
     "dup_span_fraction_13gram",
+    "remove_dup_spans_13gram",
     "rare_bigram_rate",
     "embedding_signed_projection",
     "embedding_correlation",
