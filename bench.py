@@ -88,6 +88,9 @@ HEADLINE = [
     # output linear in docs) alongside the pair query whose output is
     # inherently quadratic in replica-duplicated corpora.
     "near_dup_embedding_clusters",
+    # round 8b: LM train+score (Stupid Backoff trigram, held-out
+    # quarter) — the CCNet-style perplexity-filter shape.
+    "lm_trigram_backoff_bits",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -140,6 +143,7 @@ PRIMARY_INPUT = {
     "multimodal_decode_stats": "documents",
     "near_dup_embedding_lsh": "embeddings",
     "near_dup_embedding_clusters": "embeddings",
+    "lm_trigram_backoff_bits": "documents",
 }
 
 

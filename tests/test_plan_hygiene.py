@@ -47,6 +47,9 @@ BNLJ_AUDITED = {
     "weighted_sample_orders": "1-row total-weight frame",
     "dsir_select_topk": "1-row corpus/target token-total frame scales the "
     "per-bucket lift",
+    "lm_bigram_bits": "1-row vocabulary-size frame (add-one denominator)",
+    "lm_trigram_backoff_bits": "1-row train-slice token-total frame "
+    "(unigram backoff denominator)",
     "kmv_corpus_overlap": "|corpora|-row distinct-source frame self-crossed "
     "into the pair list (corpus COUNT, not corpus size)",
     # exact percentile / fence frames (per-group, group-count bounded):
