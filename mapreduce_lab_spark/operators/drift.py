@@ -1,0 +1,142 @@
+"""Corpus drift detection: per-source distribution distance.
+
+A 100 TB training corpus is assembled from many sources (crawls,
+dumps, domains); the standing QA question is "which source's language
+stopped looking like the rest of the corpus?" — a crawler regression,
+an encoding bug, or genuine topical drift all surface as a shifted
+unigram distribution. The published pipelines monitor this with KL /
+perplexity panels; this operator uses TOTAL VARIATION DISTANCE
+instead, which carries the same ranking signal and — unlike KL — is a
+pure rational function of exact integer counts, so the whole score is
+cross-engine bit-stable with no transcendental anywhere (the same
+discipline as the PMI lift in ngrams.py and the bit-width
+cross-entropy in lm.py).
+
+    TVD(s) = 1/2 * sum_w | o_w / n_s  -  c_w / n_t |
+
+with o_w the count of word w in source s, n_s the source's tokens,
+c_w the corpus count, n_t the corpus total. Words ABSENT from the
+source still contribute c_w / n_t each; that tail is folded in
+algebraically — sum_{w not in s} c_w = n_t - sum_{w in s} c_w — so
+the join only ever touches (source, word) pairs that actually occur:
+
+    numerator(s) = sum_{w in s} | o_w * n_t - n_s * c_w |
+                   + n_s * (n_t - sum_{w in s} c_w)
+    TVD(s)       = numerator(s) / (2 * n_s * n_t)
+
+``top_term`` is the word maximizing the signed over-representation
+o_w * n_t - n_s * c_w (ties broken alphabetically) — the drift
+EXPLANATION next to the drift score; only present words can be
+over-represented, so the argmax needs no absent-word handling.
+
+Scale shape: one token pass builds the (source, word) count frame —
+map-side combinable, vocabulary x |sources| rows — and every other
+input (corpus counts, source totals, the 1-row grand total) is a
+rollup OF that frame, so the corpus is scanned once and the heavy
+join runs on count rows, never raw text. int64 envelope: o_w * n_t
+needs max-word-count x corpus-tokens < 2^63 (~1e9 x 1e9); past that
+the DECIMAL(38) wide path per functions/numeric.py. Words stay
+strings here because top_term must surface one; a production run
+hashes them and dictionary-joins the winner back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
+from mapreduce_lab_spark.operators.ngrams import _ORACLE_TOKENS
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
+
+
+def _toks() -> Column:
+    return F.filter(
+        F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda t: t != F.lit("")
+    )
+
+
+def source_unigram_tvd(docs: DataFrame) -> DataFrame:
+    o = (
+        docs.select("source", F.explode(_toks()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("o"))
+        .cache()
+    )
+    cw = o.groupBy("w").agg(F.sum("o").alias("cw"))
+    ns = o.groupBy("source").agg(F.sum("o").alias("ns"))
+    nt = o.agg(F.sum("o").alias("nt"))
+    j = (
+        o.join(cw, "w")
+        .join(ns, "source")
+        .join(F.broadcast(nt))
+        .withColumn("d", F.col("o") * F.col("nt") - F.col("ns") * F.col("cw"))
+    )
+    agg = j.groupBy("source").agg(
+        F.max("ns").alias("n_s"),
+        F.max("nt").alias("n_t"),
+        F.sum(F.abs(F.col("d"))).alias("sum_abs"),
+        F.sum("cw").alias("sum_cw"),
+    )
+    rn = Window.partitionBy("source").orderBy(F.col("d").desc(), F.col("w").asc())
+    top = (
+        j.select("source", "w", F.row_number().over(rn).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("w").alias("top_term"))
+    )
+    return (
+        agg.join(top, "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            exact_ratio(
+                F.col("sum_abs") + F.col("n_s") * (F.col("n_t") - F.col("sum_cw")),
+                F.lit(2) * F.col("n_s") * F.col("n_t"),
+            ).alias("tvd_ppm"),
+            "top_term",
+        )
+    )
+
+
+@query(
+    "source_unigram_tvd",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(ts) AS w
+        FROM (SELECT source, {_ORACLE_TOKENS} AS ts FROM documents)
+    ),
+    o AS (SELECT source, w, count(*) AS o FROM toks GROUP BY 1, 2),
+    cw AS (SELECT w, CAST(sum(o) AS BIGINT) AS cw FROM o GROUP BY 1),
+    ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM o GROUP BY 1),
+    nt AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM o),
+    j AS (
+        SELECT o.source, o.w, o.o, cw.cw, ns.ns, nt.nt,
+               o.o * nt.nt - ns.ns * cw.cw AS d
+        FROM o JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN nt
+    ),
+    agg AS (
+        SELECT source,
+               max(ns) AS n_s, max(nt) AS n_t,
+               CAST(sum(abs(d)) AS BIGINT) AS sum_abs,
+               CAST(sum(cw) AS BIGINT) AS sum_cw
+        FROM j GROUP BY source
+    ),
+    top AS (
+        SELECT source, w AS top_term,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY d DESC, w ASC) AS rn
+        FROM j
+    )
+    SELECT agg.source, n_s AS n_tokens,
+           {oracle_exact_ratio(
+               'sum_abs + n_s * (n_t - sum_cw)', '2 * n_s * n_t'
+           )} AS tvd_ppm,
+           top_term
+    FROM agg JOIN top ON agg.source = top.source AND top.rn = 1
+    """,
+)
+def q_source_unigram_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_unigram_tvd(
+        fan_out(load_table(spark, sf_dir, "documents"), spark)
+    )
