@@ -140,3 +140,144 @@ def q_source_unigram_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_unigram_tvd(
         fan_out(load_table(spark, sf_dir, "documents"), spark)
     )
+
+
+# --- embedding-space drift: per-label centroid shift -----------------------
+
+# Same 1e-4 quantization as linalg.py's covariance kernel.
+CENTROID_UNIT_SCALE = 10_000
+# Per-dimension squared-distance terms are floored at 1e-12 so the
+# per-label reduce sums INTEGERS (a double sum would be
+# accumulation-order-dependent and diverge from the oracle).
+DIST2_SCALE = 1_000_000_000_000
+
+
+def label_centroid_drift(embs: DataFrame) -> DataFrame:
+    """Per-label squared L2 distance between the label's centroid and
+    the global centroid, plus the dimension that moved most.
+
+    The embedding-space twin of ``source_unigram_tvd``: text drift
+    shows up in token distributions, representation drift shows up as
+    label (or shard/source) centroids walking away from the corpus
+    mean — the monitor run before trusting an IVF index or a
+    clustering built on yesterday's geometry.
+
+    Exactness: coordinates quantize to 1e-4 integer units (the
+    linalg.py convention); centroid difference per dimension is the
+    all-integer kernel  S_Lj * n - S_j * n_L  over unit sums, divided
+    once in IEEE doubles and floored to a 1e-12-scaled integer term,
+    so the 64-term per-label sum is exact integer arithmetic in both
+    engines. Overflow envelope: S_Lj * n needs
+    n_label * 1e4 * n_total < 2^63 (~2.5e10 x 3.7e4 split evenly);
+    past that the DECIMAL(38) wide path per functions/numeric.py.
+
+    Scale shape: one narrow pass expands (label, dim, unit) triples —
+    64 rows per vector, generated inside codegen — and everything
+    after runs on |labels| x 64 count rows: map-side-combinable sums,
+    a 64-row global rollup joined back, a |labels|-row output. The
+    vector payload never shuffles.
+    """
+    long = embs.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    x.cast("double") * F.lit(CENTROID_UNIT_SCALE)
+                ).cast("long"),
+            )
+        ).alias("j", "xu"),
+    )
+    # Cached: |labels| x 64 count rows — both output branches (the
+    # distance aggregate and the argmax-dimension window) derive from
+    # it, and the cache keeps the vector-payload scan single-pass.
+    per_label = (
+        long.groupBy("label", "j")
+        .agg(F.sum("xu").alias("s_lj"), F.count("*").alias("n_l"))
+        .cache()
+    )
+    glob = per_label.groupBy("j").agg(
+        F.sum("s_lj").alias("s_j"), F.sum("n_l").alias("n")
+    )
+    d = per_label.join(glob, "j").withColumn(
+        "d", F.col("s_lj") * F.col("n") - F.col("s_j") * F.col("n_l")
+    )
+    dd = (
+        F.col("d").cast("double")
+        / (F.col("n_l") * F.col("n"))
+        / F.lit(float(CENTROID_UNIT_SCALE))
+    )
+    t = d.withColumn("term", F.floor(dd * dd * F.lit(float(DIST2_SCALE))))
+    agg = t.groupBy("label").agg(
+        F.max("n_l").alias("n_vecs"), F.sum("term").alias("t")
+    )
+    rn = Window.partitionBy("label").orderBy(
+        F.abs(F.col("d")).desc(), F.col("j").asc()
+    )
+    top = (
+        t.select("label", "j", F.row_number().over(rn).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("label", F.col("j").alias("top_dim"))
+    )
+    return agg.join(top, "label").select(
+        "label",
+        "n_vecs",
+        (F.col("t").cast("double") / F.lit(float(DIST2_SCALE))).alias("dist2"),
+        "top_dim",
+    )
+
+
+@query(
+    "label_centroid_drift",
+    oracle=f"""
+    WITH long AS (
+        SELECT label, i - 1 AS j,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {CENTROID_UNIT_SCALE})
+                    AS BIGINT) AS xu
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    per_label AS (
+        SELECT label, j, CAST(sum(xu) AS BIGINT) AS s_lj, count(*) AS n_l
+        FROM long GROUP BY 1, 2
+    ),
+    gtot AS (
+        SELECT j, CAST(sum(s_lj) AS BIGINT) AS s_j,
+               CAST(sum(n_l) AS BIGINT) AS n
+        FROM per_label GROUP BY 1
+    ),
+    d AS (
+        SELECT label, j, n_l, n,
+               s_lj * n - s_j * n_l AS d
+        FROM per_label JOIN gtot USING (j)
+    ),
+    t AS (
+        SELECT label, j, n_l, d,
+               CAST(floor((CAST(d AS DOUBLE) / (n_l * n)
+                           / {float(CENTROID_UNIT_SCALE)})
+                          * (CAST(d AS DOUBLE) / (n_l * n)
+                             / {float(CENTROID_UNIT_SCALE)})
+                          * {float(DIST2_SCALE)}) AS BIGINT) AS term
+        FROM d
+    ),
+    agg AS (
+        SELECT label, CAST(max(n_l) AS BIGINT) AS n_vecs,
+               CAST(sum(term) AS BIGINT) AS t
+        FROM t GROUP BY label
+    ),
+    top AS (
+        SELECT label, j AS top_dim,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY abs(d) DESC, j ASC) AS rn
+        FROM t
+    )
+    SELECT agg.label, n_vecs,
+           CAST(t AS DOUBLE) / {float(DIST2_SCALE)} AS dist2,
+           top_dim
+    FROM agg JOIN top ON agg.label = top.label AND top.rn = 1
+    """,
+)
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroid_drift(
+        fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    )
