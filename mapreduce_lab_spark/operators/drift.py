@@ -281,3 +281,142 @@ def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_drift(
         fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     )
+
+
+# --- temporal drift: day-over-trailing-week event-mix shift ----------------
+
+DRIFT_WINDOW_DAYS = 7
+
+
+def daily_event_mix_drift(events: DataFrame) -> DataFrame:
+    """Per-day TVD between the day's event-type mix and its trailing
+    7-day reference window — the time-axis member of the drift family
+    (source -> ``source_unigram_tvd``, representation ->
+    ``label_centroid_drift``, time -> this).
+
+    The reference is the TRAILING WINDOW, not the global mix: a
+    monitor alerts on "today looks unlike last week", which tracks
+    seasonality instead of flagging it forever. Same exact-integer
+    TVD algebra as the source query; the absent-category mass (an
+    event type present last week but silent today, or vice versa) is
+    folded algebraically —  n * (N_ref - sum_present t)  — so no
+    day x type zero-grid is ever manufactured. The first day has an
+    empty reference window and is excluded (N_ref = 0 would divide by
+    zero and means nothing to compare against). ``top_type`` is the
+    day's most over-represented type vs its reference week.
+
+    Scale shape: one map-side-combinable (day, type) count, then
+    every window and join runs on |days| x |types| count rows —
+    dimension-sized (a decade is ~3.7k days; type cardinality is
+    small by construction). The trailing sums are RANGE frames over
+    the integer day index, so gap days cost nothing; the
+    unpartitioned day-total window is bounded by the calendar, the
+    same argument as the gapfill spine in timeseries.py.
+    """
+    dt = (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    day_tot = dt.groupBy("day").agg(F.sum("c").alias("n"))
+    di = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w_type = (
+        Window.partitionBy("event_type")
+        .orderBy(di)
+        .rangeBetween(-DRIFT_WINDOW_DAYS, -1)
+    )
+    w_day = Window.orderBy(di).rangeBetween(-DRIFT_WINDOW_DAYS, -1)
+    tw = dt.withColumn("t", F.coalesce(F.sum("c").over(w_type), F.lit(0)))
+    nw = day_tot.withColumn(
+        "n_ref", F.coalesce(F.sum("n").over(w_day), F.lit(0))
+    )
+    j = (
+        tw.join(nw, "day")
+        .where(F.col("n_ref") > 0)
+        .withColumn(
+            "d", F.col("c") * F.col("n_ref") - F.col("n") * F.col("t")
+        )
+    )
+    agg = j.groupBy("day").agg(
+        F.max("n").alias("n_events"),
+        F.max("n_ref").alias("n_ref"),
+        F.sum(F.abs(F.col("d"))).alias("sum_abs"),
+        F.sum("t").alias("sum_t"),
+    )
+    rn = Window.partitionBy("day").orderBy(
+        F.col("d").desc(), F.col("event_type").asc()
+    )
+    top = (
+        j.select("day", "event_type", F.row_number().over(rn).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("day", F.col("event_type").alias("top_type"))
+    )
+    return agg.join(top, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        exact_ratio(
+            F.col("sum_abs")
+            + F.col("n_events") * (F.col("n_ref") - F.col("sum_t")),
+            F.lit(2) * F.col("n_events") * F.col("n_ref"),
+        ).alias("tvd_ppm"),
+        "top_type",
+    )
+
+
+_O_DAY_I = "datediff('day', DATE '1970-01-01', day)"
+
+
+@query(
+    "daily_event_mix_drift",
+    oracle=f"""
+    WITH dt AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    dtot AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM dt GROUP BY 1),
+    tw AS (
+        SELECT day, event_type, c,
+               CAST(COALESCE(sum(c) OVER (
+                   PARTITION BY event_type ORDER BY {_O_DAY_I}
+                   RANGE BETWEEN {DRIFT_WINDOW_DAYS} PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS t
+        FROM dt
+    ),
+    nw AS (
+        SELECT day, n,
+               CAST(COALESCE(sum(n) OVER (
+                   ORDER BY {_O_DAY_I}
+                   RANGE BETWEEN {DRIFT_WINDOW_DAYS} PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS n_ref
+        FROM dtot
+    ),
+    j AS (
+        SELECT tw.day, tw.event_type, tw.c, tw.t, nw.n, nw.n_ref,
+               tw.c * nw.n_ref - nw.n * tw.t AS d
+        FROM tw JOIN nw USING (day)
+        WHERE nw.n_ref > 0
+    ),
+    agg AS (
+        SELECT day, max(n) AS n_events, max(n_ref) AS n_ref,
+               CAST(sum(abs(d)) AS BIGINT) AS sum_abs,
+               CAST(sum(t) AS BIGINT) AS sum_t
+        FROM j GROUP BY day
+    ),
+    top AS (
+        SELECT day, event_type AS top_type,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY d DESC, event_type ASC) AS rn
+        FROM j
+    )
+    SELECT strftime(agg.day, '%Y-%m-%d') AS day, n_events,
+           {oracle_exact_ratio(
+               'sum_abs + n_events * (n_ref - sum_t)',
+               '2 * n_events * n_ref'
+           )} AS tvd_ppm,
+           top_type
+    FROM agg JOIN top ON agg.day = top.day AND top.rn = 1
+    """,
+)
+def q_daily_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_event_mix_drift(load_table(spark, sf_dir, "events"))
