@@ -319,6 +319,16 @@ def daily_event_mix_drift(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .cache()
     )
+    return mix_drift_from_counts(dt)
+
+
+def mix_drift_from_counts(dt: DataFrame) -> DataFrame:
+    """Drift tail over a (day, event_type, c) count frame — shared by
+    the batch query above and the streaming replay twin, where the
+    stream maintains the daily counts (the stateful part) and this
+    batch tail runs the monitor over the materialized sink (the
+    production split for a metric that needs trailing-window frames a
+    stream can't express)."""
     day_tot = dt.groupBy("day").agg(F.sum("c").alias("n"))
     di = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
     w_type = (
@@ -366,10 +376,7 @@ def daily_event_mix_drift(events: DataFrame) -> DataFrame:
 
 _O_DAY_I = "datediff('day', DATE '1970-01-01', day)"
 
-
-@query(
-    "daily_event_mix_drift",
-    oracle=f"""
+MIX_DRIFT_SQL = f"""
     WITH dt AS (
         SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
         FROM events GROUP BY 1, 2
@@ -416,7 +423,9 @@ _O_DAY_I = "datediff('day', DATE '1970-01-01', day)"
            )} AS tvd_ppm,
            top_type
     FROM agg JOIN top ON agg.day = top.day AND top.rn = 1
-    """,
-)
+    """
+
+
+@query("daily_event_mix_drift", oracle=MIX_DRIFT_SQL)
 def q_daily_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_event_mix_drift(load_table(spark, sf_dir, "events"))

@@ -98,6 +98,22 @@ def streaming_tumbling_hourly(stream: DataFrame) -> DataFrame:
     return tumbling_counts(stream)
 
 
+def streaming_daily_type_counts(stream: DataFrame) -> DataFrame:
+    """Daily (day, event_type) counts — the stateful half of the
+    drift monitor (operators/drift.py): the stream maintains the
+    per-day mix state; the trailing-week TVD compare runs batch-side
+    over the materialized sink, since window-function frames are not
+    streaming-expressible. UTC session timezone makes the 1-day
+    tumbling window coincide with ``to_date(ts)`` in the batch twin."""
+    return (
+        stream.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "c"
+        )
+    )
+
+
 def streaming_sliding_15min(stream: DataFrame) -> DataFrame:
     return sliding_counts(stream)
 

@@ -27,9 +27,11 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.chunking import _CHUNK_ORACLE_BODY
 from mapreduce_lab_spark.operators.dedup import _INCR_MINHASH_ORACLE
+from mapreduce_lab_spark.operators.drift import MIX_DRIFT_SQL, mix_drift_from_counts
 from mapreduce_lab_spark.operators.events import (
     _MULTI_GRAIN_SQL,
     SESSION_ORACLE,
@@ -358,3 +360,24 @@ def q_streaming_incremental_dedup_replay(
         )
     )
     return _drain(verified, "append").distinct()
+
+
+@query("streaming_event_mix_drift_replay", oracle=MIX_DRIFT_SQL)
+def q_streaming_event_mix_drift_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The drift monitor run the way production runs it: Structured
+    Streaming maintains the daily (day, event_type) count state
+    (complete mode — every day emits its final count), and the
+    trailing-week TVD compare (operators/drift.py) runs batch-side
+    over the materialized sink, because window-function frames are
+    not streaming-expressible. Oracled by the SAME SQL as the batch
+    twin daily_event_mix_drift — a hash match proves the streamed
+    count state reproduces the batch counts exactly."""
+    counts = _drain(
+        jobs.streaming_daily_type_counts(_stream(spark, sf_dir)), "complete"
+    )
+    dt = counts.select(
+        F.to_date("window_start").alias("day"), "event_type", "c"
+    )
+    return mix_drift_from_counts(dt)
