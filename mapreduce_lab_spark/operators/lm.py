@@ -165,10 +165,10 @@ def lm_bigram_bits(docs: DataFrame) -> DataFrame:
 
 _BIGRAM_BITS = "sum(length(bin(n_left + v)) - length(bin(n_bi + 1)))"
 
-
-@query(
-    "lm_bigram_bits",
-    oracle=f"""
+# Shared WITH-chain ending in the per-document score frame; the
+# self-report query selects it directly and the retention capstone
+# extends it (the shared-fragment pattern from docs/NOTES.md).
+_BIGRAM_CTES = f"""
     WITH toks AS (
         SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
     ),
@@ -190,16 +190,103 @@ _BIGRAM_BITS = "sum(length(bin(n_left + v)) - length(bin(n_bi + 1)))"
     vocab AS (
         SELECT count(DISTINCT {oracle_hex8_int('w')}) AS v
         FROM (SELECT unnest(ts) AS w FROM toks)
-    )
-    SELECT doc_id, count(*) AS n_bigrams,
-           CAST({_BIGRAM_BITS} AS BIGINT) AS bits,
-           {oracle_exact_ratio(_BIGRAM_BITS, 'count(*)', 1000)} AS mean_bits
-    FROM pos JOIN counts USING (g, g1) JOIN lefts USING (g1) CROSS JOIN vocab
-    GROUP BY doc_id
-    """,
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST({_BIGRAM_BITS} AS BIGINT) AS bits,
+               {oracle_exact_ratio(_BIGRAM_BITS, 'count(*)', 1000)} AS mean_bits
+        FROM pos JOIN counts USING (g, g1) JOIN lefts USING (g1)
+        CROSS JOIN vocab
+        GROUP BY doc_id
+    )"""
+
+
+@query(
+    "lm_bigram_bits",
+    oracle=_BIGRAM_CTES
+    + "\n    SELECT doc_id, n_bigrams, bits, mean_bits FROM per_doc",
 )
 def q_lm_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_bigram_bits(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- capstone: LM filter -> per-source retention report --------------------
+
+# Keep documents at or below this mean cross-entropy; chosen at the
+# ~85th percentile of the synthetic corpus (median 4.52, p80 4.57,
+# p95 4.65 bits) so the filter visibly drops a tail without gutting
+# any source. mean_bits is floor-scaled to 3 decimals identically in
+# both engines, so the threshold compare cannot straddle an ulp.
+LM_BITS_KEEP_MAX = 4.6
+
+
+def lm_filter_retention(docs: DataFrame) -> DataFrame:
+    """The perplexity-filter capstone: score every document under the
+    corpus bigram LM, keep the low-cross-entropy side, and report
+    per-source retention — docs kept, positions kept, and the mean
+    bits of what survived. This is the report a curation run reads
+    before committing a threshold: which sources lose how much mass.
+
+    Composition: ``lm_bigram_bits`` is the already-verified scorer;
+    this adds one hash join back to (doc_id, source) metadata and a
+    map-side-combinable rollup over |sources| groups. Documents under
+    two tokens are unscored by construction and sit outside the
+    report (they carry no bigram evidence either way).
+    """
+    scored = lm_bigram_bits(docs)
+    kept = F.col("mean_bits") <= F.lit(LM_BITS_KEEP_MAX)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_bigrams")).otherwise(0)).alias(
+                "kept_positions"
+            ),
+            F.sum(F.when(kept, F.col("bits")).otherwise(0)).alias("_kept_bits"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "kept_docs",
+            "kept_positions",
+            exact_ratio(
+                F.col("_kept_bits"),
+                F.greatest(F.lit(1), F.col("kept_positions")),
+                out_scale=1000,
+            ).alias("mean_kept_bits"),
+        )
+    )
+
+
+_KEPT = f"CASE WHEN mean_bits <= {LM_BITS_KEEP_MAX} THEN"
+
+
+@query(
+    "lm_filter_retention",
+    oracle=_BIGRAM_CTES
+    + f""",
+    j AS (
+        SELECT p.*, d.source
+        FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum({_KEPT} 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(sum({_KEPT} n_bigrams ELSE 0 END) AS BIGINT)
+               AS kept_positions,
+           {oracle_exact_ratio(
+               f'sum({_KEPT} bits ELSE 0 END)',
+               f'greatest(1, sum({_KEPT} n_bigrams ELSE 0 END))',
+               1000,
+           )} AS mean_kept_bits
+    FROM j GROUP BY source
+    """,
+)
+def q_lm_filter_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_filter_retention(
+        fan_out(load_table(spark, sf_dir, "documents"), spark)
+    )
 
 
 # --- Stupid Backoff trigram LM, held-out-scored ----------------------------

@@ -48,6 +48,7 @@ BNLJ_AUDITED = {
     "dsir_select_topk": "1-row corpus/target token-total frame scales the "
     "per-bucket lift",
     "lm_bigram_bits": "1-row vocabulary-size frame (add-one denominator)",
+    "lm_filter_retention": "inherits lm_bigram_bits' 1-row vocabulary frame",
     "source_unigram_tvd": "1-row corpus token-total frame",
     "lm_trigram_backoff_bits": "1-row train-slice token-total frame "
     "(unigram backoff denominator)",
