@@ -89,8 +89,10 @@ HEADLINE = [
     # inherently quadratic in replica-duplicated corpora.
     "near_dup_embedding_clusters",
     # round 8b: LM train+score (Stupid Backoff trigram, held-out
-    # quarter) — the CCNet-style perplexity-filter shape.
+    # quarter) — the CCNet-style perplexity-filter shape — and the
+    # day-over-trailing-week drift monitor.
     "lm_trigram_backoff_bits",
+    "daily_event_mix_drift",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -144,6 +146,7 @@ PRIMARY_INPUT = {
     "near_dup_embedding_lsh": "embeddings",
     "near_dup_embedding_clusters": "embeddings",
     "lm_trigram_backoff_bits": "documents",
+    "daily_event_mix_drift": "events",
 }
 
 
