@@ -429,3 +429,167 @@ MIX_DRIFT_SQL = f"""
 @query("daily_event_mix_drift", oracle=MIX_DRIFT_SQL)
 def q_daily_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_event_mix_drift(load_table(spark, sf_dir, "events"))
+
+
+# --- numeric-distribution drift: binned Kolmogorov-Smirnov -----------------
+
+KS_WINDOW_DAYS = 7
+
+
+def daily_value_ks_drift(events: DataFrame) -> DataFrame:
+    """Per-day binned Kolmogorov-Smirnov statistic between the day's
+    ``value`` distribution and its trailing-week reference — the
+    numeric axis of the drift family (categorical mix and token/
+    embedding distributions above; the SHAPE of a numeric column
+    here). A payment-amount column whose distribution walks (new fee
+    tier, currency bug, fraud burst) moves the KS gap even when the
+    mean barely shifts.
+
+    KS = max over x of |F_day(x) - F_ref(x)|, computed exactly over
+    dollar bins: both CDFs are integer prefix sums over the shared
+    (day, bucket) count frame, the gap is the cross-multiplied
+    integer |cum_day * n_ref - cum_ref * n_day|, and only the single
+    final division leaves integers. ``gap_bucket`` is the dollar
+    where the gap peaks (tie -> lowest bucket) — where to look first.
+
+    The trailing reference reuses rolling_7d's expansion trick: each
+    (day, bucket) count contributes itself to the NEXT 7 days'
+    reference by an explode over a 7-date sequence — 7x the count
+    frame, never 7x the events — because a max-over-prefix cannot
+    fold absent buckets algebraically the way the TVD queries do
+    (the gap must be evaluated at every bucket either side observed).
+    Days with an empty reference window (the first day) or no events
+    of their own drop out via the n_day/n_ref > 0 gate.
+
+    Scale shape: one map-side-combinable (day, bucket) count, then
+    everything runs on |days| x |buckets| rows — bucket cardinality
+    is bounded by the value range (~300 dollar bins here), so the
+    per-day prefix windows are dimension-sized. int64 envelope:
+    cum * n_ref needs day-events x week-events < 2^63; past ~1e9/day
+    the DECIMAL(38) wide path per functions/numeric.py.
+    """
+    b = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            F.floor("value").cast("long").alias("bucket"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.count("*").alias("n"))
+        .cache()
+    )
+    cur = b.select(
+        "day", "bucket", F.col("n").alias("dc"), F.lit(0).cast("long").alias("rc")
+    )
+    ref = b.select(
+        F.explode(
+            F.sequence(
+                F.date_add("day", 1), F.date_add("day", KS_WINDOW_DAYS)
+            )
+        ).alias("day"),
+        "bucket",
+        F.lit(0).cast("long").alias("dc"),
+        F.col("n").alias("rc"),
+    )
+    g = (
+        cur.unionByName(ref)
+        .groupBy("day", "bucket")
+        .agg(F.sum("dc").alias("dc"), F.sum("rc").alias("rc"))
+    )
+    w_tot = Window.partitionBy("day")
+    w_pfx = (
+        Window.partitionBy("day")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = (
+        g.withColumn("n_day", F.sum("dc").over(w_tot))
+        .withColumn("n_ref", F.sum("rc").over(w_tot))
+        .where((F.col("n_day") > 0) & (F.col("n_ref") > 0))
+        .withColumn("cum_dc", F.sum("dc").over(w_pfx))
+        .withColumn("cum_rc", F.sum("rc").over(w_pfx))
+        .withColumn(
+            "gap",
+            F.abs(
+                F.col("cum_dc") * F.col("n_ref")
+                - F.col("cum_rc") * F.col("n_day")
+            ),
+        )
+    )
+    agg = t.groupBy("day").agg(
+        F.max("n_day").alias("n_day"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("gap").alias("ksn"),
+    )
+    rn = Window.partitionBy("day").orderBy(
+        F.col("gap").desc(), F.col("bucket").asc()
+    )
+    top = (
+        t.select("day", "bucket", F.row_number().over(rn).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("day", F.col("bucket").alias("gap_bucket"))
+    )
+    return agg.join(top, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_day",
+        "n_ref",
+        exact_ratio(F.col("ksn"), F.col("n_day") * F.col("n_ref")).alias(
+            "ks_ppm"
+        ),
+        "gap_bucket",
+    )
+
+
+@query(
+    "daily_value_ks_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT day, bucket, n AS dc, CAST(0 AS BIGINT) AS rc FROM b
+        UNION ALL
+        SELECT day + CAST(i AS INTEGER), bucket, CAST(0 AS BIGINT), n
+        FROM b, (SELECT unnest(range(1, {KS_WINDOW_DAYS + 1})) AS i)
+    ),
+    g AS (
+        SELECT day, bucket, CAST(sum(dc) AS BIGINT) AS dc,
+               CAST(sum(rc) AS BIGINT) AS rc
+        FROM u GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT day, bucket, dc, rc,
+               CAST(sum(dc) OVER (PARTITION BY day) AS BIGINT) AS n_day,
+               CAST(sum(rc) OVER (PARTITION BY day) AS BIGINT) AS n_ref,
+               CAST(sum(dc) OVER (PARTITION BY day ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_dc,
+               CAST(sum(rc) OVER (PARTITION BY day ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_rc
+        FROM g
+    ),
+    t2 AS (
+        SELECT *, abs(cum_dc * n_ref - cum_rc * n_day) AS gap
+        FROM t WHERE n_day > 0 AND n_ref > 0
+    ),
+    agg AS (
+        SELECT day, max(n_day) AS n_day, max(n_ref) AS n_ref,
+               CAST(max(gap) AS BIGINT) AS ksn
+        FROM t2 GROUP BY day
+    ),
+    top AS (
+        SELECT day, bucket AS gap_bucket,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY gap DESC, bucket ASC) AS rn
+        FROM t2
+    )
+    SELECT strftime(agg.day, '%Y-%m-%d') AS day, n_day, n_ref,
+           {oracle_exact_ratio('ksn', 'n_day * n_ref')} AS ks_ppm,
+           gap_bucket
+    FROM agg JOIN top ON agg.day = top.day AND top.rn = 1
+    """,
+)
+def q_daily_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_value_ks_drift(load_table(spark, sf_dir, "events"))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.drift import (
     daily_event_mix_drift,
+    daily_value_ks_drift,
     label_centroid_drift,
     source_unigram_tvd,
 )
@@ -119,3 +120,26 @@ def test_daily_mix_drift_identical_then_shifted_day(spark):
     # day 3 vs ref {4A, 4B}: 1/2 * (|1 - 1/2| + |0 - 1/2|) = 0.5.
     assert rows["2024-01-03"]["tvd_ppm"] == pytest.approx(0.5)
     assert rows["2024-01-03"]["top_type"] == "A"
+
+
+def test_daily_value_ks_identical_then_disjoint_day(spark):
+    def ev(day, hour, value):
+        return (datetime(2024, 1, day, hour, 30), value)
+
+    events = spark.createDataFrame(
+        # days 1-2: four values in dollar-bucket 1 each (1.5 vs 1.2
+        # bins identically); day 3: four values in bucket 10.
+        [ev(1, h, 1.5) for h in range(1, 5)]
+        + [ev(2, h, 1.2) for h in range(1, 5)]
+        + [ev(3, h, 10.25) for h in range(1, 5)],
+        "ts timestamp, value double",
+    )
+    rows = {r["day"]: r for r in daily_value_ks_drift(events).collect()}
+    assert set(rows) == {"2024-01-02", "2024-01-03"}
+    # same binned distribution as the reference → KS 0.
+    assert rows["2024-01-02"]["ks_ppm"] == pytest.approx(0.0)
+    # disjoint buckets → KS exactly 1, peaking at the reference's bin.
+    assert rows["2024-01-03"]["ks_ppm"] == pytest.approx(1.0)
+    assert rows["2024-01-03"]["gap_bucket"] == 1
+    assert rows["2024-01-03"]["n_day"] == 4
+    assert rows["2024-01-03"]["n_ref"] == 8
