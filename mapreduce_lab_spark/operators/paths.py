@@ -258,3 +258,256 @@ _PATTERN_VALUES = ", ".join(f"('{n}', '{r}')" for n, r in PATTERNS)
 )
 def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_pattern_match(load_table(spark, sf_dir, "events"))
+
+
+# --- behavioral nearest neighbor (trajectory similarity) -------------------
+
+# Tokens are (event-type initial, inter-event-gap bucket): the 5-letter
+# type alphabet alone is too small for discriminative shingles (5^3
+# trigrams saturate and every index bucket goes quadratic); cadence
+# widens it 4x AND carries the signal automation leaves (bots keep
+# regular gaps). Gap thresholds in whole seconds on truncated-epoch
+# arithmetic so both engines bucket identically.
+SEQ_SHINGLE_CHARS = 6  # 3 tokens x 2 chars
+# ABSOLUTE postings cap: shingles indexed only while <= this many
+# users carry them. A constant cap bounds every index bucket, so the
+# candidate join does at most cap * total-postings work — linear in
+# the corpus. (The first cut scaled the cap as users/10; at the sf1
+# replica that let buckets reach 1500 users and the candidate join
+# OOM'd an 8 GB heap — the same constant-fraction trap the embedding
+# lane's lsh_band_census documents. Absolute cap, measured fix below
+# in docs/SCALE.md.)
+SEQ_DF_CAP = 64
+
+
+def user_gap_codes(events: DataFrame) -> DataFrame:
+    """One row per user: the full history as a (type-initial + gap
+    bucket) token string, deterministically ordered by (ts, event_id).
+    The first event of a user gets gap class 's' (start)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    su = F.col("ts").cast("long")
+    d = su - F.lag(su).over(w)
+    gap = (
+        F.when(d < 60, F.lit("0"))
+        .when(d < 600, F.lit("1"))
+        .when(d < 3600, F.lit("2"))
+        .otherwise(F.lit("3"))
+    )
+    tok = F.concat(
+        F.substring("event_type", 1, 1), F.coalesce(gap, F.lit("s"))
+    )
+    toks = events.select("user_id", "ts", "event_id", tok.alias("tok"))
+    return toks.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            "",
+        ).alias("code")
+    )
+
+
+def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
+    """Per-user most similar OTHER user by event-trajectory Jaccard —
+    the distributed top-1 trajectory-similarity search (REPOSE, ICDE
+    2021, re-expressed relationally): cohort discovery and bot-farm
+    detection both reduce to "whose behavior is nearly mine?".
+
+    Two-tier construction, reusing the dedup lane's identical-set
+    collapse (operators/dedup.py, round-5 rewrite):
+
+    1. **Exact twins algebraically.** Users with IDENTICAL shingle
+       sets collapse into a family (md5 of the sorted set). Every
+       member of a >= 2 family gets its nearest neighbor for free —
+       the smallest co-member, Jaccard exactly 1.0, which dominates
+       any cross-family candidate — with zero join work. This is the
+       bot-farm fast path AND the degenerate-corpus guard: a corpus
+       of clones (the sf10 replica is 100 identical copies of every
+       user) resolves entirely in this tier, where the first cut's
+       per-user postings index saw every shingle's df multiplied by
+       the clone count and either went quadratic (fraction cap) or
+       empty (absolute cap).
+    2. **Cross-family candidates for singletons.** One REPRESENTATIVE
+       (the min member) per family enters the postings index;
+       shingles carried by more than SEQ_DF_CAP families are not
+       indexed (the stop-motif analogue of the dedup lane's prefix
+       filter — a motif every family shares identifies nobody).
+       Candidates share >= 1 sub-cap shingle; exact Jaccard on full
+       shingle sets ranks them; per-user argmax breaks ties by the
+       smaller neighbor id (the representative IS its family's min
+       member, so the tie rule is id-consistent across tiers).
+       Singleton users sharing no indexed shingle (or with < 3
+       events) have no meaningful neighbor and drop out.
+
+    Scale shape: the family collapse is one groupBy on a 16-byte set
+    hash; the candidate join's work is sum(df^2) over indexed
+    shingles <= SEQ_DF_CAP * rep postings — LINEAR in the corpus for
+    the absolute cap; the verify is one array_intersect per
+    candidate on distinct-shingle arrays. History strings are
+    per-user collect_lists — bounded by the retention window in
+    production (the session-scoped codes above are the
+    unbounded-history fallback).
+    """
+    codes = user_gap_codes(events)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.length("code") - (SEQ_SHINGLE_CHARS - 1), F.lit(2)
+            ),
+            lambda i: F.col("code").substr(i, F.lit(SEQ_SHINGLE_CHARS)),
+        )
+    )
+    ush = (
+        codes.where(F.length("code") >= SEQ_SHINGLE_CHARS)
+        .select("user_id", sh.alias("sh"))
+        .cache()
+    )
+    w_f = Window.partitionBy("fk")
+    fam = (
+        ush.withColumn("fk", F.md5(F.concat_ws("\x1f", F.sort_array("sh"))))
+        .withColumn("n_mem", F.count("*").over(w_f))
+        .withColumn("m1", F.min("user_id").over(w_f))
+    )
+    fam = fam.withColumn(
+        "m2",
+        F.min(
+            F.when(F.col("user_id") != F.col("m1"), F.col("user_id"))
+        ).over(w_f),
+    )
+    twins = fam.where(F.col("n_mem") >= 2).select(
+        "user_id",
+        F.when(F.col("user_id") == F.col("m1"), F.col("m2"))
+        .otherwise(F.col("m1"))
+        .alias("neighbor_id"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    reps = fam.where(F.col("user_id") == F.col("m1")).select(
+        F.col("user_id").alias("rep"), "sh", "n_mem"
+    )
+    exr = reps.select("rep", F.explode("sh").alias("s"))
+    dft = exr.groupBy("s").agg(F.count("*").alias("df"))
+    idx = exr.join(dft.where(F.col("df") <= SEQ_DF_CAP), "s").select("rep", "s")
+    cand = (
+        idx.alias("a")
+        .join(idx.alias("b"), "s")
+        .where(F.col("a.rep") != F.col("b.rep"))
+        .select(F.col("a.rep").alias("ua"), F.col("b.rep").alias("ub"))
+        .distinct()
+    )
+    a = reps.select(
+        F.col("rep").alias("ua"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_mem").alias("n_mem_a"),
+    )
+    b = reps.select(F.col("rep").alias("ub"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    scored = (
+        cand.join(a, "ua")
+        .join(b, "ub")
+        .where(F.col("n_mem_a") == 1)
+        .select(
+            "ua",
+            "ub",
+            (F.floor(inter * 1_000_000 / uni) / 1e6).alias("jaccard"),
+        )
+    )
+    rn = Window.partitionBy("ua").orderBy(
+        F.col("jaccard").desc(), F.col("ub").asc()
+    )
+    singles = (
+        scored.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ua").alias("user_id"),
+            F.col("ub").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    return twins.unionByName(singles)
+
+
+@query(
+    "behavioral_nearest_neighbor",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               event_type[1:1] || COALESCE(CASE
+                   WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                        - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                          OVER w < 60 THEN '0'
+                   WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                        - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                          OVER w < 600 THEN '1'
+                   WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                        - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                          OVER w < 3600 THEN '2'
+                   ELSE '3' END, 's') AS tok
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    codes AS (
+        SELECT user_id, string_agg(tok, '' ORDER BY ts, event_id) AS code
+        FROM g GROUP BY user_id
+    ),
+    ush AS (
+        SELECT user_id,
+               list_distinct(list_transform(
+                   generate_series(1, length(code) - {SEQ_SHINGLE_CHARS - 1}, 2),
+                   i -> code[i:i + {SEQ_SHINGLE_CHARS - 1}])) AS sh
+        FROM codes WHERE length(code) >= {SEQ_SHINGLE_CHARS}
+    ),
+    fam0 AS (
+        SELECT user_id, sh,
+               count(*) OVER (PARTITION BY list_sort(sh)::VARCHAR) AS n_mem,
+               min(user_id) OVER (PARTITION BY list_sort(sh)::VARCHAR) AS m1
+        FROM ush
+    ),
+    fam AS (
+        SELECT *, min(CASE WHEN user_id <> m1 THEN user_id END)
+                      OVER (PARTITION BY list_sort(sh)::VARCHAR) AS m2
+        FROM fam0
+    ),
+    twins AS (
+        SELECT user_id,
+               CASE WHEN user_id = m1 THEN m2 ELSE m1 END AS neighbor_id,
+               CAST(1.0 AS DOUBLE) AS jaccard
+        FROM fam WHERE n_mem >= 2
+    ),
+    reps AS (SELECT user_id AS rep, sh, n_mem FROM fam WHERE user_id = m1),
+    exr AS (SELECT rep, unnest(sh) AS s FROM reps),
+    dft AS (SELECT s, count(*) AS df FROM exr GROUP BY s),
+    idx AS (SELECT rep, s FROM exr JOIN dft USING (s)
+            WHERE df <= {SEQ_DF_CAP}),
+    cand AS (
+        SELECT DISTINCT a.rep AS ua, b.rep AS ub
+        FROM idx a JOIN idx b ON a.s = b.s
+        WHERE a.rep <> b.rep
+    ),
+    scored AS (
+        SELECT cand.ua, cand.ub,
+               floor(len(list_intersect(x.sh, y.sh)) * 1000000
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)))) / 1000000.0
+                   AS jaccard
+        FROM cand
+        JOIN reps x ON x.rep = cand.ua
+        JOIN reps y ON y.rep = cand.ub
+        WHERE x.n_mem = 1
+    ),
+    singles AS (
+        SELECT ua AS user_id, ub AS neighbor_id, jaccard
+        FROM (SELECT *, row_number() OVER (PARTITION BY ua
+                                           ORDER BY jaccard DESC, ub ASC)
+                            AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT user_id, neighbor_id, jaccard FROM twins
+    UNION ALL
+    SELECT user_id, neighbor_id, jaccard FROM singles
+    """,
+)
+def q_behavioral_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return behavioral_nearest_neighbor(load_table(spark, sf_dir, "events"))

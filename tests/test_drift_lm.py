@@ -122,6 +122,35 @@ def test_daily_mix_drift_identical_then_shifted_day(spark):
     assert rows["2024-01-03"]["top_type"] == "A"
 
 
+def test_behavioral_nearest_neighbor_twins_and_partial_overlap(spark):
+    from mapreduce_lab_spark.operators.paths import behavioral_nearest_neighbor
+
+    from datetime import timedelta
+
+    def user(uid, types, base_eid):
+        # 30-second gaps → every non-first token gets gap class '0'.
+        base = datetime(2024, 1, 1, 12, 0, 0)
+        return [
+            (uid, base + timedelta(seconds=30 * i), base_eid + i, t)
+            for i, t in enumerate(types)
+        ]
+
+    events = spark.createDataFrame(
+        user(1, ["view", "click", "purchase", "error"], 100)
+        + user(2, ["view", "click", "purchase", "error"], 200)  # exact twin
+        + user(3, ["view", "click", "purchase", "signup"], 300),  # 1/3 overlap
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    rows = {r["user_id"]: r for r in behavioral_nearest_neighbor(events).collect()}
+    # twins resolve algebraically at exactly 1.0, smallest co-member.
+    assert rows[1]["neighbor_id"] == 2 and rows[1]["jaccard"] == 1.0
+    assert rows[2]["neighbor_id"] == 1 and rows[2]["jaccard"] == 1.0
+    # the singleton matches the twin family's REPRESENTATIVE (min id)
+    # through the shared "vsc0p0" shingle; J = 1 shared / 3 union.
+    assert rows[3]["neighbor_id"] == 1
+    assert rows[3]["jaccard"] == pytest.approx(0.333333)
+
+
 def test_daily_value_ks_identical_then_disjoint_day(spark):
     def ev(day, hour, value):
         return (datetime(2024, 1, day, hour, 30), value)
