@@ -93,6 +93,8 @@ HEADLINE = [
     # day-over-trailing-week drift monitor.
     "lm_trigram_backoff_bits",
     "daily_event_mix_drift",
+    # round 8b: trajectory similarity with twin collapse.
+    "behavioral_nearest_neighbor",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -147,6 +149,7 @@ PRIMARY_INPUT = {
     "near_dup_embedding_clusters": "embeddings",
     "lm_trigram_backoff_bits": "documents",
     "daily_event_mix_drift": "events",
+    "behavioral_nearest_neighbor": "events",
 }
 
 
