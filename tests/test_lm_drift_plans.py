@@ -34,6 +34,8 @@ PRUNING = {
     # event monitors: the timestamp plus exactly the monitored column.
     "daily_event_mix_drift": {"ts", "event_type"},
     "daily_value_ks_drift": {"ts", "value"},
+    # trajectory lane: ordering keys + type; value/props prune out.
+    "behavioral_nearest_neighbor": {"user_id", "ts", "event_id", "event_type"},
 }
 
 
@@ -59,6 +61,7 @@ def test_scan_reads_only_needed_columns(spark, sf_dir, name):
         "label_centroid_drift",
         "daily_event_mix_drift",
         "daily_value_ks_drift",
+        "behavioral_nearest_neighbor",
     ],
 )
 def test_count_frames_are_map_side_combinable(spark, sf_dir, name):
