@@ -301,7 +301,14 @@ def lm_trigram_backoff_bits(docs: DataFrame) -> DataFrame:
         c123 seen:  width(c(w1 w2))  - width(c(w1 w2 w3))
         c23  seen:  1 + width(c(w2)) - width(c(w2 w3))
         c3   seen:  2 + width(N)     - width(c(w3))
-        unseen:     2 + width(N)                       -- s = 1/N
+        unseen:     2 + width(N)
+
+    The unseen floor is INTENTIONALLY one bit above the cost of a
+    train-count-1 unigram (a literal s = 1/N would be
+    2 + width(N) - width(1) = 2 + width(N) - 1): an unseen word must
+    never score cheaper than or equal to the rarest observed one, and
+    the module's stated envelope is ±1 bit per backoff level. Both
+    engines charge the identical branch, so parity is exact.
 
     Each backoff level costs exactly one extra bit (alpha = 1/2), so
     the whole score stays in integer arithmetic. Guards are

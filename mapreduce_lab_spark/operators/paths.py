@@ -287,15 +287,19 @@ def user_gap_codes(events: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     su = F.col("ts").cast("long")
     d = su - F.lag(su).over(w)
+    # The NULL-lag (first event) branch must come FIRST: inside a
+    # CASE, `d < 60` on a NULL lag is NULL-falsy and would fall through
+    # to the '3' bucket, silently conflating session starts with the
+    # >= 1h class (round-8 bug: the old `coalesce(gap, 's')` never
+    # fired because `otherwise('3')` already swallowed the NULL).
     gap = (
-        F.when(d < 60, F.lit("0"))
+        F.when(d.isNull(), F.lit("s"))
+        .when(d < 60, F.lit("0"))
         .when(d < 600, F.lit("1"))
         .when(d < 3600, F.lit("2"))
         .otherwise(F.lit("3"))
     )
-    tok = F.concat(
-        F.substring("event_type", 1, 1), F.coalesce(gap, F.lit("s"))
-    )
+    tok = F.concat(F.substring("event_type", 1, 1), gap)
     toks = events.select("user_id", "ts", "event_id", tok.alias("tok"))
     return toks.groupBy("user_id").agg(
         F.array_join(
@@ -403,15 +407,16 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
     b = reps.select(F.col("rep").alias("ub"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
+    # exact_ratio casts the int numerator to double before the 1e6
+    # scale: a bare `inter * 1_000_000` is INT*INT in Spark and wraps
+    # past inter >= 2148 (unbounded user histories CAN reach that),
+    # while the DuckDB twin's len()*1000000 is BIGINT — a latent
+    # engine divergence the repo's envelope discipline exists to kill.
     scored = (
         cand.join(a, "ua")
         .join(b, "ub")
         .where(F.col("n_mem_a") == 1)
-        .select(
-            "ua",
-            "ub",
-            (F.floor(inter * 1_000_000 / uni) / 1e6).alias("jaccard"),
-        )
+        .select("ua", "ub", exact_ratio(inter, uni).alias("jaccard"))
     )
     rn = Window.partitionBy("ua").orderBy(
         F.col("jaccard").desc(), F.col("ub").asc()
@@ -432,8 +437,13 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
     "behavioral_nearest_neighbor",
     oracle=f"""
     WITH g AS (
+        -- The IS NULL branch must be FIRST (mirrors the Spark CASE):
+        -- inside COALESCE the old ELSE '3' already absorbed the NULL
+        -- lag, so the 's' default never fired in either engine.
         SELECT user_id, ts, event_id,
-               event_type[1:1] || COALESCE(CASE
+               event_type[1:1] || CASE
+                   WHEN lag(CAST(floor(epoch(ts)) AS BIGINT))
+                          OVER w IS NULL THEN 's'
                    WHEN CAST(floor(epoch(ts)) AS BIGINT)
                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
                           OVER w < 60 THEN '0'
@@ -443,7 +453,7 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
                    WHEN CAST(floor(epoch(ts)) AS BIGINT)
                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
                           OVER w < 3600 THEN '2'
-                   ELSE '3' END, 's') AS tok
+                   ELSE '3' END AS tok
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
@@ -487,10 +497,10 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
     ),
     scored AS (
         SELECT cand.ua, cand.ub,
-               floor(len(list_intersect(x.sh, y.sh)) * 1000000
-                     / (len(x.sh) + len(y.sh)
-                        - len(list_intersect(x.sh, y.sh)))) / 1000000.0
-                   AS jaccard
+               {oracle_exact_ratio(
+                   "len(list_intersect(x.sh, y.sh))",
+                   "len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))",
+               )} AS jaccard
         FROM cand
         JOIN reps x ON x.rep = cand.ua
         JOIN reps y ON y.rep = cand.ub
