@@ -95,6 +95,9 @@ HEADLINE = [
     "daily_event_mix_drift",
     # round 8b: trajectory similarity with twin collapse.
     "behavioral_nearest_neighbor",
+    # round 9: the registered loose-threshold embedding near-dup scale
+    # route (trained inverted multi-index -> verified pairs -> CC).
+    "near_dup_embedding_ivf_clusters",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -150,6 +153,7 @@ PRIMARY_INPUT = {
     "lm_trigram_backoff_bits": "documents",
     "daily_event_mix_drift": "events",
     "behavioral_nearest_neighbor": "events",
+    "near_dup_embedding_ivf_clusters": "embeddings",
 }
 
 

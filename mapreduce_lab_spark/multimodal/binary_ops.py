@@ -6,14 +6,14 @@ travels as an opaque ``binary`` column next to a typed metadata
 struct, and all per-blob compute runs as Arrow-batched ``mapInPandas``
 (one Python invocation per ~10k-row batch, never per row).
 
-``decode_image`` is the codec seam. BMP and binary-PPM payloads
-decode FOR REAL via the dependency-free pure-Python codecs in
-``multimodal.codecs`` (oracle-checked end to end by
+``decode_image`` is the codec seam. BMP, binary-PPM, and (round 9)
+8-bit PNG payloads decode FOR REAL via the dependency-free
+pure-Python codecs in ``multimodal.codecs`` — PNG via stdlib zlib
+inflate + full five-filter unfiltering — oracle-checked end to end by
 ``multimodal_decode_stats``, which encodes text-derived pixels into
-genuine image bytes and decodes them back); compressed formats
-(png/jpeg) still raise ``NotImplementedError`` unless PIL is
-importable — exactly where a production deployment plugs in
-PIL/torchvision. ``fake_decode`` remains the deterministic test
+genuine image bytes (all three formats) and decodes them back. Only
+JPEG still raises ``NotImplementedError`` unless PIL is importable —
+exactly where a production deployment plugs in PIL/torchvision. ``fake_decode`` remains the deterministic test
 double for the resize op. Everything around the seam — schema,
 batching, partitioning, the UDTF row-explosion shape for frame
 sampling — is real and oracle-checked: the payloads here are utf-8
@@ -62,17 +62,17 @@ def blobify(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes, fmt: str):
     """Decode an image payload.
 
-    BMP and PPM payloads decode for real via the dependency-free
-    pure-Python codecs in ``multimodal.codecs`` (returns
-    ``(format, width, height, top-down RGB pixels)``). Compressed
-    formats (png/jpeg) still need a codec this container does not
-    ship, gated behind an import-try exactly where a production
-    deployment would plug PIL/torchvision in.
+    BMP, PPM, and 8-bit PNG payloads decode for real via the
+    dependency-free pure-Python codecs in ``multimodal.codecs``
+    (returns ``(format, width, height, top-down RGB pixels)``). Only
+    JPEG still needs a codec this container does not ship, gated
+    behind an import-try exactly where a production deployment would
+    plug PIL/torchvision in.
     """
     from mapreduce_lab_spark.multimodal import codecs
 
     codec_err: ValueError | None = None
-    if payload[:2] in (b"BM", b"P6"):
+    if payload[:2] in (b"BM", b"P6") or payload[:8] == codecs._PNG_SIG:
         try:
             return codecs.decode_payload(payload)
         except ValueError as err:
@@ -90,8 +90,8 @@ def decode_image(payload: bytes, fmt: str):
     except ImportError as exc:
         raise NotImplementedError(
             f"decoding {fmt!r} requires PIL, not available in this "
-            "environment; BMP/PPM decode natively, or use fake_decode() "
-            "for deterministic tests"
+            "environment; BMP/PPM/PNG decode natively, or use "
+            "fake_decode() for deterministic tests"
         ) from (codec_err or exc)
 
 
@@ -584,14 +584,16 @@ def _ship_codecs_by_value() -> None:
 def blobify_real_images(docs: DataFrame) -> DataFrame:
     """documents → REAL image payloads: each doc's text bytes become
     the grayscale pixels (r = g = b = byte k of the text, cycled) of a
-    small image whose dimensions derive from doc_id; even doc_ids
-    encode as 24-bit BMP, odd as binary PPM — so the downstream
-    decoder must dispatch on magic bytes like a real ingest path.
+    small image whose dimensions derive from doc_id; doc_id % 3
+    selects the container — 24-bit BMP, binary PPM, or 8-bit PNG — so
+    the downstream decoder must dispatch on magic bytes like a real
+    ingest path (and the PNG leg exercises the zlib inflate +
+    unfilter path end to end under the oracle hash).
     """
     from mapreduce_lab_spark.multimodal import codecs
 
     _ship_codecs_by_value()
-    enc_bmp, enc_ppm = codecs.encode_bmp, codecs.encode_ppm
+    encoders = (codecs.encode_bmp, codecs.encode_ppm, codecs.encode_png)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -602,7 +604,7 @@ def blobify_real_images(docs: DataFrame) -> DataFrame:
                 data = text.encode("utf-8") or b"\x00"
                 w, h = 4 + doc_id % 5, 3 + doc_id % 7
                 px = [(data[k % len(data)],) * 3 for k in range(w * h)]
-                enc = enc_bmp if doc_id % 2 == 0 else enc_ppm
+                enc = encoders[doc_id % 3]
                 ids.append(doc_id)
                 payloads.append(enc(w, h, px))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -667,7 +669,8 @@ WITH dims AS (
     FROM documents
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'png' END AS fmt,
        w::INT AS width, h::INT AS height,
        CAST(w * h AS BIGINT) AS n_px,
        CAST(3 * list_sum(list_transform(range(0, w * h),
@@ -681,8 +684,8 @@ FROM dims
 @query("multimodal_decode_stats", oracle=_DECODE_SQL)
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through REAL image bytes: text-derived pixels encode
-    to BMP (even doc_ids) / PPM (odd), then the pure-Python decoder
-    recovers dimensions and channel sums, oracle-checked against
+    to BMP / PPM / PNG (doc_id % 3), then the pure-Python decoders
+    recover dimensions and channel sums, oracle-checked against
     DuckDB recomputing the same pixels from the text directly."""
     return decode_image_stats(
         blobify_real_images(fan_out(load_table(spark, sf_dir, "documents"), spark))

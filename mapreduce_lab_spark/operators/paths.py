@@ -312,6 +312,82 @@ def user_gap_codes(events: DataFrame) -> DataFrame:
     )
 
 
+def _trajectory_families(events: DataFrame) -> DataFrame:
+    """Shared first half of the trajectory-NN lane: per-user shingle
+    sets collapsed into identical-set families. Returns one row per
+    user: (user_id, sh, n_mem, m1, m2) where m1/m2 are the family's
+    two smallest members (m2 NULL for singletons)."""
+    codes = user_gap_codes(events)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.length("code") - (SEQ_SHINGLE_CHARS - 1), F.lit(2)
+            ),
+            lambda i: F.col("code").substr(i, F.lit(SEQ_SHINGLE_CHARS)),
+        )
+    )
+    ush = (
+        codes.where(F.length("code") >= SEQ_SHINGLE_CHARS)
+        .select("user_id", sh.alias("sh"))
+        .cache()
+    )
+    w_f = Window.partitionBy("fk")
+    fam = (
+        ush.withColumn("fk", F.md5(F.concat_ws("\x1f", F.sort_array("sh"))))
+        .withColumn("n_mem", F.count("*").over(w_f))
+        .withColumn("m1", F.min("user_id").over(w_f))
+    )
+    return fam.withColumn(
+        "m2",
+        F.min(
+            F.when(F.col("user_id") != F.col("m1"), F.col("user_id"))
+        ).over(w_f),
+    )
+
+
+def _trajectory_reps(fam: DataFrame) -> DataFrame:
+    """One row per family: its min-member representative."""
+    return fam.where(F.col("user_id") == F.col("m1")).select(
+        F.col("user_id").alias("rep"), "sh", "n_mem"
+    )
+
+
+def _singleton_candidate_scores(fam: DataFrame) -> DataFrame:
+    """(ua, ub, jaccard): exact Jaccard on every candidate pair the
+    df-capped postings index surfaces, probed from singleton families
+    (ua); shared by the production argmax and the recall eval."""
+    reps = _trajectory_reps(fam)
+    exr = reps.select("rep", F.explode("sh").alias("s"))
+    dft = exr.groupBy("s").agg(F.count("*").alias("df"))
+    idx = exr.join(dft.where(F.col("df") <= SEQ_DF_CAP), "s").select("rep", "s")
+    cand = (
+        idx.alias("a")
+        .join(idx.alias("b"), "s")
+        .where(F.col("a.rep") != F.col("b.rep"))
+        .select(F.col("a.rep").alias("ua"), F.col("b.rep").alias("ub"))
+        .distinct()
+    )
+    a = reps.select(
+        F.col("rep").alias("ua"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_mem").alias("n_mem_a"),
+    )
+    b = reps.select(F.col("rep").alias("ub"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    # exact_ratio casts the int numerator to double before the 1e6
+    # scale: a bare `inter * 1_000_000` is INT*INT in Spark and wraps
+    # past inter >= 2148 (unbounded user histories CAN reach that),
+    # while the DuckDB twin's len()*1000000 is BIGINT — a latent
+    # engine divergence the repo's envelope discipline exists to kill.
+    return (
+        cand.join(a, "ua")
+        .join(b, "ub")
+        .where(F.col("n_mem_a") == 1)
+        .select("ua", "ub", exact_ratio(inter, uni).alias("jaccard"))
+    )
+
+
 def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
     """Per-user most similar OTHER user by event-trajectory Jaccard —
     the distributed top-1 trajectory-similarity search (REPOSE, ICDE
@@ -353,32 +429,7 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
     production (the session-scoped codes above are the
     unbounded-history fallback).
     """
-    codes = user_gap_codes(events)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.length("code") - (SEQ_SHINGLE_CHARS - 1), F.lit(2)
-            ),
-            lambda i: F.col("code").substr(i, F.lit(SEQ_SHINGLE_CHARS)),
-        )
-    )
-    ush = (
-        codes.where(F.length("code") >= SEQ_SHINGLE_CHARS)
-        .select("user_id", sh.alias("sh"))
-        .cache()
-    )
-    w_f = Window.partitionBy("fk")
-    fam = (
-        ush.withColumn("fk", F.md5(F.concat_ws("\x1f", F.sort_array("sh"))))
-        .withColumn("n_mem", F.count("*").over(w_f))
-        .withColumn("m1", F.min("user_id").over(w_f))
-    )
-    fam = fam.withColumn(
-        "m2",
-        F.min(
-            F.when(F.col("user_id") != F.col("m1"), F.col("user_id"))
-        ).over(w_f),
-    )
+    fam = _trajectory_families(events)
     twins = fam.where(F.col("n_mem") >= 2).select(
         "user_id",
         F.when(F.col("user_id") == F.col("m1"), F.col("m2"))
@@ -386,38 +437,7 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
         .alias("neighbor_id"),
         F.lit(1.0).alias("jaccard"),
     )
-    reps = fam.where(F.col("user_id") == F.col("m1")).select(
-        F.col("user_id").alias("rep"), "sh", "n_mem"
-    )
-    exr = reps.select("rep", F.explode("sh").alias("s"))
-    dft = exr.groupBy("s").agg(F.count("*").alias("df"))
-    idx = exr.join(dft.where(F.col("df") <= SEQ_DF_CAP), "s").select("rep", "s")
-    cand = (
-        idx.alias("a")
-        .join(idx.alias("b"), "s")
-        .where(F.col("a.rep") != F.col("b.rep"))
-        .select(F.col("a.rep").alias("ua"), F.col("b.rep").alias("ub"))
-        .distinct()
-    )
-    a = reps.select(
-        F.col("rep").alias("ua"),
-        F.col("sh").alias("sh_a"),
-        F.col("n_mem").alias("n_mem_a"),
-    )
-    b = reps.select(F.col("rep").alias("ub"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
-    # exact_ratio casts the int numerator to double before the 1e6
-    # scale: a bare `inter * 1_000_000` is INT*INT in Spark and wraps
-    # past inter >= 2148 (unbounded user histories CAN reach that),
-    # while the DuckDB twin's len()*1000000 is BIGINT — a latent
-    # engine divergence the repo's envelope discipline exists to kill.
-    scored = (
-        cand.join(a, "ua")
-        .join(b, "ub")
-        .where(F.col("n_mem_a") == 1)
-        .select("ua", "ub", exact_ratio(inter, uni).alias("jaccard"))
-    )
+    scored = _singleton_candidate_scores(fam)
     rn = Window.partitionBy("ua").orderBy(
         F.col("jaccard").desc(), F.col("ub").asc()
     )
@@ -433,10 +453,11 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
     return twins.unionByName(singles)
 
 
-@query(
-    "behavioral_nearest_neighbor",
-    oracle=f"""
-    WITH g AS (
+# Shared DuckDB CTE chain for the trajectory-NN lane: gap-bucket
+# token codes -> shingle sets -> identical-set families -> df-capped
+# postings index -> verified candidate scores. Consumed by both the
+# production query and the recall eval so the two can never drift.
+_TRAJ_CTES = f"""g AS (
         -- The IS NULL branch must be FIRST (mirrors the Spark CASE):
         -- inside COALESCE the old ELSE '3' already absorbed the NULL
         -- lag, so the 's' default never fired in either engine.
@@ -505,7 +526,13 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
         JOIN reps x ON x.rep = cand.ua
         JOIN reps y ON y.rep = cand.ub
         WHERE x.n_mem = 1
-    ),
+    )"""
+
+
+@query(
+    "behavioral_nearest_neighbor",
+    oracle=f"""
+    WITH {_TRAJ_CTES},
     singles AS (
         SELECT ua AS user_id, ub AS neighbor_id, jaccard
         FROM (SELECT *, row_number() OVER (PARTITION BY ua
@@ -521,3 +548,118 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
 )
 def q_behavioral_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavioral_nearest_neighbor(load_table(spark, sf_dir, "events"))
+
+
+# --- trajectory-NN candidate-recall self-eval -------------------------------
+
+# Bounded sampled query set, mirroring ann_recall_at_5's design: the
+# k smallest singleton-family representatives. An absolute k keeps the
+# exact half's broadcast side k-bounded by construction.
+TRAJ_RECALL_QUERIES = 25
+
+
+def trajectory_nn_recall(events: DataFrame) -> DataFrame:
+    """Per sampled user: does the SEQ_DF_CAP postings tier recover the
+    TRUE nearest neighbor (exact Jaccard argmax over all reps)?
+
+    The absolute df cap is what bounds the candidate join linearly —
+    and it silently costs recall on dense corpora (a user whose every
+    shingle is carried by > SEQ_DF_CAP families gets no candidates).
+    This eval measures that cost the same way ``ann_recall_at_5``
+    measures the bucketed ANN's: exact argmax on a k-bounded sampled
+    query set (TakeOrdered, no global sort) crossed against the rep
+    corpus — O(k·n) — joined against the production candidate tier's
+    argmax restricted to the same sample. ``hit`` = 1 iff they agree;
+    argmax-equality is equivalent to "true neighbor surfaced as a
+    candidate" because both sides rank by (jaccard desc, id asc) and
+    the candidate verify uses the same exact Jaccard.
+    """
+    fam = _trajectory_families(events)
+    reps = _trajectory_reps(fam)
+    queries = (
+        reps.where(F.col("n_mem") == 1)
+        .select(F.col("rep").alias("qu"), F.col("sh").alias("sh_q"))
+        .orderBy("qu")
+        .limit(TRAJ_RECALL_QUERIES)
+    )
+    others = reps.select(F.col("rep").alias("ub"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_q", "sh_b"))
+    uni = F.size("sh_q") + F.size("sh_b") - inter
+    ex = (
+        F.broadcast(queries)
+        .join(others, F.col("qu") != F.col("ub"))
+        .select("qu", "ub", exact_ratio(inter, uni).alias("j"))
+    )
+    we = Window.partitionBy("qu").orderBy(F.col("j").desc(), F.col("ub").asc())
+    exact_top = (
+        ex.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("qu").alias("user_id"),
+            F.col("ub").alias("exact_neighbor"),
+            F.col("j").alias("exact_jaccard"),
+        )
+    )
+    approx = _singleton_candidate_scores(fam).join(
+        F.broadcast(queries.select(F.col("qu").alias("ua"))), "ua"
+    )
+    wa = Window.partitionBy("ua").orderBy(
+        F.col("jaccard").desc(), F.col("ub").asc()
+    )
+    approx_top = (
+        approx.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select(F.col("ua").alias("user_id"), F.col("ub").alias("approx_neighbor"))
+    )
+    return exact_top.join(approx_top, "user_id", "left").select(
+        "user_id",
+        "exact_neighbor",
+        "exact_jaccard",
+        "approx_neighbor",
+        F.when(F.col("approx_neighbor") == F.col("exact_neighbor"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hit"),
+    )
+
+
+_TRAJ_JACC_Q = oracle_exact_ratio(
+    "len(list_intersect(q.sh_q, r.sh))",
+    "len(q.sh_q) + len(r.sh) - len(list_intersect(q.sh_q, r.sh))",
+)
+
+
+@query(
+    "trajectory_nn_recall_at_1",
+    oracle=f"""
+    WITH {_TRAJ_CTES},
+    queries AS (
+        SELECT rep AS qu, sh AS sh_q FROM reps
+        WHERE n_mem = 1 ORDER BY rep LIMIT {TRAJ_RECALL_QUERIES}
+    ),
+    ex AS (
+        SELECT q.qu, r.rep AS ub, {_TRAJ_JACC_Q} AS j
+        FROM queries q JOIN reps r ON r.rep <> q.qu
+    ),
+    exact_top AS (
+        SELECT qu AS user_id, ub AS exact_neighbor, j AS exact_jaccard
+        FROM (SELECT *, row_number() OVER (PARTITION BY qu
+                                           ORDER BY j DESC, ub ASC) AS rn
+              FROM ex)
+        WHERE rn = 1
+    ),
+    approx_top AS (
+        SELECT ua AS user_id, ub AS approx_neighbor
+        FROM (SELECT *, row_number() OVER (PARTITION BY ua
+                                           ORDER BY jaccard DESC, ub ASC) AS rn
+              FROM scored WHERE ua IN (SELECT qu FROM queries))
+        WHERE rn = 1
+    )
+    SELECT e.user_id, e.exact_neighbor, e.exact_jaccard, a.approx_neighbor,
+           CAST(CASE WHEN a.approx_neighbor = e.exact_neighbor
+                THEN 1 ELSE 0 END AS INT) AS hit
+    FROM exact_top e LEFT JOIN approx_top a USING (user_id)
+    """,
+)
+def q_trajectory_nn_recall_at_1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trajectory_nn_recall(load_table(spark, sf_dir, "events"))

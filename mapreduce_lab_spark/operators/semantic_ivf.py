@@ -1,0 +1,346 @@
+"""IVF-routed embedding near-dup: the loose-threshold 100 TB scale
+path the constant-bucket sign-LSH lane cannot provide.
+
+Why this module exists (measured, not speculative): the registered
+``lsh_band_census`` pre-flight proved that the 16-bucket-per-band
+random-hyperplane scheme enumerates candidate pairs quadratically in
+corpus size regardless of duplicate density — 0.53M → 53.3M → 7.23B
+candidates at sf0.1 → sf1 → sf10 (scripts/probe_band_candidates.py,
+docs/SCALE.md round-8 census). Until round 9 the mitigation was a
+documentation rule ("route loose thresholds to IVF"); this module
+makes the route a registered, driver-checkable contract.
+
+Index construction — an inverted multi-index (Babenko & Lempitsky,
+"The Inverted Multi-Index", CVPR 2012, re-expressed relationally):
+
+1. **Identical-vector collapse.** Exact duplicate vectors (the bulk
+   of any replica-heavy corpus) collapse to a min-vec_id
+   representative carrying its ascending member list — same algebra
+   as the dedup lane's identical-shingle-set collapse
+   (operators/dedup.py ``_collapse_reps``); a family of k clones
+   costs ONE index entry instead of C(k, 2) candidate pairs. The
+   member collect_list is bounded by the duplication factor of one
+   vector, the same bound the dedup lane's members arrays carry.
+2. **Train two half-space codebooks** of K1 = ceil(sqrt(n / C))
+   centroids each (C = IMI_TARGET_CELL) with a joint sampled Lloyd
+   loop — the per-subspace (sub, cid)-keyed trainer shape shared
+   with ``operators/clustering.py`` ``pq_train``/``pq_assign``.
+   Training touches a deterministic ~IMI_TRAIN_PER_CENT·K1-row
+   sample, so the train cost is O(n) no matter the corpus.
+3. **Assign every rep to product cells** (cid1, cid2) via ONE 1-row
+   broadcast of the collected codebook (2·K1 centroid structs — the
+   persisted model artifact every real IVF system ships to workers);
+   per-row top-2 per half is a narrow array_sort over higher-order
+   expressions, so the corpus NEVER shuffles for assignment. Probe
+   set per rep: the (1,1), (1,2), (2,1) rank-combination cells —
+   multi-probe for boundary recall.
+4. **Pair-find inside cells, verify exact cosine in-join** (same
+   verify-in-join discipline as ``near_dup_embedding_lsh``), feed the
+   verified pairs to the shared alternating-star
+   ``connected_components``, then expand member lists.
+
+Scale contract, and how it differs from the census-gated LSH lane:
+product cells number K1² ≈ n / C, so expected occupancy stays ~3·C
+CONSTANT as the corpus grows — candidate pairs grow LINEARLY (~O(n·C)
+— the ``ivf_cell_census`` query measures exactly this, and the sf0.1
+→ sf1 → sf10 sweep in docs/SCALE.md shows it where the same sweep
+census-gated the LSH pair join). The residual superlinear term is
+assignment FLOPs (n · 2·K1 half-dots = O(n^1.5 / sqrt(C))), which is
+shuffle-free, embarrassingly parallel scan-side work; the next rung
+at extreme n is a coarse quantizer tree in front of the same cells —
+the join/shuffle side, which is what actually gated the LSH lane, is
+already linear.
+
+Driver check is rows-only (iterative Lloyd training is the
+documented non-SQL-expressible class, like ``kmeans_clusters``);
+semantics are pinned by tests/test_semantic_ivf.py instead: subset-
+of-exact precision, a recall floor against the oracle-checked
+``near_dup_embedding_cosine`` baseline, exact-duplicate co-cluster
+guarantees on a constructed corpus, and the candidate-linearity
+census ratio.
+
+Driver-side actions in index construction — all scalar/metadata, the
+same class as ``connected_components``' convergence signature: one
+count() (sizes K1), one first() (reads the dimensionality).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.operators.clustering import pq_assign
+from mapreduce_lab_spark.operators.dedup import (
+    COSINE_THRESHOLD,
+    _dvec,
+    _fold_sum,
+    connected_components,
+    cosine,
+)
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import fan_out, load_table
+
+# Target postings per product cell. Occupancy ~IVF_NPROBE·C stays
+# constant as n grows because the cell count K1² ≈ n/C scales with
+# the corpus — the property the constant-bucket LSH lane lacks, so
+# candidate pairs ≈ n·nprobe²·C/2 grow LINEARLY. The (C, nprobe)
+# point is a measured recall/cost trade at the repo's deliberately
+# LOOSE cosine threshold (0.4 = 66°, the regime that killed the LSH
+# lane): at sf0.1 (2,000 vectors, 920 exact pairs) the sweep gave
+#   C=32 np=4: 0.60 recall   C=32 np=9: 0.92 @ 1456·n candidates
+#   C=64 np=6: 0.92 @ 1134·n candidates   C=64 np=9: 0.99 @ 2520·n
+# C=64/np=6 is the knee. A tight-threshold (>= 0.9) deployment would
+# drop nprobe to 2-3 and C to 32 for ~10x less verify work.
+IMI_TARGET_CELL = 64
+# Per-half candidate ranks considered for probing, and the probe
+# budget: the nprobe product cells with smallest combined d1+d2 among
+# the IMI_PROBE_RANK² rank pairs (multi-sequence order, truncated).
+IMI_PROBE_RANK = 3
+IVF_NPROBE = 6
+IMI_TRAIN_ITERS = 2
+# Deterministic training sample: ~this many vectors per centroid —
+# the standard IVF practice of training on a slice (FAISS trains on
+# 30-256 points/centroid); keeps every Lloyd round O(K1²) not O(n·K1).
+IMI_TRAIN_PER_CENT = 32
+
+
+def _sqd(va: Column, vb: Column) -> Column:
+    """Squared L2 between two array<double> columns (Column-typed twin
+    of clustering._sq_dist, which takes column names)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def collapse_identical_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id=min member, v, norm, members) — one row per DISTINCT
+    embedding vector; members is the ascending vec_id family list."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    pts = e.select("vec_id", _dvec("embedding").alias("v"))
+    return (
+        pts.groupBy("v")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+        )
+        .withColumn("norm", _fold_sum(F.zip_with("v", "v", lambda x, y: x * y)))
+        .select("vec_id", "v", "norm", "members")
+    )
+
+
+def _half_subvectors(pts: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, v) → (vec_id, sub, sv): the two half-space slices."""
+    w1 = dim // 2
+    slices = F.array(F.slice("v", 1, w1), F.slice("v", w1 + 1, dim - w1))
+    return pts.select("vec_id", F.posexplode(slices).alias("sub", "sv"))
+
+
+def train_codebooks(reps: DataFrame, n: int, k1: int, dim: int) -> DataFrame:
+    """Joint sampled Lloyd training of both half-space codebooks.
+
+    Returns (sub, cid, cv). Init is deterministic: per half, the K1
+    DISTINCT subvectors with smallest owner vec_id (distinct-first so
+    a replica-duplicated corpus cannot seed the same centroid twice).
+    Each round is one broadcast argmin (``pq_assign``) + one grouped
+    dimension-wise average over the sample — identical round shape to
+    ``clustering.pq_train``, parameterized by k1 and the sample.
+    """
+    step = max(1, n // (IMI_TRAIN_PER_CENT * k1))
+    samp = reps.where(F.col("vec_id") % step == 0).select("vec_id", "v")
+    sv = _half_subvectors(samp, dim).localCheckpoint()
+    w = Window.partitionBy("sub").orderBy("vec_id")
+    cent = (
+        sv.groupBy("sub", "sv")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k1)
+        .select("sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+        .localCheckpoint()
+    )
+    for _ in range(IMI_TRAIN_ITERS):
+        assigned = pq_assign(sv, cent)
+        cent = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(reps, codebooks, dim): the collapsed corpus and its trained
+    product-cell codebooks. reps is localCheckpoint'd once — every
+    consumer (training sample, assignment, pair verify, member
+    expansion) reads the materialized 4-column frame, not the scan."""
+    reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
+    n = reps.count()  # scalar: sizes the codebook
+    first = reps.select(F.size("v").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 2
+    k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
+    cent = train_codebooks(reps, n, k1, dim)
+    return reps, cent, dim
+
+
+def ivf_postings(
+    reps: DataFrame, cent: DataFrame, dim: int, nprobe: int = None
+) -> DataFrame:
+    """(vec_id, v, norm, c1, c2): each rep in its IVF_NPROBE probe
+    cells — the product cells with the smallest COMBINED half-space
+    distance d1 + d2 among the top-IMI_PROBE_RANK candidates per half
+    (the multi-sequence probe order of the inverted multi-index,
+    Babenko & Lempitsky 2012 §3, truncated to a fixed probe budget).
+
+    The codebook collapses to ONE row (collect_list of 2·K1 centroid
+    structs) broadcast against the corpus — a BNLJ whose broadcast
+    side is the model artifact, bounded by K1 = ceil(sqrt(n/C))
+    (~9 MB of structs even at n = 10^10). Per-row work is two
+    array_sort-of-distances over the codebook array plus a sort of
+    the IMI_PROBE_RANK² combined cells; NO shuffle of the n·K1
+    expansion ever exists (the window-over-crossJoin form
+    ``clustering.assign_nearest`` uses for K=8 would shuffle n·K1
+    64-double rows here).
+    """
+    if nprobe is None:
+        nprobe = IVF_NPROBE
+    cb = cent.agg(F.collect_list(F.struct("sub", "cid", "cv")).alias("cb"))
+    w1 = dim // 2
+
+    def tops(half: Column, s: int) -> Column:
+        ds = F.transform(
+            F.filter(F.col("cb"), lambda c: c.getField("sub") == F.lit(s)),
+            lambda c: F.struct(
+                _sqd(half, c.getField("cv")).alias("d"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+        # array_sort on (d, cid) structs = argmin with ties to the
+        # smaller centroid id — the same tie rule as pq_assign.
+        return F.slice(F.array_sort(ds), 1, IMI_PROBE_RANK)
+
+    t1 = tops(F.slice("v", 1, w1), 0)
+    t2 = tops(F.slice("v", w1 + 1, dim - w1), 1)
+    combos = F.flatten(
+        F.transform(
+            t1,
+            lambda a: F.transform(
+                t2,
+                lambda b: F.struct(
+                    (a.getField("d") + b.getField("d")).alias("d"),
+                    a.getField("cid").alias("c1"),
+                    b.getField("cid").alias("c2"),
+                ),
+            ),
+        )
+    )
+    cells = F.slice(F.array_sort(combos), 1, nprobe)
+    return (
+        reps.crossJoin(F.broadcast(cb))
+        .select("vec_id", "v", "norm", F.explode(cells).alias("cell"))
+        .select("vec_id", "v", "norm", F.col("cell.c1").alias("c1"), F.col("cell.c2").alias("c2"))
+    )
+
+
+def ivf_verified_pairs(reps: DataFrame, cent: DataFrame, dim: int) -> DataFrame:
+    """Rep-level (vec_a < vec_b) pairs with exact cosine >=
+    COSINE_THRESHOLD, found inside product cells only. The postings
+    table carries (v, norm) so the verify runs INSIDE the cell join
+    task and only survivors reach the distinct — the round-6/round-8
+    verify-in-join discipline."""
+    p = ivf_postings(reps, cent, dim)
+    x = p.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"), "c1", "c2",
+    )
+    y = p.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"), "c1", "c2",
+    )
+    return (
+        x.join(y, ["c1", "c2"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+@query("near_dup_embedding_ivf_clusters")
+def q_near_dup_embedding_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters (cosine >= 0.4, min-vec_id labels) via
+    the trained inverted multi-index — the registered loose-threshold
+    scale route the round-8 census demanded (see module docstring).
+
+    Output contract matches ``near_dup_embedding_clusters``: every
+    vector that has at least one cosine >= 0.4 partner (including
+    exact-duplicate family members) appears once with its component's
+    min vec_id; isolated vectors drop out. Member expansion restores
+    collapsed families: a family whose rep joined a component
+    inherits that component's label; a >= 2 family whose rep found no
+    cross-family partner is its own cluster labeled by the rep (= min
+    member, so labels are min-over-members in every case).
+    """
+    reps, cent, dim = build_ivf_index(spark, sf_dir)
+    pairs = ivf_verified_pairs(reps, cent, dim).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = connected_components(pairs).withColumnRenamed("doc_id", "rep")
+    fam = reps.select(F.col("vec_id").alias("rep"), "members")
+    return (
+        fam.join(labels, "rep", "left")
+        .where(F.col("cluster_id").isNotNull() | (F.size("members") >= 2))
+        .select(
+            F.explode("members").alias("vec_id"),
+            F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"),
+        )
+    )
+
+
+@query("ivf_cell_census")
+def q_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight occupancy census of the trained product-cell index —
+    the IVF twin of ``lsh_band_census``/``minhash_band_census``, and
+    the query whose cross-scale sweep PROVES the linear-candidates
+    claim (docs/SCALE.md round-9 census: cand_pairs grows ~n where
+    the sign-LSH census grew ~n²).
+
+    One row: distinct reps indexed, trained cells (K1² product
+    space), occupied cells, total postings, the candidate-pair
+    workload the cell self-join will enumerate (sum C(occ, 2)), and
+    the hottest cell (straggler bound). Runs WITHOUT the pair join —
+    one assignment pass + a cell-cardinality-bounded aggregate.
+    """
+    reps, cent, dim = build_ivf_index(spark, sf_dir)
+    occ = ivf_postings(reps, cent, dim).groupBy("c1", "c2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k_per_sub = cent.groupBy("sub").agg(F.count(F.lit(1)).alias("k"))
+    # product of the two per-half codebook sizes; exp-sum-log over the
+    # 2-row frame, rounded before the cast so 169.0000...3 stays 169.
+    trained_cells = k_per_sub.agg(
+        F.coalesce(
+            F.round(F.exp(F.sum(F.log("k")))).cast("long"), F.lit(0)
+        ).alias("trained_cells")
+    )
+    return occ.agg(
+        F.count(F.lit(1)).alias("occupied_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("postings"),
+        F.coalesce((F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long"), F.lit(0)).alias("cand_pairs"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_cell"),
+    ).crossJoin(F.broadcast(trained_cells)).select(
+        "trained_cells", "occupied_cells", "postings", "cand_pairs", "max_cell"
+    )

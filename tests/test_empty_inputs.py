@@ -102,6 +102,10 @@ REPRESENTATIVES = [
     "ann_pq_adc",
     "multimodal_frame_dedup",
     "domain_quota_cap",
+    # round 9: IVF lane (driver-scalar count + collected codebook —
+    # exactly the class this suite exists to pin on empty inputs)
+    "near_dup_embedding_ivf_clusters",
+    "ivf_cell_census",
 ]
 
 

@@ -8,8 +8,8 @@ from mapreduce_lab_spark.multimodal.binary_ops import decode_image, fake_decode
 
 
 def test_decode_image_gates_compressed_formats_only():
-    """BMP/PPM decode natively (see the codec tests below); compressed
-    formats stay behind the PIL import gate."""
+    """BMP/PPM/PNG decode natively (see the codec tests below); only
+    JPEG stays behind the PIL import gate."""
     try:
         import PIL  # noqa: F401
 
@@ -17,7 +17,15 @@ def test_decode_image_gates_compressed_formats_only():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...", "png")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16, "jpeg")
+
+
+def test_decode_image_png_native_no_pil():
+    """A real PNG payload decodes through the seam with no PIL."""
+    from mapreduce_lab_spark.multimodal.codecs import encode_png
+
+    px = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    assert decode_image(encode_png(2, 2, px), "png") == ("png", 2, 2, px)
 
 
 def test_fake_decode_deterministic_shape():
@@ -65,11 +73,112 @@ def test_decode_payload_dispatches_on_magic():
         decode_payload, encode_bmp, encode_ppm,
     )
 
+    from mapreduce_lab_spark.multimodal.codecs import encode_png
+
     px = [(9, 8, 7)] * 6
     assert decode_payload(encode_bmp(3, 2, px))[0] == "bmp"
     assert decode_payload(encode_ppm(3, 2, px))[0] == "ppm"
+    assert decode_payload(encode_png(3, 2, px))[0] == "png"
+    # 4 bytes of PNG magic without the full 8-byte signature is junk
     with pytest.raises(ValueError, match="unknown image magic"):
         decode_payload(b"\x89PNG....")
+
+
+# --- PNG codec: round-trip, all five filters, integrity ---------------------
+
+
+def test_png_roundtrip_rgb():
+    from mapreduce_lab_spark.multimodal.codecs import decode_png, encode_png
+
+    px = [((x * 37) % 256, (x * 89) % 256, (x * 151) % 256) for x in range(12)]
+    assert decode_png(encode_png(4, 3, px)) == (4, 3, px)
+
+
+def _png_with_filters(w, h, px, ftypes):
+    """Assemble a PNG whose row r uses filter ftypes[r], applying the
+    spec's forward filtering so the decoder's unfilter must invert
+    exactly (PNG spec §9: Sub/Up/Average/Paeth over raw bytes)."""
+    import struct
+    import zlib
+
+    from mapreduce_lab_spark.multimodal.codecs import _paeth, _png_chunk, _PNG_SIG
+
+    stride = w * 3
+    rows = [
+        bytes(b for x in range(w) for b in px[y * w + x]) for y in range(h)
+    ]
+    out = bytearray()
+    prev = bytes(stride)
+    for y, raw in enumerate(rows):
+        f = ftypes[y]
+        out.append(f)
+        for k in range(stride):
+            a = raw[k - 3] if k >= 3 else 0
+            b = prev[k]
+            c = prev[k - 3] if k >= 3 else 0
+            if f == 0:
+                v = raw[k]
+            elif f == 1:
+                v = raw[k] - a
+            elif f == 2:
+                v = raw[k] - b
+            elif f == 3:
+                v = raw[k] - ((a + b) >> 1)
+            else:
+                v = raw[k] - _paeth(a, b, c)
+            out.append(v & 0xFF)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilters_all_five_filter_types():
+    from mapreduce_lab_spark.multimodal.codecs import decode_png
+
+    w, h = 5, 5
+    px = [((x * 13 + 7) % 256, (x * 31) % 256, (255 - x * 17) % 256)
+          for x in range(w * h)]
+    payload = _png_with_filters(w, h, px, ftypes=[0, 1, 2, 3, 4])
+    assert decode_png(payload) == (w, h, px)
+
+
+def test_png_grayscale_and_rgba_normalize_to_rgb():
+    import struct
+    import zlib
+
+    from mapreduce_lab_spark.multimodal.codecs import (
+        _png_chunk, _PNG_SIG, decode_png,
+    )
+
+    # 2x1 grayscale, filter 0: values 10, 200
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    pay = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes([0, 10, 200])))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(pay) == (2, 1, [(10, 10, 10), (200, 200, 200)])
+    # 1x1 RGBA, filter 0: alpha dropped
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    pay = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes([0, 1, 2, 3, 128])))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(pay) == (1, 1, [(1, 2, 3)])
+
+
+def test_png_rejects_corrupt_crc_and_truncation():
+    from mapreduce_lab_spark.multimodal.codecs import decode_png, encode_png
+
+    px = [(1, 2, 3)] * 4
+    good = bytearray(encode_png(2, 2, px))
+    good[20] ^= 0xFF  # flip a byte inside IHDR data
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        decode_png(encode_png(2, 2, px)[:-30])
 
 
 def test_decode_image_seam_uses_real_codecs():

@@ -61,9 +61,15 @@ BNLJ_AUDITED = {
     "knn_cosine_bruteforce": "k-bounded query side (explicit recall baseline)",
     "ann_recall_at_5": "k-bounded query side crossed against the corpus for "
     "the exact half of the recall measurement (sampled-query eval job)",
+    "trajectory_nn_recall_at_1": "k-bounded (25-row TakeOrdered) sampled "
+    "query side crossed against trajectory reps — the exact half of the "
+    "candidate-recall eval, same shape as ann_recall_at_5",
     "near_dup_embedding_cosine": "O(n²) recall baseline, max_rows-guarded",
     "ann_int8_quantized": "bounded query side vs quantized corpus",
     "ivf_knn_cosine": "broadcast centroid table (K rows)",
+    "ivf_cell_census": "1-row collected-codebook frame (2·K1 centroid "
+    "structs, K1 ~ sqrt(n/64) — the broadcast IMI model artifact) plus a "
+    "1-row trained-cells scalar",
     "kmeans_clusters": "broadcast centroid table (K rows per iteration)",
 }
 
