@@ -270,14 +270,20 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic so both engines bucket identically.
 SEQ_SHINGLE_CHARS = 6  # 3 tokens x 2 chars
 # ABSOLUTE postings cap: shingles indexed only while <= this many
-# users carry them. A constant cap bounds every index bucket, so the
-# candidate join does at most cap * total-postings work — linear in
-# the corpus. (The first cut scaled the cap as users/10; at the sf1
-# replica that let buckets reach 1500 users and the candidate join
-# OOM'd an 8 GB heap — the same constant-fraction trap the embedding
-# lane's lsh_band_census documents. Absolute cap, measured fix below
-# in docs/SCALE.md.)
-SEQ_DF_CAP = 64
+# FAMILIES carry them. A constant cap bounds every index bucket, so
+# the candidate join does at most cap * total-postings work — linear
+# in the corpus. (The first cut scaled the cap as users/10; at the
+# sf1 replica that let buckets reach 1500 users and the candidate
+# join OOM'd an 8 GB heap — the same constant-fraction trap the
+# embedding lane's lsh_band_census documents. Absolute cap, measured
+# fix in docs/SCALE.md.) 512 (was 64 in round 8) is the measured
+# recall knee from the round-9 trajectory_nn_recall_at_1 eval: the
+# sf0.1 shingle df distribution is bimodal and the common-motif lobe
+# sits at df 257-512, so cap 64/128/256 all recover only 12/25 true
+# top-1 neighbors while 512 recovers 25/25 — at +1.4 s on the sf0.1
+# wall (15.5 vs 14.1 s cold) because the distinct collapses the
+# df^2 candidate multiplicity before the verify.
+SEQ_DF_CAP = 512
 
 
 def user_gap_codes(events: DataFrame) -> DataFrame:

@@ -172,3 +172,18 @@ def test_daily_value_ks_identical_then_disjoint_day(spark):
     assert rows["2024-01-03"]["gap_bucket"] == 1
     assert rows["2024-01-03"]["n_day"] == 4
     assert rows["2024-01-03"]["n_ref"] == 8
+
+
+def test_trajectory_nn_recall_floor_sf01(spark):
+    """The SEQ_DF_CAP=512 postings tier must recover the true top-1
+    neighbor for (almost) every sampled singleton user on the organic
+    sf0.1 corpus — the measured knee the round-9 cap re-tune pinned
+    (64/128/256 all sat at 12/25; 512 measures 25/25, floor 0.9 for
+    corpus robustness). See docs/SCALE.md round-9 eval table."""
+    from mapreduce_lab_spark.operators.paths import trajectory_nn_recall
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.1", "events")
+    rows = trajectory_nn_recall(events).collect()
+    assert len(rows) == 25
+    assert sum(r["hit"] for r in rows) / len(rows) >= 0.9
