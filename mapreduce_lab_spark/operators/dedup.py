@@ -47,6 +47,7 @@ from mapreduce_lab_spark.functions.hashing import (
     perm_hash,
 )
 from mapreduce_lab_spark.functions.guards import guard_quadratic
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
 from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
@@ -1134,6 +1135,77 @@ def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+@query(
+    "embedding_lsh_recall_eval",
+    oracle=f"""
+    WITH {_RP_CAND_CTE}, lshp AS (
+      SELECT vec_a, vec_b
+      FROM cand
+      JOIN n a ON a.vec_id = cand.vec_a
+      JOIN n b ON b.vec_id = cand.vec_b,
+      LATERAL (SELECT {_O_DOT} AS dot
+               FROM (SELECT a.v AS ea, b.v AS eb)) sub
+      WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+    ), exactp AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM n a, n b,
+           LATERAL (SELECT {_O_DOT} AS dot
+                    FROM (SELECT a.v AS ea, b.v AS eb)) sub
+      WHERE a.vec_id < b.vec_id
+        AND sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+    )
+    SELECT (SELECT count(*) FROM exactp) AS n_exact,
+           (SELECT count(*) FROM lshp) AS n_lsh,
+           (SELECT count(*) FROM exactp JOIN lshp USING (vec_a, vec_b))
+               AS n_hit,
+           {oracle_exact_ratio(
+               "(SELECT count(*) FROM exactp JOIN lshp USING (vec_a, vec_b))",
+               "greatest((SELECT count(*) FROM exactp), 1)",
+           )} AS recall
+    """,
+)
+def q_embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered recall self-eval for the banded random-hyperplane
+    near-dup pair path — the driver-checkable twin of
+    tests/test_dedup.py's recall-floor pytest, completing the eval
+    family (``ann_recall_at_5`` for the ANN lane,
+    ``trajectory_nn_recall_at_1`` for the trajectory lane): exact
+    baseline pair count, LSH pair count, their intersection, and the
+    recall ratio, in one row.
+
+    The exact half inherits ``near_dup_embedding_cosine``'s
+    guard_quadratic row bound — at 100 TB this eval job runs on a
+    bounded SAMPLE of the corpus (that is what a recall eval is), and
+    the guard is what enforces the sampling contract.
+    """
+    # Both pair frames materialize ONCE (the lsh side via the shared
+    # session artifact, the exact side via its own checkpoint): the
+    # three count legs + the intersection would otherwise re-execute
+    # the corpus scan 8x (caught by test_plan_hygiene's dup-scan cap).
+    exact = (
+        q_near_dup_embedding_cosine(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    lsh = embedding_lsh_pair_table(spark, sf_dir).select("vec_a", "vec_b")
+    hit = exact.join(lsh, ["vec_a", "vec_b"])
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        e.crossJoin(F.broadcast(l))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            exact_ratio(
+                F.col("n_hit"), F.greatest(F.col("n_exact"), F.lit(1))
+            ).alias("recall"),
+        )
     )
 
 

@@ -1,0 +1,233 @@
+"""Storage-layout analytics: what a 100 TB table's PHYSICAL order is
+worth.
+
+ABSENT from the reference (one text file per map task, no columnar
+layout at all — SURVEY.md §1.2); on a real lake the single biggest
+scan lever after column pruning is row-group/file SKIPPING, and
+whether skipping fires for a multi-dimensional predicate is decided
+when the data is WRITTEN: a table sorted by one key prunes only that
+key's predicates, while a space-filling-curve (Z-order) key keeps
+min/max ranges tight on every interleaved dimension at once (public
+technique: Morton order, used by Delta/Iceberg OPTIMIZE ZORDER).
+
+``zorder_layout_census`` quantifies that trade on the lineitem table
+WITHOUT writing anything: it simulates both layouts by assigning rows
+to equal-width value-range "files" on the respective sort key (a
+range-partitioned write), computes each file's per-dimension min/max
+footer stats, and counts the files a fixed 2-D range predicate could
+skip. Everything is exact integer bit arithmetic, so the whole census
+— including the 20-bit Morton interleave — is oracle-checked.
+
+Scale shape: the Morton key is a per-row integer expression (no
+shuffle); the census shuffles (file, partial-min/max/count) only —
+N_FILES groups — so the query is one linear scan plus a 64-row
+rollup. No global sort is ever taken (an equal-COUNT ntile would pull
+the table through one partition; equal-WIDTH ranges are the
+shuffle-free stand-in and mirror how range-partitioned writers
+actually bound file contents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+Z_BITS = 10           # bits per dimension (dims bucketed mod 2^Z_BITS)
+N_FILES = 64          # simulated files per layout
+# the 2-D range predicate whose skippability the census measures
+D1_LO, D1_HI = 100, 299
+D2_LO, D2_HI = 400, 599
+
+
+def _z_sql(d1: str, d2: str, shl: str, shr: str) -> str:
+    """Morton interleave of two Z_BITS-bit ints as engine SQL; ``shl``
+    / ``shr`` are format strings so Spark gets shiftleft()/shiftright()
+    and DuckDB gets << / >>. d2's bit i lands at position 2i, d1's at
+    2i+1 (d1 = major dimension on ties)."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(shl.format(x=f"({shr.format(x=d1, n=i)}) % 2", n=2 * i + 1))
+        terms.append(shl.format(x=f"({shr.format(x=d2, n=i)}) % 2", n=2 * i))
+    return " + ".join(terms)
+
+
+_SPARK_SHL = "shiftleft({x}, {n})"
+_SPARK_SHR = "shiftright({x}, {n})"
+_DUCK_SHL = "(({x}) << {n})"
+_DUCK_SHR = "(({x}) >> {n})"
+
+
+def zorder_layout_census(lineitem: DataFrame) -> DataFrame:
+    """Per layout ('linear' = sorted by d1, 'zorder' = Morton(d1,d2)):
+    simulated file count, files/rows a 2-D range predicate must scan
+    given min/max footer stats, and the skip ratio."""
+    width_d1 = (1 << Z_BITS) // N_FILES
+    width_z = (1 << (2 * Z_BITS)) // N_FILES
+    base = lineitem.select(
+        F.pmod("l_partkey", F.lit(1 << Z_BITS)).cast("int").alias("d1"),
+        F.pmod("l_suppkey", F.lit(1 << Z_BITS)).cast("int").alias("d2"),
+    ).withColumn("z", F.expr(_z_sql("d1", "d2", _SPARK_SHL, _SPARK_SHR)))
+
+    def leg(tag: str, file_col) -> DataFrame:
+        files = (
+            base.withColumn("f", file_col)
+            .groupBy("f")
+            .agg(
+                F.min("d1").alias("min1"), F.max("d1").alias("max1"),
+                F.min("d2").alias("min2"), F.max("d2").alias("max2"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+        )
+        hit = (
+            (F.col("min1") <= D1_HI) & (F.col("max1") >= D1_LO)
+            & (F.col("min2") <= D2_HI) & (F.col("max2") >= D2_LO)
+        )
+        return files.agg(
+            F.lit(tag).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit.cast("long")).alias("files_scanned"),
+            F.sum(F.when(hit, F.col("rows")).otherwise(0)).alias("rows_scanned"),
+            exact_ratio(
+                F.count(F.lit(1)) - F.sum(hit.cast("long")), F.count(F.lit(1))
+            ).alias("skip_ratio"),
+        ).select("layout", "n_files", "files_scanned", "rows_scanned", "skip_ratio")
+
+    # explicit floor on BOTH engines: DuckDB's CAST(x AS INT) rounds
+    # half-even while Spark's cast truncates — floor-then-cast is the
+    # one spelling with identical semantics (all values non-negative).
+    lin = leg("linear", F.floor(F.col("d1") / F.lit(width_d1)).cast("int"))
+    zo = leg("zorder", F.floor(F.col("z") / F.lit(width_z)).cast("int"))
+    return lin.unionByName(zo)
+
+
+def _oracle_leg(tag: str, file_expr: str) -> str:
+    width_d1 = (1 << Z_BITS) // N_FILES  # noqa: F841 (doc symmetry)
+    return f"""
+    SELECT '{tag}' AS layout,
+           count(*) AS n_files,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+           CAST(sum(CASE WHEN hit THEN rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           {oracle_exact_ratio(
+               "count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END)",
+               "count(*)",
+           )} AS skip_ratio
+    FROM (
+      SELECT {file_expr} AS f,
+             min(d1) <= {D1_HI} AND max(d1) >= {D1_LO}
+             AND min(d2) <= {D2_HI} AND max(d2) >= {D2_LO} AS hit,
+             count(*) AS rows
+      FROM b GROUP BY 1
+    )"""
+
+
+@query(
+    "zorder_layout_census",
+    oracle=f"""
+    WITH b AS (
+      SELECT d1, d2, {_z_sql("d1", "d2", _DUCK_SHL, _DUCK_SHR)} AS z
+      FROM (
+        SELECT CAST(l_partkey % {1 << Z_BITS} AS INT) AS d1,
+               CAST(l_suppkey % {1 << Z_BITS} AS INT) AS d2
+        FROM lineitem
+      )
+    )
+    {_oracle_leg("linear", f"CAST(floor(d1 / {(1 << Z_BITS) // N_FILES}) AS INT)")}
+    UNION ALL
+    {_oracle_leg("zorder", f"CAST(floor(z / {(1 << (2 * Z_BITS)) // N_FILES}) AS INT)")}
+    """,
+)
+def q_zorder_layout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zorder_layout_census(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- posting-list compression estimate --------------------------------------
+
+# Delta + varint (LEB128) — the classic inverted-index layout every
+# search/retrieval system ships (Lucene's VInt, public format): sorted
+# doc ids per term become gaps, each gap costs ceil(bits/7) bytes.
+_VARINT_THRESHOLDS = [(1 << 7, 1), (1 << 14, 2), (1 << 21, 3), (1 << 28, 4)]
+
+
+def _varint_bytes_spark(gap) -> "F.Column":
+    c = None
+    for bound, nbytes in _VARINT_THRESHOLDS:
+        c = (F.when(gap < bound, nbytes) if c is None
+             else c.when(gap < bound, nbytes))
+    return c.otherwise(5)
+
+
+def _varint_bytes_sql(gap: str) -> str:
+    cases = " ".join(
+        f"WHEN ({gap}) < {bound} THEN {nbytes}"
+        for bound, nbytes in _VARINT_THRESHOLDS
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+_ORACLE_TOKENS = "[t for t in regexp_split_to_array(text, '[^\\p{L}]+') if t <> '']"
+
+
+def postings_compression_estimate(docs: DataFrame) -> DataFrame:
+    """ONE row: how many bytes the corpus' inverted index costs raw
+    (8 B/posting) vs delta+varint — the storage decision every
+    retrieval deployment prices before writing an index.
+
+    Scale shape: postings stream through a (term)-partitioned window
+    computing the doc-id delta per posting (no posting LIST is ever
+    materialized — a collect_list per term is unbounded on stop
+    words); the rollup is a map-side-combinable global sum. The first
+    posting of a term is charged varint(doc_id + 1) so every gap is
+    >= 1 and the estimate matches a real from-zero delta chain.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_lab_spark.functions.text import tokenize
+
+    post = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"), "doc_id")
+        .distinct()
+    )
+    win = Window.partitionBy("w").orderBy("doc_id")
+    gap = F.coalesce(
+        F.col("doc_id") - F.lag("doc_id").over(win), F.col("doc_id") + 1
+    )
+    per = post.select("w", _varint_bytes_spark(gap).alias("nb"))
+    return per.agg(
+        F.countDistinct("w").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_postings"),
+        (F.count(F.lit(1)) * 8).alias("raw_bytes"),
+        F.sum("nb").alias("varint_bytes"),
+        exact_ratio(F.sum("nb"), F.count(F.lit(1)) * 8).alias("compressed_frac"),
+    ).select("n_terms", "n_postings", "raw_bytes", "varint_bytes", "compressed_frac")
+
+
+@query(
+    "postings_compression_estimate",
+    oracle=f"""
+    WITH post AS (
+      SELECT DISTINCT w, doc_id
+      FROM (SELECT doc_id, unnest({_ORACLE_TOKENS}) AS w FROM documents)
+    ), g AS (
+      SELECT w, coalesce(doc_id - lag(doc_id) OVER (PARTITION BY w
+                                                    ORDER BY doc_id),
+                         doc_id + 1) AS gap
+      FROM post
+    )
+    SELECT count(DISTINCT w) AS n_terms,
+           count(*) AS n_postings,
+           count(*) * 8 AS raw_bytes,
+           CAST(sum({_varint_bytes_sql("gap")}) AS BIGINT) AS varint_bytes,
+           {oracle_exact_ratio(
+               f'sum({_varint_bytes_sql("gap")})', "count(*) * 8"
+           )} AS compressed_frac
+    FROM g
+    """,
+)
+def q_postings_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return postings_compression_estimate(load_table(spark, sf_dir, "documents"))

@@ -361,3 +361,78 @@ def q_ivm_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm_join_revenue(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+# --- k-anonymity census (privacy / data-governance lane) --------------------
+
+# Quasi-identifier for the customer table: coarse location x segment x
+# balance band — the classic "could this row be re-identified" triple.
+# Buckets are exact integer floors so both engines band identically.
+K_RISK_THRESHOLD = 5
+
+
+def k_anonymity_census(customer: DataFrame) -> DataFrame:
+    """Equivalence-class size census over a quasi-identifier triple —
+    the k-anonymity report (Sweeney 2002, public) a data-governance
+    pass runs BEFORE releasing a 100 TB table: how many rows sit in
+    classes smaller than k = 5 (re-identifiable), and the class-size
+    histogram.
+
+    One groupBy on the QI triple (map-side combinable), then a
+    class-size histogram over the |classes|-row frame — event volume
+    never reaches the second aggregate. Output: one row per class-size
+    band with class/row counts and each band's share of all rows.
+    """
+    qi = [
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ]
+    cls = customer.groupBy(*qi).agg(F.count(F.lit(1)).alias("k"))
+    band = (
+        F.when(F.col("k") == 1, F.lit("1 (unique)"))
+        .when(F.col("k") < K_RISK_THRESHOLD, F.lit("2-4 (risky)"))
+        .when(F.col("k") < 10, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+    total = cls.agg(F.sum("k").alias("n_rows_total"))
+    return (
+        cls.select(band.alias("k_band"), "k")
+        .groupBy("k_band")
+        .agg(F.count(F.lit(1)).alias("n_classes"), F.sum("k").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k_band",
+            "n_classes",
+            "n_rows",
+            exact_ratio(F.col("n_rows"), F.col("n_rows_total")).alias("row_share"),
+        )
+    )
+
+
+@query(
+    "k_anonymity_census",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS k
+      FROM customer
+      GROUP BY 1, 2, 3
+    ), banded AS (
+      SELECT CASE WHEN k = 1 THEN '1 (unique)'
+                  WHEN k < {K_RISK_THRESHOLD} THEN '2-4 (risky)'
+                  WHEN k < 10 THEN '5-9'
+                  ELSE '10+' END AS k_band,
+             k
+      FROM cls
+    )
+    SELECT k_band, count(*) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           {oracle_exact_ratio("sum(k)", "(SELECT sum(k) FROM cls)")}
+               AS row_share
+    FROM banded GROUP BY k_band
+    """,
+)
+def q_k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymity_census(load_table(spark, sf_dir, "customer"))

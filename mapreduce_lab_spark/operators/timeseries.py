@@ -409,3 +409,67 @@ def ewma_daily_revenue(orders: DataFrame) -> DataFrame:
 )
 def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_daily_revenue(load_table(spark, sf_dir, "orders"))
+
+
+# --- seasonal-naive forecast + backtest MAE ---------------------------------
+
+SEASON_DAYS = 7
+
+
+def seasonal_naive_mae(orders: DataFrame) -> DataFrame:
+    """Per order-priority: the backtest MAE of the seasonal-naive
+    forecaster (predict today's revenue = revenue SEASON_DAYS ago) —
+    the baseline every demand/capacity forecast must beat, and the
+    cheapest possible drift alarm on a revenue stream.
+
+    Calendar-correct: the lag is a self-join on (priority, day - 7),
+    NOT a 7-ROW window lag — missing days must not slide the season.
+    Exact fixed-point units throughout: daily sums are exact integer
+    cents, |actual - forecast| stays integer, and only the final MAE
+    division renders a double, so the hash gate is exact.
+
+    Scale shape: one map-side-combinable (priority, day) aggregate,
+    then a self-join on the same key the aggregate just partitioned
+    by — Catalyst reuses the partitioning; frames are calendar-sized.
+    """
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(to_units(F.col("o_totalprice"), 100)).alias("units"))
+    cur = daily.select("priority", "day", "units")
+    past = daily.select(
+        "priority",
+        F.date_add("day", SEASON_DAYS).alias("day"),
+        F.col("units").alias("f_units"),
+    )
+    scored = cur.join(past, ["priority", "day"])
+    err = F.abs(F.col("units") - F.col("f_units"))
+    return scored.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum(err).cast("double") / (F.count(F.lit(1)) * 100)).alias("mae"),
+    ).select("priority", "n_days", "mae")
+
+
+@query(
+    "seasonal_naive_mae",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_orderdate AS DATE) AS day,
+             sum({oracle_units('o_totalprice', 100)}) AS units
+      FROM orders GROUP BY 1, 2
+    ), scored AS (
+      SELECT c.priority, abs(c.units - p.units) AS err
+      FROM daily c
+      -- DATE - INTEGER stays DATE in DuckDB (an INTERVAL arithmetic
+      -- would type as TIMESTAMP and silently fail the equi-join)
+      JOIN daily p ON p.priority = c.priority
+                  AND p.day = c.day - {SEASON_DAYS}
+    )
+    SELECT priority, count(*) AS n_days,
+           (CAST(sum(err) AS DOUBLE) / (count(*) * 100)) AS mae
+    FROM scored GROUP BY priority
+    """,
+)
+def q_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_naive_mae(load_table(spark, sf_dir, "orders"))

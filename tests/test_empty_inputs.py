@@ -106,6 +106,13 @@ REPRESENTATIVES = [
     # exactly the class this suite exists to pin on empty inputs)
     "near_dup_embedding_ivf_clusters",
     "ivf_cell_census",
+    # round 9: layout / governance / eval lanes
+    "zorder_layout_census",
+    "postings_compression_estimate",
+    "k_anonymity_census",
+    "seasonal_naive_mae",
+    "embedding_lsh_recall_eval",
+    "trajectory_nn_recall_at_1",
 ]
 
 

@@ -45,6 +45,7 @@ BNLJ_AUDITED = {
     "trailing-window tail",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
     "weighted_sample_orders": "1-row total-weight frame",
+    "k_anonymity_census": "1-row total-rows frame scales the band shares",
     "dsir_select_topk": "1-row corpus/target token-total frame scales the "
     "per-bucket lift",
     "lm_bigram_bits": "1-row vocabulary-size frame (add-one denominator)",
@@ -65,6 +66,8 @@ BNLJ_AUDITED = {
     "query side crossed against trajectory reps — the exact half of the "
     "candidate-recall eval, same shape as ann_recall_at_5",
     "near_dup_embedding_cosine": "O(n²) recall baseline, max_rows-guarded",
+    "embedding_lsh_recall_eval": "three 1-row count frames fused; the exact "
+    "half inherits the max_rows-guarded recall baseline (sampled eval job)",
     "ann_int8_quantized": "bounded query side vs quantized corpus",
     "ivf_knn_cosine": "broadcast centroid table (K rows)",
     "ivf_cell_census": "1-row collected-codebook frame (2·K1 centroid "
