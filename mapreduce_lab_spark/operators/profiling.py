@@ -436,3 +436,111 @@ def k_anonymity_census(customer: DataFrame) -> DataFrame:
 )
 def q_k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_census(load_table(spark, sf_dir, "customer"))
+
+
+# --- histogram selectivity estimation (optimizer-statistics lane) -----------
+
+# Equi-width histogram over l_extendedprice; the three range predicates
+# whose optimizer-style row estimates the report scores against truth.
+HIST_WIDTH = 1000
+SELECTIVITY_PREDICATES = [
+    ("narrow_band", 20_000, 25_000),
+    ("mid_band", 40_000, 70_000),
+    ("upper_tail", 90_000, 999_999_999),
+]
+
+
+def selectivity_histogram_report(lineitem: DataFrame) -> DataFrame:
+    """Per range predicate: the row-count ESTIMATE a bucket-granular
+    equi-width histogram yields vs the TRUE count, with the relative
+    error — the statistics loop every cost-based optimizer (and every
+    partition-pruning layout decision) lives on, run as a first-class
+    query so the estimate quality is itself measurable at scale.
+
+    Bucket-granular convention (deterministic, integer-exact): any
+    bucket OVERLAPPING the predicate counts fully — the upper bound a
+    min/max-zone-map skipper uses, so est >= actual always and the
+    error is exactly the boundary-bucket mass. One histogram pass
+    (map-side combinable, ~100 groups) + one conditional-sum pass for
+    all true counts; estimates are conditional sums over the ~100-row
+    histogram frame fused to the 1-row truth frame.
+    """
+    b = F.floor(F.col("l_extendedprice") / HIST_WIDTH).cast("long")
+    hist = lineitem.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("n"))
+
+    def overlaps(lo: int, hi: int):
+        # bucket [b*W, (b+1)*W) overlaps [lo, hi] iff b*W <= hi and
+        # (b+1)*W > lo
+        return (F.col("b") * HIST_WIDTH <= hi) & ((F.col("b") + 1) * HIST_WIDTH > lo)
+
+    est = hist.agg(
+        *[
+            F.sum(F.when(overlaps(lo, hi), F.col("n")).otherwise(0)).alias(f"est_{name}")
+            for name, lo, hi in SELECTIVITY_PREDICATES
+        ]
+    )
+    act = lineitem.agg(
+        *[
+            F.sum(
+                (
+                    (F.col("l_extendedprice") >= lo)
+                    & (F.col("l_extendedprice") <= hi)
+                ).cast("long")
+            ).alias(f"act_{name}")
+            for name, lo, hi in SELECTIVITY_PREDICATES
+        ]
+    )
+    wide = est.crossJoin(F.broadcast(act))
+    legs = [
+        wide.select(
+            F.lit(name).alias("predicate"),
+            F.col(f"est_{name}").alias("est_rows"),
+            F.col(f"act_{name}").alias("actual_rows"),
+            exact_ratio(
+                F.abs(F.col(f"est_{name}") - F.col(f"act_{name}")),
+                F.greatest(F.col(f"act_{name}"), F.lit(1)),
+            ).alias("rel_err"),
+        )
+        for name, _, _ in SELECTIVITY_PREDICATES
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _sel_oracle_leg(name: str, lo: int, hi: int) -> str:
+    return f"""
+    SELECT '{name}' AS predicate,
+           (SELECT CAST(sum(n) AS BIGINT) FROM hist
+            WHERE b * {HIST_WIDTH} <= {hi}
+              AND (b + 1) * {HIST_WIDTH} > {lo}) AS est_rows,
+           (SELECT count(*) FROM lineitem
+            WHERE l_extendedprice >= {lo} AND l_extendedprice <= {hi})
+               AS actual_rows,
+           {oracle_exact_ratio(
+               f'''abs((SELECT sum(n) FROM hist
+                        WHERE b * {HIST_WIDTH} <= {hi}
+                          AND (b + 1) * {HIST_WIDTH} > {lo})
+                   - (SELECT count(*) FROM lineitem
+                      WHERE l_extendedprice >= {lo}
+                        AND l_extendedprice <= {hi}))''',
+               f'''greatest((SELECT count(*) FROM lineitem
+                             WHERE l_extendedprice >= {lo}
+                               AND l_extendedprice <= {hi}), 1)''',
+           )} AS rel_err"""
+
+
+@query(
+    "selectivity_histogram_report",
+    oracle="WITH hist AS (\n"
+    f"  SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS b,\n"
+    "         count(*) AS n\n"
+    "  FROM lineitem GROUP BY 1\n"
+    ")\n"
+    + "\nUNION ALL".join(
+        _sel_oracle_leg(name, lo, hi) for name, lo, hi in SELECTIVITY_PREDICATES
+    ),
+)
+def q_selectivity_histogram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return selectivity_histogram_report(load_table(spark, sf_dir, "lineitem"))
