@@ -77,7 +77,6 @@ from mapreduce_lab_spark.operators.dedup import (
     _dvec,
     _fold_sum,
     connected_components,
-    cosine,
 )
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
@@ -254,27 +253,69 @@ def ivf_postings(
     )
 
 
+# rows per GEMM block inside a cell: bounds the scored slab at
+# GEMM_BLOCK x max_cell float64s (a 5k-row hot cell scores in 43 MB
+# slabs instead of one 220 MB matrix).
+GEMM_BLOCK = 1024
+
+
 def ivf_verified_pairs(reps: DataFrame, cent: DataFrame, dim: int) -> DataFrame:
     """Rep-level (vec_a < vec_b) pairs with exact cosine >=
-    COSINE_THRESHOLD, found inside product cells only. The postings
-    table carries (v, norm) so the verify runs INSIDE the cell join
-    task and only survivors reach the distinct — the round-6/round-8
-    verify-in-join discipline."""
+    COSINE_THRESHOLD, verified per cell as a blocked Gram matrix.
+
+    The verify is grouped ``applyInPandas`` over (c1, c2): Arrow ships
+    each cell's POSTINGS (n·d floats) once and BLAS scores all
+    in-cell pairs as X @ X.T in GEMM blocks — the production shape
+    for dense vector verify. The first cut expressed the same dots as
+    per-pair higher-order expressions inside the cell self-join;
+    correct, but HOF folds are interpreted (outside whole-stage
+    codegen), and at sf10's measured 453M candidates that verify was
+    the whole wall clock (>10 min local); the GEMM form moves the
+    same flops into vectorized BLAS and ships ~1000x less data than a
+    pair join would (postings, not candidate pairs). A pair caught by
+    k probe cells is emitted k times and collapsed by the distinct —
+    redundant BLAS flops are far cheaper than deduping pre-verify.
+
+    Numeric note: this query is rows-only at the driver (trained
+    index), so the verify needs no cross-engine IEEE parity — BLAS
+    accumulation order may differ from the oracle-exact left fold the
+    ORACLED exact baseline uses; a pair whose true cosine sits within
+    float ulps of the threshold could differ, which the recall tests
+    tolerate by construction (floors, not equality).
+    """
     p = ivf_postings(reps, cent, dim)
-    x = p.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("norm").alias("norm_a"), "c1", "c2",
-    )
-    y = p.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("norm").alias("norm_b"), "c1", "c2",
-    )
+    thr = COSINE_THRESHOLD
+
+    def verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        inv = 1.0 / np.sqrt(pdf["norm"].to_numpy(dtype=np.float64))
+        Xn = X * inv[:, None]
+        out_a, out_b = [], []
+        for s in range(0, len(ids), GEMM_BLOCK):
+            blk = Xn[s : s + GEMM_BLOCK]
+            S = blk @ Xn.T  # block x all
+            bi, cj = np.nonzero(S >= thr)
+            gi = bi + s
+            keep = cj > gi  # strict upper triangle in global indices
+            a, b = ids[gi[keep]], ids[cj[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype="int64"),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype="int64"),
+            }
+        )
+
     return (
-        x.join(y, ["c1", "c2"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b")
+        p.groupBy("c1", "c2")
+        .applyInPandas(verify, schema="vec_a long, vec_b long")
         .distinct()
     )
 
