@@ -280,9 +280,12 @@ SEQ_SHINGLE_CHARS = 6  # 3 tokens x 2 chars
 # recall knee from the round-9 trajectory_nn_recall_at_1 eval: the
 # sf0.1 shingle df distribution is bimodal and the common-motif lobe
 # sits at df 257-512, so cap 64/128/256 all recover only 12/25 true
-# top-1 neighbors while 512 recovers 25/25 — at +1.4 s on the sf0.1
-# wall (15.5 vs 14.1 s cold) because the distinct collapses the
-# df^2 candidate multiplicity before the verify.
+# top-1 neighbors while 512 recovers 25/25. Measured cost at sf0.1:
+# cold 14.1 -> 15.5 s, steady-state warm 5.7 -> 13.6 s (the larger
+# candidate set is real work) — the 2x recall is judged worth the 2x
+# warm verify; a recall-insensitive deployment dials the cap back
+# down and this trade is exactly what trajectory_nn_recall_at_1
+# measures per corpus.
 SEQ_DF_CAP = 512
 
 
