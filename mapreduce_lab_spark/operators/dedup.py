@@ -1319,6 +1319,73 @@ def q_minhash_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_lsh_recall_eval",
+    oracle=f"""
+    WITH {_O_MH_CTE}, e AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ), jp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, count(*) AS inter
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), exactp AS (
+      SELECT doc_a, doc_b FROM jp WHERE 2 * inter >= na + nb - inter
+    ), lshp AS (
+      SELECT doc_a, doc_b FROM ({_O_MH_VERIFIED})
+    )
+    SELECT (SELECT count(*) FROM exactp) AS n_exact,
+           (SELECT count(*) FROM lshp) AS n_lsh,
+           (SELECT count(*) FROM exactp JOIN lshp USING (doc_a, doc_b))
+               AS n_hit,
+           {oracle_exact_ratio(
+               "(SELECT count(*) FROM exactp JOIN lshp USING (doc_a, doc_b))",
+               "greatest((SELECT count(*) FROM exactp), 1)",
+           )} AS recall
+    """,
+)
+def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered recall self-eval for the MinHash+LSH near-dup path
+    vs the exact J >= 0.5 baseline (``near_dup_ngram_jaccard``) — the
+    token-lane member of the eval family (``ann_recall_at_5``,
+    ``embedding_lsh_recall_eval``, ``trajectory_nn_recall_at_1``):
+    exact pair count, banded pair count, intersection, recall, one
+    row. Both inputs are existing oracled queries, so this eval
+    checks the EVAL ARITHMETIC cross-engine while the recall number
+    itself is the 4x4-banding operating point (P[collide] =
+    1 - (1 - J^4)^4 — ~0.5 at J = 0.5, ~1 at J >= 0.8; exact twins
+    always collide). At 100 TB this runs on a bounded sample — both
+    parents already collapse identical-shingle families, so the
+    sample is of distinct CONTENT, not rows.
+    """
+    exact = (
+        q_near_dup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    lsh = (
+        q_near_dup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    hit = exact.join(lsh, ["doc_a", "doc_b"])
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        e.crossJoin(F.broadcast(l))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            exact_ratio(
+                F.col("n_hit"), F.greatest(F.col("n_exact"), F.lit(1))
+            ).alias("recall"),
+        )
+    )
+
+
 # --- near-dup clusters (connected components) ------------------------------
 
 

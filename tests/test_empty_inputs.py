@@ -112,6 +112,7 @@ REPRESENTATIVES = [
     "k_anonymity_census",
     "seasonal_naive_mae",
     "embedding_lsh_recall_eval",
+    "minhash_lsh_recall_eval",
     "trajectory_nn_recall_at_1",
 ]
 
