@@ -490,7 +490,11 @@ def selectivity_histogram_report(lineitem: DataFrame) -> DataFrame:
             for name, lo, hi in SELECTIVITY_PREDICATES
         ]
     )
-    wide = est.crossJoin(F.broadcast(act))
+    # ONE row; cache so the three unpivot legs below share a single
+    # materialization of the histogram + truth scans instead of
+    # re-executing both per leg (6 live lineitem scans -> 2, caught
+    # by test_plan_hygiene's dup-scan cap).
+    wide = est.crossJoin(F.broadcast(act)).cache()
     legs = [
         wide.select(
             F.lit(name).alias("predicate"),
