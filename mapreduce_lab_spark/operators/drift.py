@@ -475,8 +475,18 @@ def daily_value_ks_drift(events: DataFrame) -> DataFrame:
         )
         .groupBy("day", "bucket")
         .agg(F.count("*").alias("n"))
-        .cache()
     )
+    return ks_drift_from_counts(b)
+
+
+def ks_drift_from_counts(b: DataFrame) -> DataFrame:
+    """The windowed KS compare over a materialized (day, bucket, n)
+    count frame — shared by the batch query above and the streaming
+    replay (streaming/replay.py), which maintains the count state in
+    Structured Streaming and hands the drained sink here (the same
+    split as ``mix_drift_from_counts``: prefix-sum window frames are
+    not streaming-expressible)."""
+    b = b.cache()
     cur = b.select(
         "day", "bucket", F.col("n").alias("dc"), F.lit(0).cast("long").alias("rc")
     )
@@ -539,9 +549,7 @@ def daily_value_ks_drift(events: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "daily_value_ks_drift",
-    oracle=f"""
+KS_DRIFT_SQL = f"""
     WITH b AS (
         SELECT CAST(ts AS DATE) AS day,
                CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
@@ -589,7 +597,9 @@ def daily_value_ks_drift(events: DataFrame) -> DataFrame:
            {oracle_exact_ratio('ksn', 'n_day * n_ref')} AS ks_ppm,
            gap_bucket
     FROM agg JOIN top ON agg.day = top.day AND top.rn = 1
-    """,
-)
+    """
+
+
+@query("daily_value_ks_drift", oracle=KS_DRIFT_SQL)
 def q_daily_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_value_ks_drift(load_table(spark, sf_dir, "events"))

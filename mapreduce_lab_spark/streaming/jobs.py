@@ -114,6 +114,23 @@ def streaming_daily_type_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_daily_value_buckets(stream: DataFrame) -> DataFrame:
+    """Daily (day, dollar-bucket) counts — the stateful half of the
+    numeric-drift monitor (operators/drift.py daily_value_ks_drift):
+    the stream maintains per-day binned counts; the prefix-sum KS
+    compare runs batch-side over the materialized sink (window
+    frames are not streaming-expressible). Same 1-day tumbling ==
+    to_date(ts) equivalence as streaming_daily_type_counts."""
+    return (
+        stream.groupBy(
+            F.window("ts", "1 day"),
+            F.floor("value").cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "bucket", "n")
+    )
+
+
 def streaming_sliding_15min(stream: DataFrame) -> DataFrame:
     return sliding_counts(stream)
 

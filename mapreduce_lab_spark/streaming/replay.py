@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.chunking import _CHUNK_ORACLE_BODY
 from mapreduce_lab_spark.operators.dedup import _INCR_MINHASH_ORACLE
-from mapreduce_lab_spark.operators.drift import MIX_DRIFT_SQL, mix_drift_from_counts
+from mapreduce_lab_spark.operators.drift import (
+    KS_DRIFT_SQL,
+    MIX_DRIFT_SQL,
+    ks_drift_from_counts,
+    mix_drift_from_counts,
+)
 from mapreduce_lab_spark.operators.events import (
     _MULTI_GRAIN_SQL,
     SESSION_ORACLE,
@@ -381,3 +386,21 @@ def q_streaming_event_mix_drift_replay(
         F.to_date("window_start").alias("day"), "event_type", "c"
     )
     return mix_drift_from_counts(dt)
+
+
+@query("streaming_value_ks_drift_replay", oracle=KS_DRIFT_SQL)
+def q_streaming_value_ks_drift_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The numeric-drift monitor's production shape: Structured
+    Streaming maintains the daily (day, dollar-bucket) count state
+    (complete mode — final counts per day), and the integer
+    prefix-sum KS compare (operators/drift.py) runs batch-side over
+    the materialized sink. Oracled by the SAME SQL as the batch twin
+    daily_value_ks_drift — a hash match proves the streamed binned
+    state reproduces the batch counts exactly."""
+    counts = _drain(
+        jobs.streaming_daily_value_buckets(_stream(spark, sf_dir)), "complete"
+    )
+    b = counts.select(F.to_date("window_start").alias("day"), "bucket", "n")
+    return ks_drift_from_counts(b)
