@@ -1018,6 +1018,13 @@ def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     token shingles); the planes are seed-pinned module constants the
     oracle re-embeds as literals, which is what makes the
     construction differentially testable end-to-end.
+
+    LOOSE-THRESHOLD ROUTING (round 9): this constant-16-bucket scheme
+    enumerates candidates quadratically in corpus size (census-gated
+    above ~sf1 — ``lsh_band_census``, docs/SCALE.md); past that
+    scale, route to the registered
+    ``near_dup_embedding_ivf_clusters`` (operators/semantic_ivf.py),
+    whose trained product cells keep candidates linear.
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _dvec("embedding").alias("v")
