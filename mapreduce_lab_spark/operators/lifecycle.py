@@ -365,3 +365,76 @@ def q_scd2_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension refreshed incrementally from the post-split delta;
     oracle = the monolithic full rebuild."""
     return scd2_incremental(load_table(spark, sf_dir, "events"))
+
+
+# --- conversion lag percentiles ---------------------------------------------
+
+
+def conversion_lag_percentiles(events: DataFrame) -> DataFrame:
+    """Signup-to-first-purchase latency distribution — the
+    time-to-convert half of the funnel family (the funnel above
+    counts WHO converts; this measures HOW FAST): per user, the lag
+    from the FIRST signup to the FIRST purchase at or after it, then
+    exact type-7 percentiles over the per-user lag seconds.
+
+    Truncated-epoch seconds (ts.cast(long) == floor(epoch(ts))) keep
+    the lag integer and cross-engine exact; min-after-filter gives
+    the first conversion without any per-user ordering. Scale shape:
+    two map-side-combinable per-user aggregates joined on user_id —
+    Catalyst aligns the partitioning — and the percentile runs over
+    one row per CONVERTED user.
+    """
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    lag = (
+        s.join(p, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.col("p_ts").cast("long") - F.col("s_ts").cast("long")
+            ).alias("lag_s")
+        )
+    )
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("lag_s", F.lit(0.5)).alias("lag_p50"),
+        F.percentile("lag_s", F.lit(0.9)).alias("lag_p90"),
+        F.percentile("lag_s", F.lit(0.99)).alias("lag_p99"),
+        F.max("lag_s").alias("lag_max"),
+    )
+
+
+@query(
+    "conversion_lag_percentiles",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    lag AS (
+      SELECT s.user_id,
+             min(CAST(floor(epoch(e.ts)) AS BIGINT)
+                 - CAST(floor(epoch(s.s_ts)) AS BIGINT)) AS lag_s
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+      GROUP BY 1
+    )
+    SELECT count(*) AS n_converted,
+           quantile_cont(lag_s, 0.5) AS lag_p50,
+           quantile_cont(lag_s, 0.9) AS lag_p90,
+           quantile_cont(lag_s, 0.99) AS lag_p99,
+           max(lag_s) AS lag_max
+    FROM lag
+    """,
+)
+def q_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_lag_percentiles(load_table(spark, sf_dir, "events"))

@@ -114,6 +114,7 @@ REPRESENTATIVES = [
     "embedding_lsh_recall_eval",
     "minhash_lsh_recall_eval",
     "trajectory_nn_recall_at_1",
+    "conversion_lag_percentiles",
 ]
 
 
