@@ -30,26 +30,29 @@ Index construction — an inverted multi-index (Babenko & Lempitsky,
 3. **Assign every rep to product cells** (cid1, cid2) via ONE 1-row
    broadcast of the collected codebook (2·K1 centroid structs — the
    persisted model artifact every real IVF system ships to workers);
-   per-row top-2 per half is a narrow array_sort over higher-order
+   per-row ranking is a narrow array_sort over higher-order
    expressions, so the corpus NEVER shuffles for assignment. Probe
-   set per rep: the (1,1), (1,2), (2,1) rank-combination cells —
-   multi-probe for boundary recall.
-4. **Pair-find inside cells, verify exact cosine in-join** (same
-   verify-in-join discipline as ``near_dup_embedding_lsh``), feed the
-   verified pairs to the shared alternating-star
-   ``connected_components``, then expand member lists.
+   set per rep: the IVF_NPROBE product cells with smallest combined
+   half-distance among the IMI_PROBE_RANK² rank pairs — the
+   multi-sequence probe order, truncated to a fixed budget.
+4. **Pair-find inside cells, verified per cell as a blocked Gram
+   matrix** (grouped ``applyInPandas``: Arrow ships postings once,
+   BLAS scores X @ X.T in bounded slabs), feed the verified pairs to
+   the shared alternating-star ``connected_components``, then expand
+   member lists.
 
 Scale contract, and how it differs from the census-gated LSH lane:
-product cells number K1² ≈ n / C, so expected occupancy stays ~3·C
-CONSTANT as the corpus grows — candidate pairs grow LINEARLY (~O(n·C)
-— the ``ivf_cell_census`` query measures exactly this, and the sf0.1
-→ sf1 → sf10 sweep in docs/SCALE.md shows it where the same sweep
-census-gated the LSH pair join). The residual superlinear term is
-assignment FLOPs (n · 2·K1 half-dots = O(n^1.5 / sqrt(C))), which is
-shuffle-free, embarrassingly parallel scan-side work; the next rung
-at extreme n is a coarse quantizer tree in front of the same cells —
-the join/shuffle side, which is what actually gated the LSH lane, is
-already linear.
+product cells number K1² ≈ n / C, so expected occupancy stays
+~IVF_NPROBE·C CONSTANT as the corpus grows — candidate pairs grow
+LINEARLY (≈ n·nprobe²·C/2; the ``ivf_cell_census`` query measures
+exactly this, and the sf0.1 → sf1 → sf10 sweep in docs/SCALE.md shows
+4x rows → 4.35x candidates, then 453M at sf10 where the same sweep
+census-gated the LSH pair join at 7.23B). The residual superlinear
+term is assignment FLOPs (n · 2·K1 half-dots = O(n^1.5 / sqrt(C))),
+which is shuffle-free, embarrassingly parallel scan-side work; the
+next rung at extreme n is a coarse quantizer tree in front of the
+same cells — the join/shuffle side, which is what actually gated the
+LSH lane, is already linear.
 
 Driver check is rows-only (iterative Lloyd training is the
 documented non-SQL-expressible class, like ``kmeans_clusters``);
