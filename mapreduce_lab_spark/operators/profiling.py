@@ -548,3 +548,203 @@ def _sel_oracle_leg(name: str, lo: int, hi: int) -> str:
 )
 def q_selectivity_histogram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selectivity_histogram_report(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- l-diversity census (privacy / data-governance lane) --------------------
+
+# Quasi-identifier PAIR (location x balance band) with the market
+# segment as the SENSITIVE attribute: k-anonymity alone is satisfied
+# by a class of 50 rows that all share one segment — an attacker who
+# locates a person's class learns their segment with certainty.
+# l-diversity (Machanavajjhala et al. 2007, public) counts DISTINCT
+# sensitive values per class; classes with l = 1 are homogeneous
+# disclosures no matter how large k is.
+
+
+def l_diversity_census(customer: DataFrame) -> DataFrame:
+    """Per distinct-sensitive-count l: how many quasi-identifier
+    classes have exactly l distinct market segments, how many rows sit
+    in them, and each band's share of all rows — the companion report
+    to ``k_anonymity_census`` a governance pass runs before release.
+
+    One groupBy on the QI pair computing (count, count_distinct) —
+    the distinct expands to Catalyst's two-phase distinct-aggregate
+    plan, still map-side combinable on the first phase — then a
+    histogram over the |classes|-row frame. l is bounded by the
+    sensitive-attribute cardinality (5 segments), so the output is a
+    <= 5-row frame at any data size.
+    """
+    cls = customer.groupBy(
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct(F.col("c_mktsegment")).alias("l"),
+    )
+    total = cls.agg(F.sum("k").alias("n_rows_total"))
+    return (
+        cls.groupBy("l")
+        .agg(F.count(F.lit(1)).alias("n_classes"), F.sum("k").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l",
+            "n_classes",
+            "n_rows",
+            exact_ratio(F.col("n_rows"), F.col("n_rows_total")).alias("row_share"),
+        )
+    )
+
+
+@query(
+    "l_diversity_census",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS k,
+             count(DISTINCT c_mktsegment) AS l
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT l, count(*) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           {oracle_exact_ratio("sum(k)", "(SELECT sum(k) FROM cls)")}
+               AS row_share
+    FROM cls GROUP BY l
+    """,
+)
+def q_l_diversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return l_diversity_census(load_table(spark, sf_dir, "customer"))
+
+
+# --- distributed exact order statistics (selection without sorting) ---------
+
+# Exact quantiles of l_extendedprice by iterative histogram
+# refinement. Spark's own exact ``percentile`` aggregate buffers every
+# value of a group in one task — fine at test scale, an OOM at 100 TB.
+# The classic distributed-selection alternative (Blum et al.'s
+# selection problem in the aggregation setting): each pass computes a
+# COUNT histogram at a finer bucket width restricted to the candidate
+# range, the driver walks the (bounded, <= ~1200-row) histogram to
+# find which child bucket holds the k-th element, and recursion stops
+# when the bucket width reaches one cent — prices carry 2 decimal
+# places, so a width-1 bucket IS the value. Three passes of map-side
+# combinable aggregation, never a global sort, never more than a few
+# KB on the driver: the same number of scans at 100 TB as at sf0.001.
+
+QUANTILE_PCTS = (25, 50, 75, 95)
+# Bucket widths in cents per refinement level. Level 1 spans the whole
+# price domain (~11M cents / 1e6 -> ~12 buckets); each later level
+# splits the surviving bucket 100x; width 1 terminates exactly.
+QUANTILE_LEVELS = (1_000_000, 10_000, 100, 1)
+
+
+def distributed_exact_quantiles(lineitem: DataFrame) -> DataFrame:
+    """(percentile, k, value, n_le) for each target percentile — value
+    is the EXACT k-th smallest l_extendedprice with k = ceil(pct*n/100)
+    computed in pure integer arithmetic, and n_le the distributed
+    verification count of rows <= value (>= k always; > k only under
+    ties).
+
+    The refinement passes run at query-construction time (the same
+    bounded-collect discipline as kmeans/BPE/IVF training: each
+    collected frame is histogram-width-bounded, independent of row
+    count). The RETURNED frame is a real distributed job: one fused
+    conditional-sum aggregation pass verifying every quantile's rank
+    position against the full table.
+    """
+    pu = F.round(F.col("l_extendedprice") * 100).cast("long")
+    src = lineitem.select(pu.alias("pu"))
+
+    # Level 1: full-domain histogram; also yields n.
+    w0 = QUANTILE_LEVELS[0]
+    h = {
+        r["b"]: r["n"]
+        for r in src.groupBy((F.col("pu") / w0).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(h.values())
+    # state per pct: (bucket at current level, remaining offset within it)
+    state: dict[int, tuple[int, int]] = {}
+    for pct in QUANTILE_PCTS:
+        k = (n_total * pct + 99) // 100  # ceil without floats
+        cum = 0
+        for b in sorted(h):
+            if cum + h[b] >= k:
+                state[pct] = (b, k - cum)
+                break
+            cum += h[b]
+
+    for li, width in enumerate(QUANTILE_LEVELS[1:], start=1):
+        parent_w = QUANTILE_LEVELS[li - 1]
+        ranges = sorted({state[p][0] for p in state})
+        cond = None
+        for b in ranges:
+            c = (F.col("pu") >= b * parent_w) & (F.col("pu") < (b + 1) * parent_w)
+            cond = c if cond is None else (cond | c)
+        hist = {
+            r["b"]: r["n"]
+            for r in src.where(cond)
+            .groupBy((F.col("pu") / width).cast("long").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for pct, (pb, off) in state.items():
+            cum = 0
+            lo, hi = pb * parent_w // width, (pb + 1) * parent_w // width
+            for b in sorted(x for x in hist if lo <= x < hi):
+                if cum + hist[b] >= off:
+                    state[pct] = (b, off - cum)
+                    break
+                cum += hist[b]
+
+    # Verification pass (the returned distributed frame): one fused agg.
+    aggs = []
+    for pct in QUANTILE_PCTS:
+        v = state[pct][0]  # width-1 bucket == the value in cents
+        aggs.append(F.sum((F.col("pu") <= v).cast("long")).alias(f"le_{pct}"))
+    one = src.agg(*aggs)
+    legs = []
+    for pct in QUANTILE_PCTS:
+        v = state[pct][0]
+        k = (n_total * pct + 99) // 100
+        legs.append(
+            one.select(
+                F.lit(pct).alias("pct"),
+                F.lit(k).cast("long").alias("k"),
+                (F.lit(v).cast("double") / 100).alias("value"),
+                F.col(f"le_{pct}").alias("n_le"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _quantile_oracle_leg(pct: int) -> str:
+    k = f"(SELECT (nt * {pct} + 99) // 100 FROM n)"
+    v = f"(SELECT v FROM ranked WHERE rn = {k})"
+    return f"""
+    SELECT {pct} AS pct,
+           CAST({k} AS BIGINT) AS k,
+           {v} AS value,
+           (SELECT count(*) FROM lineitem WHERE l_extendedprice <= {v})
+               AS n_le"""
+
+
+# Independent algorithm on the oracle side: a full sort + row_number
+# (fine at oracle scale, the exact thing the Spark side exists to
+# avoid at 100 TB).
+_QUANTILE_ORACLE = (
+    "WITH ranked AS (SELECT l_extendedprice AS v,\n"
+    "  row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem),\n"
+    "n AS (SELECT count(*) AS nt FROM lineitem)\n"
+    + " UNION ALL ".join(_quantile_oracle_leg(p) for p in QUANTILE_PCTS)
+)
+
+
+@query("distributed_exact_quantiles", oracle=_QUANTILE_ORACLE)
+def q_distributed_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distributed_exact_quantiles(load_table(spark, sf_dir, "lineitem"))

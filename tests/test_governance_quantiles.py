@@ -1,0 +1,61 @@
+"""Micro-cases for the governance census and distributed selection.
+
+The registry parity sweep already checks both queries against DuckDB
+at the fixture scale; these pin the SEMANTICS on hand-checkable
+frames — l-diversity's homogeneous-class detection, and the exact
+k-th-order-statistic contract of the histogram-refinement selection
+(including the tie case, where n_le > k is correct).
+"""
+
+from __future__ import annotations
+
+from mapreduce_lab_spark.operators.profiling import (
+    QUANTILE_PCTS,
+    distributed_exact_quantiles,
+    l_diversity_census,
+)
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    # Class (nation 1, band 0): 3 rows, ONE segment -> l = 1.
+    # Class (nation 2, band 0): 2 rows, TWO segments -> l = 2.
+    rows = [
+        (1, 100.0, "AUTO"),
+        (1, 200.0, "AUTO"),
+        (1, 300.0, "AUTO"),
+        (2, 100.0, "AUTO"),
+        (2, 200.0, "HOUSE"),
+    ]
+    df = spark.createDataFrame(rows, "c_nationkey int, c_acctbal double, c_mktsegment string")
+    out = {r["l"]: r for r in l_diversity_census(df).collect()}
+    assert out[1]["n_classes"] == 1 and out[1]["n_rows"] == 3
+    assert out[2]["n_classes"] == 1 and out[2]["n_rows"] == 2
+    assert abs(out[1]["row_share"] - 0.6) < 1e-9
+
+
+def test_exact_quantiles_known_values(spark):
+    # Values 1.00 .. 20.00: k = ceil(pct * 20 / 100), value = k dollars.
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 21)], "l_extendedprice double"
+    )
+    got = {r["pct"]: r for r in distributed_exact_quantiles(df).collect()}
+    n = 20
+    for pct in QUANTILE_PCTS:
+        k = (n * pct + 99) // 100
+        assert got[pct]["k"] == k
+        assert got[pct]["value"] == float(k)
+        assert got[pct]["n_le"] == k  # no ties here
+
+
+def test_exact_quantiles_ties_and_rank_invariant(spark):
+    # 10 copies of 5.00 and 10 copies of 9.00: the median (k=10) is
+    # 5.00 and n_le = 10; p75 (k=15) is 9.00 with n_le = 20 (> k,
+    # the documented tie case).
+    df = spark.createDataFrame(
+        [(5.0,)] * 10 + [(9.0,)] * 10, "l_extendedprice double"
+    )
+    got = {r["pct"]: r for r in distributed_exact_quantiles(df).collect()}
+    assert got[50]["value"] == 5.0 and got[50]["n_le"] == 10
+    assert got[75]["value"] == 9.0 and got[75]["n_le"] == 20
+    for pct in QUANTILE_PCTS:
+        assert got[pct]["n_le"] >= got[pct]["k"]

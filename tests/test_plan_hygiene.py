@@ -46,6 +46,11 @@ BNLJ_AUDITED = {
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
     "weighted_sample_orders": "1-row total-weight frame",
     "k_anonymity_census": "1-row total-rows frame scales the band shares",
+    "l_diversity_census": "1-row total-rows frame scales the band shares",
+    "entity_resolution_scores": "1-row candidate-pair-total frame scales "
+    "the pattern shares",
+    "weak_label_vote_census": "1-row corpus-doc-count frame scales the "
+    "pattern shares",
     "selectivity_histogram_report": "1-row truth frame fused to the 1-row "
     "histogram-estimate frame (both conditional-sum aggregates)",
     "dsir_select_topk": "1-row corpus/target token-total frame scales the "
