@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
 from mapreduce_lab_spark.operators.ngrams import _ORACLE_TOKENS, _bigrams
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
@@ -219,3 +220,123 @@ def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed classifier at a 7-point threshold grid."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return classifier_pr_curve(docs, spark)
+
+
+# --- weak supervision: labeling-function vote census ------------------------
+
+# Programmatic labeling (Ratner et al., Snorkel, VLDB 2018 — public):
+# instead of hand labels, K cheap heuristic labeling functions (LFs)
+# each emit +1 / -1 / 0 (abstain) per document and a weighted vote
+# combines them. At 100 TB this is the *first* labeling pass a
+# training-data pipeline can afford; the census of LF agreement
+# patterns below is also exactly the input the Snorkel generative
+# model trains on (pattern counts, not raw rows).
+#
+# The three LFs here are deterministic so the DuckDB oracle rebuilds
+# them bit-for-bit:
+#   lf_speed: more 'fast' than 'slow' tokens -> +1, fewer -> -1
+#   lf_len:   n_chars >= 300 -> +1, < 120 -> -1
+#   lf_topic: has 'spark' and 'query' -> +1, has 'dup' -> -1
+# Vote = 2*lf_speed + lf_len + lf_topic (speed is the trusted LF);
+# label = sign(vote).
+
+LF_LEN_HI = 300
+LF_LEN_LO = 120
+
+
+def weak_label_votes(docs: DataFrame) -> DataFrame:
+    """Per-document LF vector, vote score, and voted label — narrow
+    per-row expressions only (array scalars on the split text), no
+    shuffle until the caller aggregates."""
+    words = F.split(F.col("text"), " ")
+
+    def cnt(tok: str) -> F.Column:
+        return F.size(F.filter(words, lambda w: w == F.lit(tok)))
+
+    lf_speed = (
+        F.when(cnt("fast") > cnt("slow"), F.lit(1))
+        .when(cnt("fast") < cnt("slow"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    lf_len = (
+        F.when(F.col("n_chars") >= LF_LEN_HI, F.lit(1))
+        .when(F.col("n_chars") < LF_LEN_LO, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    lf_topic = (
+        F.when(
+            F.array_contains(words, "spark") & F.array_contains(words, "query"),
+            F.lit(1),
+        )
+        .when(F.array_contains(words, "dup"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    score = F.lit(2) * lf_speed + lf_len + lf_topic
+    return docs.select(
+        "doc_id",
+        lf_speed.alias("lf_speed"),
+        lf_len.alias("lf_len"),
+        lf_topic.alias("lf_topic"),
+        score.alias("vote"),
+        F.signum(score).cast("int").alias("label"),
+    )
+
+
+def weak_label_vote_census(docs: DataFrame) -> DataFrame:
+    """Census over (LF vector, vote, label): document counts and the
+    share of the corpus per pattern — a <= 27-row frame at any data
+    size (3^3 LF patterns), map-side combinable."""
+    votes = weak_label_votes(docs)
+    total = votes.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    return (
+        votes.groupBy("lf_speed", "lf_len", "lf_topic", "vote", "label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lf_speed",
+            "lf_len",
+            "lf_topic",
+            "vote",
+            "label",
+            "n_docs",
+            exact_ratio(F.col("n_docs"), F.col("n_docs_total")).alias("doc_share"),
+        )
+    )
+
+
+_WLV_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, n_chars FROM documents
+), lf AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(words, x -> x = 'fast'))
+                   > len(list_filter(words, x -> x = 'slow')) THEN 1
+              WHEN len(list_filter(words, x -> x = 'fast'))
+                   < len(list_filter(words, x -> x = 'slow')) THEN -1
+              ELSE 0 END AS lf_speed,
+         CASE WHEN n_chars >= {LF_LEN_HI} THEN 1
+              WHEN n_chars < {LF_LEN_LO} THEN -1
+              ELSE 0 END AS lf_len,
+         CASE WHEN list_contains(words, 'spark')
+                   AND list_contains(words, 'query') THEN 1
+              WHEN list_contains(words, 'dup') THEN -1
+              ELSE 0 END AS lf_topic
+  FROM w
+), voted AS (
+  SELECT lf_speed, lf_len, lf_topic,
+         2 * lf_speed + lf_len + lf_topic AS vote,
+         CAST(sign(2 * lf_speed + lf_len + lf_topic) AS INTEGER) AS label
+  FROM lf
+)
+SELECT lf_speed, lf_len, lf_topic, vote, label,
+       count(*) AS n_docs,
+       {oracle_exact_ratio("count(*)", "(SELECT count(*) FROM voted)")}
+           AS doc_share
+FROM voted
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@query("weak_label_vote_census", oracle=_WLV_ORACLE)
+def q_weak_label_vote_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weak_label_vote_census(fan_out(load_table(spark, sf_dir, "documents"), spark))

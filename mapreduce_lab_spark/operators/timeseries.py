@@ -473,3 +473,135 @@ def seasonal_naive_mae(orders: DataFrame) -> DataFrame:
 )
 def q_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_naive_mae(load_table(spark, sf_dir, "orders"))
+
+
+# --- additive seasonal decomposition (STL-lite) ------------------------------
+
+# value = trend + seasonal + residual over the daily revenue series:
+# trend is a centered 7-day moving average (RANGE frame on the
+# calendar key, so missing days never slide the window), the seasonal
+# component is the per-weekday mean of the detrended series, and the
+# residual is what remains — flagged as anomalous when it exceeds
+# ANOM_K x the mean absolute residual. The classical decomposition
+# (Cleveland et al.'s STL, 1990, is the loess refinement of exactly
+# this shape).
+#
+# All-integer pipeline: daily sums are exact cents, the two means are
+# floor-divisions of int64s (identical IEEE ops in both engines), so
+# trend/seasonal/residual — and the anomaly FLAG, the part a float
+# pipeline would flip at the last ulp — are bit-stable cross-engine.
+#
+# Weekday comes from datediff(day, anchor) % 7, NOT dayofweek():
+# Spark numbers Sunday=1 while DuckDB's dayofweek is Sunday=0 — the
+# integer day-key modulus is engine-neutral.
+
+TREND_HALF_WINDOW = 3  # +/- days around each day -> 7-day centered trend
+ANOM_K = 3
+_SEASON_ANCHOR = "1992-01-01"
+
+
+def seasonal_decompose_revenue(orders: DataFrame) -> DataFrame:
+    """Per day: revenue, trend, seasonal, residual (all exact-cents
+    rendered as dollars) and an anomaly flag on the residual.
+
+    Scale shape: ONE map-side-combinable aggregate over the order rows
+    reduces everything downstream to the calendar-sized daily frame
+    (~2.4k rows for seven years — bounded by the time range, not the
+    data volume, like the gapfill spine above); the trend window, the
+    7-row seasonal join (broadcast hash), and the 1-row threshold
+    frame all operate on that dimension-sized series.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(to_units(F.col("o_totalprice"), 100)).alias("u")
+    )
+    keyed = daily.select(
+        "day",
+        "u",
+        F.datediff(F.col("day"), F.lit(_SEASON_ANCHOR)).alias("dk"),
+    )
+    wt = (
+        Window.orderBy("dk")
+        .rangeBetween(-TREND_HALF_WINDOW, TREND_HALF_WINDOW)
+    )
+    tr = keyed.select(
+        "day",
+        "dk",
+        "u",
+        F.floor(F.sum("u").over(wt).cast("double") / F.count(F.lit(1)).over(wt)).alias("t"),
+    )
+    dt = tr.select(
+        "day",
+        "u",
+        "t",
+        (F.col("u") - F.col("t")).alias("detr"),
+        F.pmod(F.col("dk"), F.lit(7)).cast("int").alias("dow"),
+    )
+    sea = dt.groupBy("dow").agg(
+        F.floor(F.sum("detr").cast("double") / F.count(F.lit(1))).alias("s")
+    )
+    res = dt.join(F.broadcast(sea), "dow").select(
+        "day", "dow", "u", "t", "s", (F.col("detr") - F.col("s")).alias("r")
+    )
+    thr = res.agg(
+        F.floor(F.sum(F.abs(F.col("r"))).cast("double") / F.count(F.lit(1))).alias(
+            "mean_abs_r"
+        )
+    )
+    return res.crossJoin(F.broadcast(thr)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        (F.col("u").cast("double") / 100).alias("revenue"),
+        (F.col("t").cast("double") / 100).alias("trend"),
+        (F.col("s").cast("double") / 100).alias("seasonal"),
+        (F.col("r").cast("double") / 100).alias("residual"),
+        (F.abs(F.col("r")) > F.lit(ANOM_K) * F.col("mean_abs_r")).cast("int").alias(
+            "is_anomaly"
+        ),
+    )
+
+
+@query(
+    "seasonal_decompose_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum({oracle_units('o_totalprice', 100)}) AS u
+      FROM orders GROUP BY 1
+    ), keyed AS (
+      SELECT day, u,
+             date_diff('day', DATE '{_SEASON_ANCHOR}', day) AS dk
+      FROM daily
+    ), tr AS (
+      SELECT day, dk, u,
+             CAST(floor(CAST(sum(u) OVER w AS DOUBLE) / count(*) OVER w)
+                  AS BIGINT) AS t
+      FROM keyed
+      WINDOW w AS (ORDER BY dk RANGE BETWEEN {TREND_HALF_WINDOW} PRECEDING
+                   AND {TREND_HALF_WINDOW} FOLLOWING)
+    ), dt AS (
+      SELECT day, u, t, u - t AS detr,
+             CAST(dk % 7 AS INTEGER) AS dow
+      FROM tr
+    ), sea AS (
+      SELECT dow,
+             CAST(floor(CAST(sum(detr) AS DOUBLE) / count(*)) AS BIGINT) AS s
+      FROM dt GROUP BY dow
+    ), res AS (
+      SELECT dt.day, dt.dow, dt.u, dt.t, sea.s, dt.detr - sea.s AS r
+      FROM dt JOIN sea USING (dow)
+    ), thr AS (
+      SELECT CAST(floor(CAST(sum(abs(r)) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS mean_abs_r
+      FROM res
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, dow,
+           CAST(u AS DOUBLE) / 100 AS revenue,
+           CAST(t AS DOUBLE) / 100 AS trend,
+           CAST(s AS DOUBLE) / 100 AS seasonal,
+           CAST(r AS DOUBLE) / 100 AS residual,
+           CAST(abs(r) > {ANOM_K} * mean_abs_r AS INTEGER) AS is_anomaly
+    FROM res, thr
+    """,
+)
+def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_decompose_revenue(load_table(spark, sf_dir, "orders"))

@@ -51,6 +51,10 @@ BNLJ_AUDITED = {
     "the pattern shares",
     "weak_label_vote_census": "1-row corpus-doc-count frame scales the "
     "pattern shares",
+    "seasonal_decompose_revenue": "1-row mean-abs-residual frame gates the "
+    "anomaly flag over the calendar-sized daily series",
+    "chi_square_lang_source": "1-row grand-total frame scales the "
+    "|cells|-row contingency frame",
     "selectivity_histogram_report": "1-row truth frame fused to the 1-row "
     "histogram-estimate frame (both conditional-sum aggregates)",
     "dsir_select_topk": "1-row corpus/target token-total frame scales the "
