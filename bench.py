@@ -98,6 +98,11 @@ HEADLINE = [
     # round 9: the registered loose-threshold embedding near-dup scale
     # route (trained inverted multi-index -> verified pairs -> CC).
     "near_dup_embedding_ivf_clusters",
+    # round 9b: blocked entity resolution (window-pair generation, no
+    # join) and exact order statistics via bounded histogram
+    # refinement (the no-global-sort selection pattern).
+    "entity_resolution_scores",
+    "distributed_exact_quantiles",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -154,6 +159,8 @@ PRIMARY_INPUT = {
     "daily_event_mix_drift": "events",
     "behavioral_nearest_neighbor": "events",
     "near_dup_embedding_ivf_clusters": "embeddings",
+    "entity_resolution_scores": "part",
+    "distributed_exact_quantiles": "lineitem",
 }
 
 

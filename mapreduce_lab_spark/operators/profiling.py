@@ -665,6 +665,15 @@ def distributed_exact_quantiles(lineitem: DataFrame) -> DataFrame:
         .collect()
     }
     n_total = sum(h.values())
+    if n_total == 0:
+        # Empty lake: no order statistics exist; return a 0-row frame
+        # with the contract schema.
+        return src.select(
+            F.lit(0).alias("pct"),
+            F.lit(0).cast("long").alias("k"),
+            F.lit(0.0).alias("value"),
+            F.lit(0).cast("long").alias("n_le"),
+        ).limit(0)
     # state per pct: (bucket at current level, remaining offset within it)
     state: dict[int, tuple[int, int]] = {}
     for pct in QUANTILE_PCTS:

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_lab_spark.registry import query
+
 
 def write_text_kv(df: DataFrame, path: str, key_col: str = "key", value_col: str = "value",
                   n_partitions: int | None = None) -> None:
@@ -219,3 +221,63 @@ def write_zorder_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --- ORC roundtrip (format-surface census) -----------------------------------
+
+# ORC is Spark's second built-in columnar format (same pushdown /
+# pruning machinery as parquet, different encoding lineage — Hive's).
+# A storage-agnostic engine must prove the roundtrip: write a table
+# slice as ORC, read it back, aggregate — oracled against the SAME
+# aggregate computed from the original parquet, so any loss or type
+# drift in the ORC path breaks the hash gate.
+
+_ORC_WRITTEN: dict[tuple[int, str], str] = {}
+
+
+def _orc_replica(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf_dir) the documents table as ORC under
+    /tmp and return the path. Memoized like the IVF index artifacts:
+    re-running the query in one session reuses the files; a fresh
+    session rewrites them (mode=overwrite, so always self-consistent).
+    """
+    import os
+
+    key = (id(spark), sf_dir)
+    if key not in _ORC_WRITTEN:
+        path = os.path.join(
+            "/tmp", "spark_graft_orc", os.path.basename(os.path.normpath(sf_dir))
+        )
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .write.mode("overwrite")
+            .orc(path)
+        )
+        _ORC_WRITTEN[key] = path
+    return _ORC_WRITTEN[key]
+
+
+def orc_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per lang: doc count, exact char sum, and doc_id min/max — read
+    from the ORC replica of the documents table."""
+    docs = spark.read.orc(_orc_replica(spark, sf_dir))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@query(
+    "orc_roundtrip_census",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents GROUP BY lang
+    """,
+)
+def q_orc_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orc_roundtrip_census(spark, sf_dir)

@@ -115,6 +115,17 @@ REPRESENTATIVES = [
     "minhash_lsh_recall_eval",
     "trajectory_nn_recall_at_1",
     "conversion_lag_percentiles",
+    # round 9b: governance / selection / ER / weak-label / stats /
+    # format lanes (quantiles and ORC carry driver-side scalars and a
+    # session-memoized write — the crash-prone class)
+    "l_diversity_census",
+    "distributed_exact_quantiles",
+    "entity_resolution_scores",
+    "weak_label_vote_census",
+    "seasonal_decompose_revenue",
+    "ols_trend_by_type",
+    "chi_square_lang_source",
+    "orc_roundtrip_census",
 ]
 
 

@@ -53,8 +53,9 @@ BNLJ_AUDITED = {
     "pattern shares",
     "seasonal_decompose_revenue": "1-row mean-abs-residual frame gates the "
     "anomaly flag over the calendar-sized daily series",
-    "chi_square_lang_source": "1-row grand-total frame scales the "
-    "|cells|-row contingency frame",
+    "chi_square_lang_source": "margin grid = |langs|-row frame crossed "
+    "with the broadcast |sources|-row frame (both bounded by the "
+    "categorical domains), plus the 1-row grand-total frame",
     "selectivity_histogram_report": "1-row truth frame fused to the 1-row "
     "histogram-estimate frame (both conditional-sum aggregates)",
     "dsir_select_topk": "1-row corpus/target token-total frame scales the "

@@ -1,0 +1,63 @@
+"""Micro-cases for the inferential-statistics lane: a hand-solvable
+regression and a perfectly-independent contingency table."""
+
+from __future__ import annotations
+
+from mapreduce_lab_spark.operators.stats import (
+    chi_square_lang_source,
+    ols_trend_by_type,
+)
+
+
+def test_ols_recovers_a_perfect_line(spark):
+    # value = 1.00 + 0.50 * day (in dollars): slope 50 cents/day,
+    # intercept 100 cents. Two events per day pin the daily MEAN.
+    rows = []
+    for d in range(10):
+        y = 1.0 + 0.5 * d
+        rows += [
+            (f"2024-01-{d + 1:02d} 01:00:00", "click", y),
+            (f"2024-01-{d + 1:02d} 02:00:00", "click", y),
+        ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+        F_ts("ts"), "event_type", "value"
+    )
+    out = ols_trend_by_type(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 10
+    assert abs(r["slope_cents_per_day"] - 50.0) < 1e-6
+    assert abs(r["intercept_cents"] - 100.0) < 1e-6
+
+
+def F_ts(col):
+    from pyspark.sql import functions as F
+
+    return F.to_timestamp(col).alias("ts")
+
+
+def test_chi_square_zero_for_independent_table(spark):
+    # lang x source perfectly independent: every contribution is 0.
+    rows = [
+        (lang, src)
+        for lang in ("en", "de")
+        for src in ("a", "b")
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = chi_square_lang_source(df).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["observed"] == 10
+        assert r["expected"] == 10.0
+        assert r["chi2_contrib"] == 0.0
+
+
+def test_chi_square_flags_dependence(spark):
+    # en only from a, de only from b: maximal dependence; chi2 total
+    # for a 2x2 with n=20 and perfect separation is n = 20.
+    rows = [("en", "a")] * 10 + [("de", "b")] * 10
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = chi_square_lang_source(df).collect()
+    total = sum(r["chi2_contrib"] for r in out)
+    assert abs(total - 20.0) < 1e-3
