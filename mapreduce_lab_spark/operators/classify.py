@@ -23,7 +23,7 @@ dot product could flip the threshold at the last ulp).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
@@ -287,11 +287,12 @@ def weak_label_vote_census(docs: DataFrame) -> DataFrame:
     share of the corpus per pattern — a <= 27-row frame at any data
     size (3^3 LF patterns), map-side combinable."""
     votes = weak_label_votes(docs)
-    total = votes.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    # Grand total via an unpartitioned window over the <= 3^3-row
+    # census frame: one corpus scan, no broadcast cross join.
+    total = F.sum("n_docs").over(Window.partitionBy())
     return (
         votes.groupBy("lf_speed", "lf_len", "lf_topic", "vote", "label")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(total))
         .select(
             "lf_speed",
             "lf_len",
@@ -299,7 +300,7 @@ def weak_label_vote_census(docs: DataFrame) -> DataFrame:
             "vote",
             "label",
             "n_docs",
-            exact_ratio(F.col("n_docs"), F.col("n_docs_total")).alias("doc_share"),
+            exact_ratio(F.col("n_docs"), total).alias("doc_share"),
         )
     )
 

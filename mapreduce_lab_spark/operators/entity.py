@@ -113,11 +113,12 @@ def entity_resolution_scores(part: DataFrame) -> DataFrame:
         *[agree[f].alias(f"agree_{f}") for f in ER_WEIGHTS],
         score.alias("score"),
     )
-    total = scored.agg(F.count(F.lit(1)).alias("n_pairs_total"))
+    # Grand total via an unpartitioned window over the <= 2^4-row
+    # census frame: one scan of the pair pipeline, no second lineage.
+    total = F.sum("n_pairs").over(Window.partitionBy())
     return (
         scored.groupBy(*[f"agree_{f}" for f in ER_WEIGHTS], "score")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .crossJoin(F.broadcast(total))
         .select(
             "agree_modifier",
             "agree_type",
@@ -126,7 +127,7 @@ def entity_resolution_scores(part: DataFrame) -> DataFrame:
             "score",
             (F.col("score") >= ER_MATCH_THRESHOLD).cast("int").alias("is_match"),
             "n_pairs",
-            exact_ratio(F.col("n_pairs"), F.col("n_pairs_total")).alias("pair_share"),
+            exact_ratio(F.col("n_pairs"), total).alias("pair_share"),
         )
     )
 

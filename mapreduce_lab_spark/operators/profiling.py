@@ -581,16 +581,19 @@ def l_diversity_census(customer: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
         F.count_distinct(F.col("c_mktsegment")).alias("l"),
     )
-    total = cls.agg(F.sum("k").alias("n_rows_total"))
+    # Grand total via an unpartitioned window over the <= |sensitive-
+    # cardinality|-row census frame — NOT a second aggregation lineage
+    # (which would scan the customer table twice) and NOT a broadcast
+    # cross join (a BNLJ the plan doesn't need).
+    total = F.sum("n_rows").over(Window.partitionBy())
     return (
         cls.groupBy("l")
         .agg(F.count(F.lit(1)).alias("n_classes"), F.sum("k").alias("n_rows"))
-        .crossJoin(F.broadcast(total))
         .select(
             "l",
             "n_classes",
             "n_rows",
-            exact_ratio(F.col("n_rows"), F.col("n_rows_total")).alias("row_share"),
+            exact_ratio(F.col("n_rows"), total).alias("row_share"),
         )
     )
 
@@ -713,7 +716,10 @@ def distributed_exact_quantiles(lineitem: DataFrame) -> DataFrame:
     for pct in QUANTILE_PCTS:
         v = state[pct][0]  # width-1 bucket == the value in cents
         aggs.append(F.sum((F.col("pu") <= v).cast("long")).alias(f"le_{pct}"))
-    one = src.agg(*aggs)
+    # cache: the four unpivot legs below share ONE materialization of
+    # the verification scan instead of re-executing it per leg (same
+    # discipline as selectivity_histogram_report's fused frame).
+    one = src.agg(*aggs).cache()
     legs = []
     for pct in QUANTILE_PCTS:
         v = state[pct][0]
@@ -757,3 +763,131 @@ _QUANTILE_ORACLE = (
 @query("distributed_exact_quantiles", oracle=_QUANTILE_ORACLE)
 def q_distributed_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distributed_exact_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- grouped distributed selection (exact per-group median) ------------------
+
+# The grouped form of distributed_exact_quantiles: exact median of
+# o_totalprice PER order priority, again by bounded histogram
+# refinement — the pattern generalizes by keying every histogram pass
+# with the group column, so one extra groupBy key buys G concurrent
+# selections for the same number of scans. Driver state stays
+# |groups| x |buckets|-bounded (here 5 x ~12/100/100/100); the
+# contract scales to any |groups| whose product with the bucket width
+# stays collectable — for millions of groups the same passes keep
+# working, with the driver walk replaced by a window cumsum over the
+# (group, bucket) frame; this query pins the bounded-|groups| form.
+
+MEDIAN_PCT = 50
+# o_totalprice spans ~900..600k dollars -> cents up to ~6e7; level-1
+# width 1e6 cents gives ~60 buckets per group.
+GROUPED_LEVELS = (1_000_000, 10_000, 100, 1)
+
+
+def grouped_exact_median(orders: DataFrame) -> DataFrame:
+    """(priority, k, value, n_le): the exact k-th smallest
+    o_totalprice within each priority, k = ceil(n_g/2), with the
+    distributed rank-verification count per group."""
+    pu = F.round(F.col("o_totalprice") * 100).cast("long")
+    src = orders.select(F.col("o_orderpriority").alias("g"), pu.alias("pu"))
+
+    w0 = GROUPED_LEVELS[0]
+    hist: dict[tuple[str, int], int] = {
+        (r["g"], r["b"]): r["n"]
+        for r in src.groupBy("g", (F.col("pu") / w0).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    groups = sorted({g for g, _ in hist})
+    if not groups:
+        return src.select(
+            F.col("g").alias("priority"),
+            F.lit(0).cast("long").alias("k"),
+            F.lit(0.0).alias("value"),
+            F.lit(0).cast("long").alias("n_le"),
+        ).limit(0)
+    n_g = {g: sum(n for (gg, _), n in hist.items() if gg == g) for g in groups}
+    k_g = {g: (n_g[g] * MEDIAN_PCT + 99) // 100 for g in groups}
+    # state per group: (bucket at current level, remaining offset)
+    state: dict[str, tuple[int, int]] = {}
+    for g in groups:
+        cum = 0
+        for b in sorted(b for gg, b in hist if gg == g):
+            n = hist[(g, b)]
+            if cum + n >= k_g[g]:
+                state[g] = (b, k_g[g] - cum)
+                break
+            cum += n
+
+    for li, width in enumerate(GROUPED_LEVELS[1:], start=1):
+        parent_w = GROUPED_LEVELS[li - 1]
+        cond = None
+        for g in groups:
+            b = state[g][0]
+            c = (
+                (F.col("g") == g)
+                & (F.col("pu") >= b * parent_w)
+                & (F.col("pu") < (b + 1) * parent_w)
+            )
+            cond = c if cond is None else (cond | c)
+        hist = {
+            (r["g"], r["b"]): r["n"]
+            for r in src.where(cond)
+            .groupBy("g", (F.col("pu") / width).cast("long").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for g in groups:
+            pb, off = state[g]
+            cum = 0
+            lo, hi = pb * parent_w // width, (pb + 1) * parent_w // width
+            for b in sorted(b for gg, b in hist if gg == g and lo <= b < hi):
+                n = hist[(g, b)]
+                if cum + n >= off:
+                    state[g] = (b, off - cum)
+                    break
+                cum += n
+
+    def case_of(values: dict[str, int]) -> F.Column:
+        col = None
+        for g in groups:
+            cond, v = F.col("g") == g, F.lit(values[g])
+            col = F.when(cond, v) if col is None else col.when(cond, v)
+        return col
+
+    v_case = case_of({g: state[g][0] for g in groups})
+    k_case = case_of(k_g)
+    return (
+        src.groupBy("g")
+        .agg(F.sum((F.col("pu") <= v_case).cast("long")).alias("n_le"))
+        .select(
+            F.col("g").alias("priority"),
+            k_case.cast("long").alias("k"),
+            (v_case.cast("double") / 100).alias("value"),
+            "n_le",
+        )
+    )
+
+
+_GROUPED_MEDIAN_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), med AS (
+  SELECT g, n, v FROM ranked WHERE rn = (n * {MEDIAN_PCT} + 99) // 100
+)
+SELECT m.g AS priority,
+       CAST((m.n * {MEDIAN_PCT} + 99) // 100 AS BIGINT) AS k,
+       m.v AS value,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_orderpriority = m.g AND o.o_totalprice <= m.v) AS n_le
+FROM med m
+"""
+
+
+@query("grouped_exact_median", oracle=_GROUPED_MEDIAN_ORACLE)
+def q_grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_exact_median(load_table(spark, sf_dir, "orders"))

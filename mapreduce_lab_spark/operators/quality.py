@@ -31,11 +31,16 @@ Scale shapes, by operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import oracle_hex8_int
-from mapreduce_lab_spark.functions.numeric import oracle_units, to_units
+from mapreduce_lab_spark.functions.numeric import (
+    exact_ratio,
+    oracle_exact_ratio,
+    oracle_units,
+    to_units,
+)
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import load_table
 
@@ -463,3 +468,74 @@ _FK_SQL = "\nUNION ALL\n".join(
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per star-schema FK edge: child rows, orphans, null keys."""
     return fk_integrity_audit(spark, sf_dir)
+
+
+# --- Benford first-digit census ----------------------------------------------
+
+# Benford's law (Newcomb 1881 / Benford 1938, public): naturally-
+# occurring multi-order-of-magnitude amounts have first significant
+# digit d with probability log10(1 + 1/d). Fabricated or truncated
+# data deviates — the classic forensic screen on a financial column,
+# run here over o_totalprice. The digit is extracted from the STRING
+# of the exact integer cents (substr of an int64's decimal rendering
+# is engine-identical), never via float log10, whose behavior at
+# exact powers of ten differs in the last ulp between libm builds.
+# Expected shares are Python-computed literals inlined into BOTH
+# engines, so the comparison column is bit-identical by construction.
+
+import math as _math
+
+BENFORD_EXPECTED = {str(d): _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_digit_census(orders: DataFrame) -> DataFrame:
+    """Per first significant digit 1-9: order count, observed share,
+    Benford-expected share, and the absolute gap — one map-side
+    combinable pass, census over the 9-row frame."""
+    pu = to_units(F.col("o_totalprice"), 100)
+    digit = F.substring(pu.cast("string"), 1, 1)
+    census = (
+        orders.where(pu > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    expected = None
+    for d, p in BENFORD_EXPECTED.items():
+        cond, v = F.col("digit") == d, F.lit(p)
+        expected = F.when(cond, v) if expected is None else expected.when(cond, v)
+    share = exact_ratio(F.col("n_orders"), total)
+    return census.select(
+        "digit",
+        "n_orders",
+        share.alias("share"),
+        expected.alias("expected_share"),
+        F.abs(share - expected).alias("abs_gap"),
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN '{d}' THEN {p!r}" for d, p in BENFORD_EXPECTED.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH census AS (
+  SELECT substr(CAST({oracle_units('o_totalprice', 100)} AS VARCHAR), 1, 1)
+             AS digit,
+         count(*) AS n_orders
+  FROM orders
+  WHERE {oracle_units('o_totalprice', 100)} > 0
+  GROUP BY 1
+)
+SELECT digit, n_orders,
+       {oracle_exact_ratio("n_orders", "sum(n_orders) OVER ()")} AS share,
+       CASE digit {_BENFORD_CASE} END AS expected_share,
+       abs({oracle_exact_ratio("n_orders", "sum(n_orders) OVER ()")}
+           - CASE digit {_BENFORD_CASE} END) AS abs_gap
+FROM census
+"""
+
+
+@query("benford_digit_census", oracle=_BENFORD_ORACLE)
+def q_benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_digit_census(load_table(spark, sf_dir, "orders"))

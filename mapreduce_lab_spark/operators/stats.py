@@ -128,7 +128,10 @@ def chi_square_lang_source(docs: DataFrame) -> DataFrame:
     census — and the chi2 total a consumer sums from it — is
     bit-stable cross-engine.
     """
-    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # cache: the margins, grid, and grand total below all derive from
+    # this |cells|-row frame — one materialization instead of four
+    # re-executions of the document scan.
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")).cache()
     rows = cells.groupBy("lang").agg(F.sum("o").alias("r"))
     cols = cells.groupBy("source").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").alias("t"))

@@ -529,19 +529,24 @@ def seasonal_decompose_revenue(orders: DataFrame) -> DataFrame:
         "u",
         F.floor(F.sum("u").over(wt).cast("double") / F.count(F.lit(1)).over(wt)).alias("t"),
     )
+    # cache: dt feeds both the weekday-seasonal aggregate and the join
+    # back — one materialization, one orders scan (calendar-sized frame).
     dt = tr.select(
         "day",
         "u",
         "t",
         (F.col("u") - F.col("t")).alias("detr"),
         F.pmod(F.col("dk"), F.lit(7)).cast("int").alias("dow"),
-    )
+    ).cache()
     sea = dt.groupBy("dow").agg(
         F.floor(F.sum("detr").cast("double") / F.count(F.lit(1))).alias("s")
     )
+    # cache: the residual frame feeds both the threshold aggregate and
+    # the output projection — one materialization of the (calendar-
+    # sized) series instead of two order scans.
     res = dt.join(F.broadcast(sea), "dow").select(
         "day", "dow", "u", "t", "s", (F.col("detr") - F.col("s")).alias("r")
-    )
+    ).cache()
     thr = res.agg(
         F.floor(F.sum(F.abs(F.col("r"))).cast("double") / F.count(F.lit(1))).alias(
             "mean_abs_r"

@@ -126,6 +126,8 @@ REPRESENTATIVES = [
     "ols_trend_by_type",
     "chi_square_lang_source",
     "orc_roundtrip_census",
+    "grouped_exact_median",
+    "benford_digit_census",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from mapreduce_lab_spark.operators.profiling import (
     QUANTILE_PCTS,
     distributed_exact_quantiles,
+    grouped_exact_median,
     l_diversity_census,
 )
 
@@ -59,3 +60,17 @@ def test_exact_quantiles_ties_and_rank_invariant(spark):
     assert got[75]["value"] == 9.0 and got[75]["n_le"] == 20
     for pct in QUANTILE_PCTS:
         assert got[pct]["n_le"] >= got[pct]["k"]
+
+
+def test_grouped_median_per_group(spark):
+    # group A: 1..9 dollars (median 5.00, k=5); group B: 10,20,30
+    # (median 20.00, k=2).
+    rows = [("A", float(i)) for i in range(1, 10)] + [
+        ("B", 10.0),
+        ("B", 20.0),
+        ("B", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    got = {r["priority"]: r for r in grouped_exact_median(df).collect()}
+    assert got["A"]["k"] == 5 and got["A"]["value"] == 5.0 and got["A"]["n_le"] == 5
+    assert got["B"]["k"] == 2 and got["B"]["value"] == 20.0 and got["B"]["n_le"] == 2

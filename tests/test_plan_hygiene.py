@@ -46,11 +46,6 @@ BNLJ_AUDITED = {
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
     "weighted_sample_orders": "1-row total-weight frame",
     "k_anonymity_census": "1-row total-rows frame scales the band shares",
-    "l_diversity_census": "1-row total-rows frame scales the band shares",
-    "entity_resolution_scores": "1-row candidate-pair-total frame scales "
-    "the pattern shares",
-    "weak_label_vote_census": "1-row corpus-doc-count frame scales the "
-    "pattern shares",
     "seasonal_decompose_revenue": "1-row mean-abs-residual frame gates the "
     "anomaly flag over the calendar-sized daily series",
     "chi_square_lang_source": "margin grid = |langs|-row frame crossed "
