@@ -103,6 +103,9 @@ HEADLINE = [
     # refinement (the no-global-sort selection pattern).
     "entity_resolution_scores",
     "distributed_exact_quantiles",
+    # round 9b: journey-chain attribution (transition census + bounded
+    # integer matrix solve).
+    "markov_removal_attribution",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -161,6 +164,7 @@ PRIMARY_INPUT = {
     "near_dup_embedding_ivf_clusters": "embeddings",
     "entity_resolution_scores": "part",
     "distributed_exact_quantiles": "lineitem",
+    "markov_removal_attribution": "events",
 }
 
 

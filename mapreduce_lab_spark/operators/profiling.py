@@ -891,3 +891,106 @@ FROM med m
 @query("grouped_exact_median", oracle=_GROUPED_MEDIAN_ORACLE)
 def q_grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_exact_median(load_table(spark, sf_dir, "orders"))
+
+
+# --- join-cardinality estimation (optimizer-statistics lane) -----------------
+
+# The join twin of selectivity_histogram_report: score the classic
+# System-R equi-join estimate |A JOIN B| ~= |A|*|B| / max(ndv_A(k),
+# ndv_B(k)) (Selinger et al. 1979, public) against the TRUE join
+# cardinality for each star-schema FK edge. This is the number every
+# cost-based join reordering stands on; running it as a first-class
+# query makes the estimate's error measurable on the actual data —
+# the pre-flight a 100 TB join pipeline consults before picking
+# broadcast vs shuffle strategies.
+
+JOIN_CARD_EDGES = [
+    # (name, child table, child key, parent table, parent key)
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per FK edge: side row counts, per-side key NDVs, the System-R
+    estimate (exact integer arithmetic), the true join cardinality,
+    and the floor-scaled relative error.
+
+    Scale shape: per edge, two single-pass (count, count_distinct)
+    aggregates — 1-row frames — plus ONE keyed join counted by a
+    1-row aggregate; everything combines map-side. The estimate
+    arithmetic runs on the fused 1-row stats frame, never on rows.
+    """
+    legs = []
+    for name, child, ck, parent, pk in JOIN_CARD_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        cs = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count_distinct(F.col(ck)).alias("ndv_child"),
+        )
+        ps = p.agg(
+            F.count(F.lit(1)).alias("n_parent"),
+            F.count_distinct(F.col(pk)).alias("ndv_parent"),
+        )
+        act = (
+            c.select(F.col(ck).alias("k"))
+            .join(p.select(F.col(pk).alias("k")), "k")
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+        )
+        est = (
+            F.col("n_child")
+            * F.col("n_parent")
+            / F.greatest(F.col("ndv_child"), F.col("ndv_parent"))
+        ).cast("long")
+        legs.append(
+            cs.crossJoin(F.broadcast(ps))
+            .crossJoin(F.broadcast(act))
+            .select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_parent",
+                "ndv_child",
+                "ndv_parent",
+                est.alias("est_rows"),
+                "actual_rows",
+                exact_ratio(
+                    F.abs(est - F.col("actual_rows")),
+                    F.greatest(F.col("actual_rows"), F.lit(1)),
+                ).alias("rel_err"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _join_card_leg(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+    est = (
+        f"CAST((SELECT count(*) FROM {child}) * (SELECT count(*) FROM {parent})"
+        f" / greatest((SELECT count(DISTINCT {ck}) FROM {child}),"
+        f"            (SELECT count(DISTINCT {pk}) FROM {parent})) AS BIGINT)"
+    )
+    act = (
+        f"(SELECT count(*) FROM {child} c JOIN {parent} p ON c.{ck} = p.{pk})"
+    )
+    return f"""
+    SELECT '{name}' AS edge,
+           (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {parent}) AS n_parent,
+           (SELECT count(DISTINCT {ck}) FROM {child}) AS ndv_child,
+           (SELECT count(DISTINCT {pk}) FROM {parent}) AS ndv_parent,
+           {est} AS est_rows,
+           {act} AS actual_rows,
+           {oracle_exact_ratio(f"abs({est} - {act})", f"greatest({act}, 1)")}
+               AS rel_err"""
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle=" UNION ALL ".join(_join_card_leg(*e) for e in JOIN_CARD_EDGES),
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return join_cardinality_estimate(spark, sf_dir)

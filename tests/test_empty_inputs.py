@@ -128,6 +128,8 @@ REPRESENTATIVES = [
     "orc_roundtrip_census",
     "grouped_exact_median",
     "benford_digit_census",
+    "markov_removal_attribution",
+    "join_cardinality_estimate",
 ]
 
 

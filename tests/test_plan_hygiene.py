@@ -41,6 +41,8 @@ BNLJ_AUDITED = {
     "dq_expectations_orders": "1-row expectation-stats frame",
     "fk_integrity_audit": "1-row orphan-count frame joined to the 1-row "
     "child summary, per FK edge",
+    "join_cardinality_estimate": "three 1-row stats/truth frames fused per "
+    "FK edge",
     "rolling_7d_distinct_users": "1-row max-active-day frame fences the "
     "trailing-window tail",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
@@ -218,6 +220,9 @@ DUP_SCAN_AUDITED = {
     "embedding_correlation": (5, "mean/std stats frame + centered Gramian "
                                  "pass over the vector column"),
     "bm25_search": (4, "term stats + doc-length stats + scored postings"),
+    "join_cardinality_estimate": (4, "per-FK-edge (count, NDV) stats pass + "
+                                     "true-join count pass; orders and "
+                                     "lineitem each sit on two edges"),
     "bigram_pmi_top": (4, "bigram counts + two unigram marginals"),
     "mad_outlier_events": (4, "exact median, then MAD, then outlier gate — "
                               "three order-statistic passes by definition"),
