@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.textstats import quality_scores
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
 from mapreduce_lab_spark.functions.text import tokenize
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
@@ -284,3 +285,82 @@ def q_pipeline_classifier_quota_dedup(spark: SparkSession, sf_dir: str) -> DataF
         F.sum(F.when(F.col("in_quota"), 1).otherwise(0)).alias("n_quota"),
         F.sum(F.when(F.col("is_unique"), 1).otherwise(0)).alias("n_unique"),
     )
+
+
+# --- capstone 4: governance-gated release ------------------------------------
+
+# The privacy-release pipeline composed from the governance lane
+# (operators/profiling.py): build the k-anonymity equivalence classes
+# over the quasi-identifier triple, SUPPRESS every row in a class
+# smaller than k (the standard small-cell suppression step, Sweeney
+# 2002), and report the release census per market segment — rows
+# kept, rows suppressed, release share. Composition shape: one
+# combinable class aggregate, one aggregate-to-fact equi-join on the
+# SAME key the aggregate just partitioned by (Catalyst reuses the
+# partitioning), one segment rollup. The suppression join carries
+# (QI key, k) only — never payload columns.
+
+RELEASE_MIN_K = 5
+
+
+def governed_release_census(customer: DataFrame) -> DataFrame:
+    """Per market segment: total rows, releasable rows (k >= 5 QI
+    classes), suppressed rows, and the release share."""
+    qi = [
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ]
+    cls = customer.groupBy(*qi).agg(F.count(F.lit(1)).alias("k"))
+    fact = customer.select(
+        "c_mktsegment",
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    )
+    joined = fact.join(cls, ["c_nationkey", "bal_band"])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("k") >= RELEASE_MIN_K).cast("long")).alias("n_released"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_total",
+            "n_released",
+            (F.col("n_total") - F.col("n_released")).alias("n_suppressed"),
+            exact_ratio(F.col("n_released"), F.col("n_total")).alias(
+                "release_share"
+            ),
+        )
+    )
+
+
+_PIPE4_ORACLE = f"""
+WITH cls AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS k
+  FROM customer GROUP BY 1, 2
+), joined AS (
+  SELECT c.c_mktsegment, cls.k
+  FROM customer c
+  JOIN cls ON cls.c_nationkey = c.c_nationkey
+          AND cls.bal_band = CAST(floor(c.c_acctbal / 1000) AS BIGINT)
+)
+SELECT c_mktsegment,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN k >= {RELEASE_MIN_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_released,
+       CAST(count(*) - sum(CASE WHEN k >= {RELEASE_MIN_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suppressed,
+       {oracle_exact_ratio(
+           f"sum(CASE WHEN k >= {RELEASE_MIN_K} THEN 1 ELSE 0 END)",
+           "count(*)",
+       )} AS release_share
+FROM joined GROUP BY 1
+"""
+
+
+@query("pipeline_governed_release", oracle=_PIPE4_ORACLE)
+def q_pipeline_governed_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return governed_release_census(load_table(spark, sf_dir, "customer"))

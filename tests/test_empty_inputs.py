@@ -130,6 +130,8 @@ REPRESENTATIVES = [
     "benford_digit_census",
     "markov_removal_attribution",
     "join_cardinality_estimate",
+    "pipeline_governed_release",
+    "er_window_recall_eval",
 ]
 
 

@@ -52,3 +52,21 @@ def test_window_cap_bounds_candidates(spark):
     ]
     out = entity_resolution_scores(spark.createDataFrame(rows, SCHEMA)).collect()
     assert sum(r["n_pairs"] for r in out) == 12
+
+
+def test_recall_eval_clone_run_chains(spark):
+    # 12 clones in one block: a W=3 window cannot pairwise-enumerate
+    # C(12,2)=66 true matches, but every record finds >= 1 partner —
+    # pair recall < 1, record recall == 1 (transitive closure, which
+    # the dedup consumer applies, recovers the full cluster).
+    from mapreduce_lab_spark.operators.entity import er_window_recall_eval
+
+    rows = [(i, "small ring", "Brand#1", "ECONOMY", 5, 100.00) for i in range(12)]
+    out = er_window_recall_eval(spark.createDataFrame(rows, SCHEMA)).collect()
+    # the block may or may not survive the hash gate; if it does, the
+    # invariants must hold
+    if out and out[0]["n_true"] > 0:
+        r = out[0]
+        assert r["record_recall"] == 1.0
+        assert r["pair_recall"] < 1.0
+        assert r["n_rec_true"] == 12

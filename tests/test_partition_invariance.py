@@ -31,6 +31,14 @@ CASES = [
     "quality_classifier_hashed",
     "rare_bigram_rate",
     "kmv_distinct_users",
+    # round 9b: driver-walked histogram selection, window-pair ER,
+    # chained-window decomposition, and the fixed-point Markov solve —
+    # each exact by integer discipline, each with a partition-sensitive
+    # failure mode if that discipline slipped.
+    "distributed_exact_quantiles",
+    "entity_resolution_scores",
+    "seasonal_decompose_revenue",
+    "markov_removal_attribution",
 ]
 
 

@@ -79,6 +79,9 @@ BNLJ_AUDITED = {
     "half inherits the max_rows-guarded recall baseline (sampled eval job)",
     "minhash_lsh_recall_eval": "three 1-row count frames fused over "
     "checkpointed pair artifacts (sampled eval job)",
+    "er_window_recall_eval": "two 1-row count frames fused; the exact half "
+    "is the per-block quadratic baseline on hash-sampled blocks (sampled "
+    "eval job)",
     "ann_int8_quantized": "bounded query side vs quantized corpus",
     "ivf_knn_cosine": "broadcast centroid table (K rows)",
     "ivf_cell_census": "1-row collected-codebook frame (2·K1 centroid "
