@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.chunking import _CHUNK_ORACLE_BODY
+from mapreduce_lab_spark.operators.classify import _WLV_ORACLE
 from mapreduce_lab_spark.operators.dedup import _INCR_MINHASH_ORACLE
 from mapreduce_lab_spark.operators.drift import (
     KS_DRIFT_SQL,
@@ -404,3 +405,46 @@ def q_streaming_value_ks_drift_replay(
     )
     b = counts.select(F.to_date("window_start").alias("day"), "bucket", "n")
     return ks_drift_from_counts(b)
+
+
+@query("streaming_weak_label_replay", oracle=_WLV_ORACLE)
+def q_streaming_weak_label_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weak-supervision census run the way a live labeling pass
+    runs it: a document file-stream feeds the per-row labeling
+    functions (narrow scalar expressions — append-legal), Structured
+    Streaming maintains the (LF vector, vote, label) census state
+    (complete mode — every pattern emits its final count), and the
+    corpus-share column is rendered batch-side over the <= 3^3-row
+    materialized sink (window frames are not streaming-expressible).
+    Oracled by the SAME SQL as the batch twin weak_label_vote_census —
+    a hash match proves the streamed census state reproduces the batch
+    counts exactly."""
+    import os
+
+    from pyspark.sql import Window
+
+    from mapreduce_lab_spark.functions.numeric import exact_ratio
+    from mapreduce_lab_spark.operators.classify import weak_label_votes
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    sdocs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    census = (
+        weak_label_votes(sdocs)
+        .groupBy("lf_speed", "lf_len", "lf_topic", "vote", "label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    sunk = _drain(census, "complete")
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return sunk.select(
+        "lf_speed",
+        "lf_len",
+        "lf_topic",
+        "vote",
+        "label",
+        "n_docs",
+        exact_ratio(F.col("n_docs"), total).alias("doc_share"),
+    )
