@@ -438,3 +438,131 @@ def conversion_lag_percentiles(events: DataFrame) -> DataFrame:
 )
 def q_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_lag_percentiles(load_table(spark, sf_dir, "events"))
+
+
+# --- survival life table (censoring-aware conversion analysis) ---------------
+
+# The Kaplan-Meier life table (Kaplan & Meier 1958, public) for
+# signup -> first purchase: conversion_lag_percentiles above measures
+# HOW FAST converters convert, but silently drops everyone who has
+# not converted YET — the survival view counts them as CENSORED at
+# the observation end, which is the only unbiased way to report
+# conversion speed on a live corpus. Output: one row per whole-day
+# duration t with the number at risk entering t, conversions at t,
+# censorings at t, and the exact-ratio discrete hazard d/n — the life
+# table the KM curve is a running product of.
+#
+# Scale shape: two per-user combinable aggregates joined on user_id,
+# one duration histogram groupBy, and a reverse cumulative window
+# over the observation-window-bounded frame (~31 rows here; always
+# calendar-bounded). The observation end is ONE driver scalar (max
+# event day — the pagerank-N discipline). All-integer day arithmetic.
+
+
+def life_table_signup_purchase(events: DataFrame) -> DataFrame:
+    """(t_days, n_risk, d_converted, n_censored, hazard) per duration
+    day — hazard is the floor-scaled exact ratio d / n_risk."""
+    obs_end = events.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    if obs_end is None:
+        return events.select(
+            F.lit(0).cast("long").alias("t_days"),
+            F.lit(0).cast("long").alias("n_risk"),
+            F.lit(0).cast("long").alias("d_converted"),
+            F.lit(0).cast("long").alias("n_censored"),
+            F.lit(0.0).alias("hazard"),
+        ).limit(0)
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("c_ts"))
+    )
+    per_user = s.join(conv, "user_id", "left").select(
+        F.when(
+            F.col("c_ts").isNotNull(),
+            F.datediff(F.to_date("c_ts"), F.to_date("s_ts")),
+        )
+        .otherwise(F.datediff(F.lit(obs_end), F.to_date("s_ts")))
+        .cast("long")
+        .alias("t_days"),
+        F.col("c_ts").isNotNull().cast("long").alias("event"),
+    )
+    hist = per_user.groupBy("t_days").agg(
+        F.sum("event").alias("d_converted"),
+        F.sum(F.lit(1) - F.col("event")).alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    from mapreduce_lab_spark.functions.numeric import exact_ratio
+
+    return hist.select(
+        "t_days",
+        F.sum(F.col("d_converted") + F.col("n_censored")).over(w).alias("n_risk"),
+        "d_converted",
+        "n_censored",
+    ).select(
+        "t_days",
+        "n_risk",
+        "d_converted",
+        "n_censored",
+        exact_ratio(F.col("d_converted"), F.col("n_risk")).alias("hazard"),
+    )
+
+
+_LIFE_TABLE_ORACLE = """
+WITH obs AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+s AS (
+  SELECT user_id, min(ts) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+conv AS (
+  SELECT s.user_id, min(e.ts) AS c_ts
+  FROM s JOIN events e
+    ON e.user_id = s.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= s.s_ts
+  GROUP BY 1
+),
+per_user AS (
+  SELECT CAST(CASE WHEN conv.c_ts IS NOT NULL
+              THEN date_diff('day', CAST(s.s_ts AS DATE),
+                             CAST(conv.c_ts AS DATE))
+              ELSE date_diff('day', CAST(s.s_ts AS DATE),
+                             (SELECT obs_end FROM obs)) END AS BIGINT)
+             AS t_days,
+         CASE WHEN conv.c_ts IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM s LEFT JOIN conv ON conv.user_id = s.user_id
+),
+hist AS (
+  SELECT t_days,
+         CAST(sum(event) AS BIGINT) AS d_converted,
+         CAST(sum(1 - event) AS BIGINT) AS n_censored
+  FROM per_user GROUP BY 1
+)
+SELECT t_days,
+       CAST(sum(d_converted + n_censored)
+            OVER (ORDER BY t_days DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_risk,
+       d_converted, n_censored,
+       (floor(CAST(d_converted AS DOUBLE) * 1000000
+              / (sum(d_converted + n_censored)
+                 OVER (ORDER BY t_days DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+        / 1000000.0) AS hazard
+FROM hist
+"""
+
+
+@query("life_table_signup_purchase", oracle=_LIFE_TABLE_ORACLE)
+def q_life_table_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return life_table_signup_purchase(load_table(spark, sf_dir, "events"))

@@ -132,6 +132,7 @@ REPRESENTATIVES = [
     "join_cardinality_estimate",
     "pipeline_governed_release",
     "er_window_recall_eval",
+    "life_table_signup_purchase",
 ]
 
 

@@ -59,3 +59,26 @@ def test_removal_effect_credits_the_converting_channel(spark):
     assert got["view"]["removal_effect"] == 0.0
     assert abs(got["click"]["attribution_share"] - 1.0) < 1e-6
     assert got["view"]["attribution_share"] == 0.0
+
+
+def test_life_table_censoring(spark):
+    # 3 users sign up on day 0; u1 converts day 1, u2 converts day 3,
+    # u3 never does (censored at the observation end = day 3).
+    from mapreduce_lab_spark.operators.lifecycle import life_table_signup_purchase
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "signup"),
+        (2, "2024-01-01 00:00:00", 2, "signup"),
+        (3, "2024-01-01 00:00:00", 3, "signup"),
+        (1, "2024-01-02 00:00:00", 4, "purchase"),
+        (2, "2024-01-04 00:00:00", 5, "purchase"),
+    ]
+    got = {
+        r["t_days"]: r
+        for r in life_table_signup_purchase(_events(spark, rows)).collect()
+    }
+    assert got[1]["n_risk"] == 3 and got[1]["d_converted"] == 1
+    assert abs(got[1]["hazard"] - 1 / 3) < 1e-5
+    assert got[3]["n_risk"] == 2
+    assert got[3]["d_converted"] == 1 and got[3]["n_censored"] == 1
+    assert got[3]["hazard"] == 0.5
