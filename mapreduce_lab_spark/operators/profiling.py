@@ -994,3 +994,142 @@ def _join_card_leg(name: str, child: str, ck: str, parent: str, pk: str) -> str:
 )
 def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_cardinality_estimate(spark, sf_dir)
+
+
+# --- t-closeness census (third leg of the governance trilogy) ----------------
+
+# k-anonymity bounds class SIZE, l-diversity bounds distinct sensitive
+# VALUES — t-closeness (Li, Li & Venkatasubramanian 2007, public)
+# bounds the INFORMATION: how far each class's sensitive-value
+# distribution sits from the global one. A class can be large (k ok)
+# and varied (l ok) yet still leak — 90% HOUSEHOLD in a class vs 20%
+# globally tells an attacker plenty. Distance here is total variation
+# (the categorical EMD of the paper reduces to TVD under uniform
+# ground distance), computed in the engine's exact fixed-point TVD
+# discipline (same as operators/drift.py): per class,
+#   t = sum_v |share_class(v) - share_global(v)| / 2
+# with both shares floor-scaled exact integers, so the census is
+# hash-stable.
+
+T_CLOSENESS_SCALE = 1_000_000
+
+
+def t_closeness_census(customer: DataFrame) -> DataFrame:
+    """Per t band: number of QI classes whose sensitive (segment)
+    distribution sits that far (TVD, 6-dp fixed point) from the
+    global distribution, with row counts and shares.
+
+    One (QI, segment) aggregate; everything downstream operates on
+    the |classes| x |segments| frame (bounded by the categorical
+    domains). The global distribution is a |segments|-row broadcast.
+    """
+    qi_seg = customer.groupBy(
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        F.col("c_mktsegment"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("c_nationkey", "bal_band")
+    wg = Window.partitionBy("c_mktsegment")
+    wall = Window.partitionBy()
+    # floor-scaled shares: class share of each segment, global share
+    cls_share = F.floor(
+        F.col("n").cast("double") * T_CLOSENESS_SCALE / F.sum("n").over(wc)
+    )
+    glob_share = F.floor(
+        F.sum("n").over(wg).cast("double") * T_CLOSENESS_SCALE / F.sum("n").over(wall)
+    )
+    scored = qi_seg.select(
+        "c_nationkey",
+        "bal_band",
+        "c_mktsegment",
+        "n",
+        cls_share.alias("cs"),
+        glob_share.alias("gs"),
+    )
+    # Absent (class, segment) cells contribute |0 - gs| = gs; folding
+    # them in algebraically (the drift.py absent-mass trick): the sum
+    # over PRESENT cells of (|cs - gs| - gs) plus the constant
+    # sum(gs over all segments) equals the full TVD numerator.
+    per_class = scored.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n").alias("k"),
+        F.sum(F.abs(F.col("cs") - F.col("gs")) - F.col("gs")).alias("partial"),
+    )
+    # constant: sum of global shares over the segment domain
+    gs_dom = (
+        scored.groupBy("c_mktsegment")
+        .agg(F.min("gs").alias("gs"))
+        .agg(F.sum("gs").alias("gs_sum"))
+    )
+    t_units = (F.col("partial") + F.col("gs_sum")) / 2
+    banded = (
+        per_class.crossJoin(F.broadcast(gs_dom))
+        .select(
+            "k",
+            (t_units / F.lit(float(T_CLOSENESS_SCALE))).alias("t"),
+        )
+        .select(
+            F.when(F.col("t") < 0.1, F.lit("t<0.1"))
+            .when(F.col("t") < 0.2, F.lit("0.1-0.2"))
+            .when(F.col("t") < 0.4, F.lit("0.2-0.4"))
+            .otherwise(F.lit("0.4+ (leaky)"))
+            .alias("t_band"),
+            "k",
+        )
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        banded.groupBy("t_band")
+        .agg(F.count(F.lit(1)).alias("n_classes"), F.sum("k").alias("n_rows"))
+        .select(
+            "t_band",
+            "n_classes",
+            "n_rows",
+            exact_ratio(F.col("n_rows"), total).alias("row_share"),
+        )
+    )
+
+
+_T_CLOSENESS_ORACLE = f"""
+WITH qi_seg AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+), scored AS (
+  SELECT c_nationkey, bal_band, n,
+         CAST(floor(CAST(n AS DOUBLE) * {T_CLOSENESS_SCALE}
+               / sum(n) OVER (PARTITION BY c_nationkey, bal_band))
+              AS BIGINT) AS cs,
+         CAST(floor(CAST(sum(n) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+               * {T_CLOSENESS_SCALE} / sum(n) OVER ()) AS BIGINT) AS gs,
+         c_mktsegment
+  FROM qi_seg
+), per_class AS (
+  SELECT c_nationkey, bal_band,
+         CAST(sum(n) AS BIGINT) AS k,
+         CAST(sum(abs(cs - gs) - gs) AS BIGINT) AS partial
+  FROM scored GROUP BY 1, 2
+), gs_dom AS (
+  SELECT CAST(sum(gs) AS BIGINT) AS gs_sum
+  FROM (SELECT c_mktsegment, min(gs) AS gs FROM scored GROUP BY 1)
+), banded AS (
+  SELECT CASE WHEN t < 0.1 THEN 't<0.1'
+              WHEN t < 0.2 THEN '0.1-0.2'
+              WHEN t < 0.4 THEN '0.2-0.4'
+              ELSE '0.4+ (leaky)' END AS t_band,
+         k
+  FROM (SELECT k,
+               (CAST(partial + gs_sum AS DOUBLE) / 2)
+                   / {float(T_CLOSENESS_SCALE)} AS t
+        FROM per_class, gs_dom)
+)
+SELECT t_band, count(*) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       {oracle_exact_ratio("sum(k)", "sum(sum(k)) OVER ()")} AS row_share
+FROM banded GROUP BY t_band
+"""
+
+
+@query("t_closeness_census", oracle=_T_CLOSENESS_ORACLE)
+def q_t_closeness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_closeness_census(load_table(spark, sf_dir, "customer"))

@@ -133,6 +133,7 @@ REPRESENTATIVES = [
     "pipeline_governed_release",
     "er_window_recall_eval",
     "life_table_signup_purchase",
+    "t_closeness_census",
 ]
 
 

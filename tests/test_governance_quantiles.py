@@ -74,3 +74,26 @@ def test_grouped_median_per_group(spark):
     got = {r["priority"]: r for r in grouped_exact_median(df).collect()}
     assert got["A"]["k"] == 5 and got["A"]["value"] == 5.0 and got["A"]["n_le"] == 5
     assert got["B"]["k"] == 2 and got["B"]["value"] == 20.0 and got["B"]["n_le"] == 2
+
+
+def test_t_closeness_uniform_vs_skewed(spark):
+    from mapreduce_lab_spark.operators.profiling import t_closeness_census
+
+    # Uniform: every class carries the global 50/50 segment mix -> all
+    # classes land in the t<0.1 band.
+    rows = [
+        (n, float(b * 1000 + 10), seg)
+        for n in (1, 2)
+        for b in (0, 1)
+        for seg in ("AUTO", "HOUSE")
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, "c_nationkey int, c_acctbal double, c_mktsegment string")
+    out = {r["t_band"]: r for r in t_closeness_census(df).collect()}
+    assert set(out) == {"t<0.1"}
+    # Skew one class to 100% AUTO: its TVD from the (now ~56/44)
+    # global mix is large -> a leaky band appears.
+    rows += [(3, 10.0, "AUTO")] * 10
+    df2 = spark.createDataFrame(rows, "c_nationkey int, c_acctbal double, c_mktsegment string")
+    bands = {r["t_band"] for r in t_closeness_census(df2).collect()}
+    assert "0.4+ (leaky)" in bands

@@ -48,6 +48,8 @@ BNLJ_AUDITED = {
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
     "weighted_sample_orders": "1-row total-weight frame",
     "k_anonymity_census": "1-row total-rows frame scales the band shares",
+    "t_closeness_census": "1-row global-share-sum frame folds the "
+    "absent-cell mass into every class's TVD",
     "seasonal_decompose_revenue": "1-row mean-abs-residual frame gates the "
     "anomaly flag over the calendar-sized daily series",
     "chi_square_lang_source": "margin grid = |langs|-row frame crossed "
