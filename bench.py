@@ -104,8 +104,11 @@ HEADLINE = [
     "entity_resolution_scores",
     "distributed_exact_quantiles",
     # round 9b: journey-chain attribution (transition census + bounded
-    # integer matrix solve).
+    # integer matrix solve), the governance trilogy's leak census, and
+    # the censoring-aware survival table.
     "markov_removal_attribution",
+    "t_closeness_census",
+    "life_table_signup_purchase",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -165,6 +168,8 @@ PRIMARY_INPUT = {
     "entity_resolution_scores": "part",
     "distributed_exact_quantiles": "lineitem",
     "markov_removal_attribution": "events",
+    "t_closeness_census": "customer",
+    "life_table_signup_purchase": "events",
 }
 
 
