@@ -39,6 +39,8 @@ CASES = [
     "entity_resolution_scores",
     "seasonal_decompose_revenue",
     "markov_removal_attribution",
+    "grouped_exact_median",
+    "t_closeness_census",
 ]
 
 
