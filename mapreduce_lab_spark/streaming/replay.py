@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.operators.chunking import _CHUNK_ORACLE_BODY
 from mapreduce_lab_spark.operators.classify import _WLV_ORACLE
+from mapreduce_lab_spark.operators.quality import _BENFORD_ORACLE
 from mapreduce_lab_spark.operators.dedup import _INCR_MINHASH_ORACLE
 from mapreduce_lab_spark.operators.drift import (
     KS_DRIFT_SQL,
@@ -447,4 +448,48 @@ def q_streaming_weak_label_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         "label",
         "n_docs",
         exact_ratio(F.col("n_docs"), total).alias("doc_share"),
+    )
+
+
+@query("streaming_benford_replay", oracle=_BENFORD_ORACLE)
+def q_streaming_benford_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Benford forensic screen as a continuous monitor: an orders
+    file-stream feeds the exact-cents first-digit extraction,
+    Structured Streaming maintains the 9-row digit census (complete
+    mode), and shares + expected-gap columns are rendered batch-side
+    over the materialized sink. Oracled by the SAME SQL as the batch
+    twin benford_digit_census — the streamed census state is proven
+    bit-equal to the batch census."""
+    import os
+
+    from pyspark.sql import Window
+
+    from mapreduce_lab_spark.functions.numeric import exact_ratio, to_units
+    from mapreduce_lab_spark.operators.quality import BENFORD_EXPECTED
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    sorders = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    pu = to_units(F.col("o_totalprice"), 100)
+    census = (
+        sorders.where(pu > 0)
+        .groupBy(F.substring(pu.cast("string"), 1, 1).alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    sunk = _drain(census, "complete")
+    total = F.sum("n_orders").over(Window.partitionBy())
+    expected = None
+    for d, p in BENFORD_EXPECTED.items():
+        cond, v = F.col("digit") == d, F.lit(p)
+        expected = F.when(cond, v) if expected is None else expected.when(cond, v)
+    share = exact_ratio(F.col("n_orders"), total)
+    return sunk.select(
+        "digit",
+        "n_orders",
+        share.alias("share"),
+        expected.alias("expected_share"),
+        F.abs(share - expected).alias("abs_gap"),
     )
