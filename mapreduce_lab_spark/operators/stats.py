@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from mapreduce_lab_spark.functions.numeric import (
     exact_ratio,
     oracle_exact_ratio,
+    oracle_units,
     to_units,
 )
 from mapreduce_lab_spark.registry import query
@@ -181,3 +182,91 @@ FROM grid CROSS JOIN t
 @query("chi_square_lang_source", oracle=_CHI2_ORACLE)
 def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_lang_source(load_table(spark, sf_dir, "documents"))
+
+
+# --- difference-in-differences (measurement lane) ----------------------------
+
+# The workhorse quasi-experimental estimator (Card & Krueger 1994,
+# public): compare the treated group's before/after change against
+# the control group's, so any shared time trend cancels. Groups here
+# are order priorities (treated = 1-URGENT, control = 5-LOW) around a
+# fixed cutover date — the shape of every "did the pricing change
+# move urgent-order revenue?" question.
+#
+# Exactness: each cell's mean daily revenue is derived from exact
+# integer cents and day counts via the floor-scaled exact_avg
+# discipline; the DiD is then arithmetic on four identical doubles —
+# bit-stable cross-engine. One combinable (group, period, day)
+# aggregate; everything after runs on a 4-row frame.
+
+DID_TREATED = "1-URGENT"
+DID_CONTROL = "5-LOW"
+DID_CUTOVER = "1998-01-01"
+
+
+def diff_in_diff_revenue(orders: DataFrame) -> DataFrame:
+    """One row: the four (group, period) mean-daily-revenue cells and
+    the difference-in-differences estimate, all exact-cent floor-
+    scaled doubles."""
+    daily = (
+        orders.where(F.col("o_orderpriority").isin(DID_TREATED, DID_CONTROL))
+        .groupBy(
+            (F.col("o_orderpriority") == DID_TREATED).alias("treated"),
+            (F.col("o_orderdate") >= F.lit(DID_CUTOVER)).alias("post"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(to_units(F.col("o_totalprice"), 100)).alias("u"))
+    )
+    cells = daily.groupBy("treated", "post").agg(
+        F.sum("u").alias("su"), F.count(F.lit(1)).alias("nd")
+    )
+    mean = F.floor(F.col("su").cast("double") * 10_000 / F.col("nd")) / F.lit(
+        1_000_000.0
+    )  # dollars at 4dp beyond cents -> 6dp total stability
+    # four conditional aggregates over the 4-row cells frame
+    four = cells.select("treated", "post", mean.alias("m")).agg(
+        F.max(F.when(F.col("treated") & ~F.col("post"), F.col("m"))).alias("t_pre"),
+        F.max(F.when(F.col("treated") & F.col("post"), F.col("m"))).alias("t_post"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), F.col("m"))).alias("c_pre"),
+        F.max(F.when(~F.col("treated") & F.col("post"), F.col("m"))).alias("c_post"),
+    )
+    return four.select(
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        (
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did"),
+    )
+
+
+_DID_ORACLE = f"""
+WITH daily AS (
+  SELECT (o_orderpriority = '{DID_TREATED}') AS treated,
+         (o_orderdate >= TIMESTAMP '{DID_CUTOVER} 00:00:00') AS post,
+         CAST(o_orderdate AS DATE) AS day,
+         sum({oracle_units('o_totalprice', 100)}) AS u
+  FROM orders
+  WHERE o_orderpriority IN ('{DID_TREATED}', '{DID_CONTROL}')
+  GROUP BY 1, 2, 3
+), cells AS (
+  SELECT treated, post,
+         (floor(CAST(sum(u) AS DOUBLE) * 10000 / count(*)) / 1000000.0) AS m
+  FROM daily GROUP BY 1, 2
+)
+SELECT max(CASE WHEN treated AND NOT post THEN m END) AS t_pre,
+       max(CASE WHEN treated AND post THEN m END) AS t_post,
+       max(CASE WHEN NOT treated AND NOT post THEN m END) AS c_pre,
+       max(CASE WHEN NOT treated AND post THEN m END) AS c_post,
+       (max(CASE WHEN treated AND post THEN m END)
+        - max(CASE WHEN treated AND NOT post THEN m END))
+       - (max(CASE WHEN NOT treated AND post THEN m END)
+          - max(CASE WHEN NOT treated AND NOT post THEN m END)) AS did
+FROM cells
+"""
+
+
+@query("diff_in_diff_revenue", oracle=_DID_ORACLE)
+def q_diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return diff_in_diff_revenue(load_table(spark, sf_dir, "orders"))

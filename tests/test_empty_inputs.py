@@ -134,6 +134,7 @@ REPRESENTATIVES = [
     "er_window_recall_eval",
     "life_table_signup_purchase",
     "t_closeness_census",
+    "diff_in_diff_revenue",
 ]
 
 

@@ -61,3 +61,26 @@ def test_chi_square_flags_dependence(spark):
     out = chi_square_lang_source(df).collect()
     total = sum(r["chi2_contrib"] for r in out)
     assert abs(total - 20.0) < 1e-3
+
+
+def test_diff_in_diff_hand_case(spark):
+    from mapreduce_lab_spark.operators.stats import diff_in_diff_revenue
+
+    # treated: pre mean 100, post mean 250 (+150)
+    # control: pre mean 50,  post mean 100 (+50)   -> DiD = +100
+    rows = [
+        ("1-URGENT", "1997-01-01", 100.0),
+        ("1-URGENT", "1997-01-02", 100.0),
+        ("1-URGENT", "1998-02-01", 200.0),
+        ("1-URGENT", "1998-02-02", 300.0),
+        ("5-LOW", "1997-01-01", 50.0),
+        ("5-LOW", "1998-02-01", 100.0),
+        ("3-MEDIUM", "1997-06-01", 999.0),  # other groups ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderdate string, o_totalprice double"
+    ).selectExpr("o_orderpriority", "to_timestamp(o_orderdate) AS o_orderdate", "o_totalprice")
+    r = diff_in_diff_revenue(df).collect()[0]
+    assert r["t_pre"] == 100.0 and r["t_post"] == 250.0
+    assert r["c_pre"] == 50.0 and r["c_post"] == 100.0
+    assert abs(r["did"] - 100.0) < 1e-9
