@@ -131,6 +131,13 @@ MARKOV_SCALE = 10**9
 MARKOV_ITERS = 25
 _ABSORB_CONV = "conv"
 _ABSORB_NULL = "null"
+# Base-scenario sentinel for the oracle's scenario dimension. The
+# Spark side uses Python None; the SQL side needs a string, and a
+# channel literally named by that string would merge its removal
+# scenario with the base scenario in the scens/edges GROUP BY — so
+# the token starts with a control byte (US, 0x1f) no event_type can
+# contain.
+_SCEN_BASE = "\x1fbase"
 
 
 def journey_transitions(events: DataFrame) -> DataFrame:
@@ -297,7 +304,7 @@ def _markov_oracle() -> str:
       SELECT DISTINCT to_ AS c FROM t
       WHERE to_ NOT IN ('{_ABSORB_CONV}', '{_ABSORB_NULL}')
     ), scens AS MATERIALIZED (
-      SELECT 'none' AS scen UNION ALL SELECT c FROM chans
+      SELECT '{_SCEN_BASE}' AS scen UNION ALL SELECT c FROM chans
     ), edges AS MATERIALIZED (
       SELECT s.scen, t.frm,
              CASE WHEN t.to_ = s.scen THEN '{_ABSORB_NULL}'
@@ -312,7 +319,7 @@ def _markov_oracle() -> str:
     ),
     {chain},
     base AS (
-      SELECT pv FROM {prev} WHERE scen = 'none' AND state = 'start'
+      SELECT pv FROM {prev} WHERE scen = '{_SCEN_BASE}' AND state = 'start'
     ), eff AS MATERIALIZED (
       SELECT c.c AS channel,
              (SELECT pv FROM base)

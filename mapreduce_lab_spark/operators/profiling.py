@@ -939,9 +939,14 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(p.select(F.col(pk).alias("k")), "k")
             .agg(F.count(F.lit(1)).alias("actual_rows"))
         )
-        est = (
-            F.col("n_child")
-            * F.col("n_parent")
+        # Product in DOUBLE (long*long would wrap silently near 2^63
+        # where DuckDB errors) and an explicit floor before the integer
+        # cast: Spark's cast("long") truncates toward zero but DuckDB's
+        # CAST(AS BIGINT) rounds to nearest, so parity would only hold
+        # while every FK edge happens to divide exactly.
+        est = F.floor(
+            F.col("n_child").cast("double")
+            * F.col("n_parent").cast("double")
             / F.greatest(F.col("ndv_child"), F.col("ndv_parent"))
         ).cast("long")
         legs.append(
@@ -969,9 +974,10 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _join_card_leg(name: str, child: str, ck: str, parent: str, pk: str) -> str:
     est = (
-        f"CAST((SELECT count(*) FROM {child}) * (SELECT count(*) FROM {parent})"
+        f"CAST(floor(CAST((SELECT count(*) FROM {child}) AS DOUBLE)"
+        f" * CAST((SELECT count(*) FROM {parent}) AS DOUBLE)"
         f" / greatest((SELECT count(DISTINCT {ck}) FROM {child}),"
-        f"            (SELECT count(DISTINCT {pk}) FROM {parent})) AS BIGINT)"
+        f"            (SELECT count(DISTINCT {pk}) FROM {parent}))) AS BIGINT)"
     )
     act = (
         f"(SELECT count(*) FROM {child} c JOIN {parent} p ON c.{ck} = p.{pk})"

@@ -77,7 +77,11 @@ def ols_trend_by_type(events: DataFrame) -> DataFrame:
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
-    return m.select(
+    # A slope needs >= 2 distinct day points; n == 1 makes den == 0,
+    # where Spark's non-ANSI divide yields NULL but DuckDB's IEEE
+    # double divide yields Infinity — filter the degenerate types out
+    # of BOTH engines instead of rendering an engine-dependent value.
+    return m.where(F.col("n") >= 2).select(
         "event_type",
         F.col("n").alias("n_days"),
         exact_ratio(slope_num, den).alias("slope_cents_per_day"),
@@ -103,7 +107,7 @@ SELECT event_type, CAST(n AS BIGINT) AS n_days,
            AS slope_cents_per_day,
        {oracle_exact_ratio("sy * sxx - sx * sxy", "n * sxx - sx * sx")}
            AS intercept_cents
-FROM m
+FROM m WHERE n >= 2
 """
 
 

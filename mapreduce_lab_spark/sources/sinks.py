@@ -232,21 +232,30 @@ def write_zorder_parquet(
 # aggregate computed from the original parquet, so any loss or type
 # drift in the ORC path breaks the hash gate.
 
-_ORC_WRITTEN: dict[tuple[int, str], str] = {}
+_ORC_WRITTEN: dict[str, str] = {}
 
 
 def _orc_replica(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per session+sf_dir) the documents table as ORC under
+    """Write (once per process+sf_dir) the documents table as ORC under
     /tmp and return the path. Memoized like the IVF index artifacts:
-    re-running the query in one session reuses the files; a fresh
-    session rewrites them (mode=overwrite, so always self-consistent).
+    re-running the query in one process reuses the files; a fresh
+    process rewrites them (mode=overwrite, so always self-consistent).
+
+    The path is keyed on a hash of the ABSOLUTE sf_dir plus the pid —
+    two sf_dirs that share a basename (sf0.01 under different roots)
+    or two concurrent processes on the same sf can never clobber each
+    other's replica — and the memo key is the absolute path itself
+    (id(spark) can be recycled after GC).
     """
+    import hashlib
     import os
 
-    key = (id(spark), sf_dir)
+    key = os.path.abspath(sf_dir)
     if key not in _ORC_WRITTEN:
         path = os.path.join(
-            "/tmp", "spark_graft_orc", os.path.basename(os.path.normpath(sf_dir))
+            "/tmp",
+            f"spark_graft_orc_{os.getpid()}",
+            hashlib.sha1(key.encode()).hexdigest()[:16],
         )
         (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
