@@ -1005,9 +1005,14 @@ _RP_CAND_CTE = f"""e AS (
     """,
 )
 def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.4) via banded
-    random-hyperplane LSH — the SCALE PATH whose recall the exact
-    O(n²) ``near_dup_embedding_cosine`` baseline measures.
+    """TIGHT-THRESHOLD embedding near-dup pair lane: banded
+    random-hyperplane LSH, whose recall the exact O(n²)
+    ``near_dup_embedding_cosine`` baseline measures. Constant-bucket
+    sign-LSH prunes well only when the threshold is high (>= ~0.9,
+    theta <= 26°, per-bit agreement >= 0.86); at the repo's loose 0.4
+    threshold its candidates grow quadratically (census-gated above
+    ~sf1 — ``lsh_band_census``), so loose-threshold traffic routes to
+    ``near_dup_embedding_ivf_clusters`` (operators/semantic_ivf.py).
 
     100 TB shape: signatures are a narrow per-row projection (16 dots
     against broadcast-literal hyperplanes — no shuffle, no UDF), the
@@ -1122,9 +1127,13 @@ def embedding_lsh_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic-dedup clusters: connected components over the banded
-    random-hyperplane LSH pairs (cosine >= 0.4), labeled by min
-    vec_id — the scale-safe OUTPUT contract for embedding dedup.
+    """TIGHT-THRESHOLD embedding near-dup cluster lane: connected
+    components over the banded random-hyperplane LSH pairs (cosine
+    >= 0.4), labeled by min vec_id — the scale-safe OUTPUT contract
+    for embedding dedup in the high-threshold regime. For LOOSE
+    thresholds at scale use ``near_dup_embedding_ivf_clusters``
+    (operators/semantic_ivf.py), whose trained product cells keep
+    candidates linear where this lane's census reads ~n²/32.
 
     Pair lists are inherently quadratic on duplicate-heavy corpora
     (the round-4 sf1 lesson, docs/SCALE.md); a pipeline that keeps

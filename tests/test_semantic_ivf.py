@@ -125,6 +125,76 @@ def test_ivf_census_prunes_and_stays_subquadratic(spark):
     )
 
 
+def test_ivf_tight_threshold_operating_point(spark, tmp_path):
+    """Pin the TIGHT-threshold (cosine >= 0.9) operating point the
+    module docstring claims: C=32 / nprobe=3 recovers the true pairs
+    with ~10x less verify work than the loose-regime C=64 / nprobe=6.
+
+    The natural sf0.1 corpus has NO pairs above 0.9 (all its near-dups
+    sit in the 0.4-0.9 band), so the eval constructs known positives:
+    every 10th sf0.1 vector gets a twin perturbed along a deterministic
+    orthogonal direction scaled to cosine ~0.970 — 200 truth pairs over
+    a 2,200-vector corpus. Measured (docs/SCALE.md round-10 sweep):
+    C=32 np=2: recall 0.945 @ 135k cand; C=32 np=3: recall 1.000 @
+    304k cand; C=64 np=6: recall 1.000 @ 2.89M cand. Floors: recall
+    >= 0.95 at the pinned point, candidate ratio <= 1/3 of loose."""
+    import numpy as np
+
+    con = __import__("duckdb").connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM"
+        " '/root/testdata/sf0.1/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    rng = np.random.default_rng(13)
+    out = [(vid, list(emb)) for vid, emb in rows]
+    next_id = max(vid for vid, _ in rows) + 1
+    truth = []
+    for vid, emb in rows:
+        if vid % 10 == 0:
+            v = np.array(emb, dtype=np.float64)
+            w = rng.standard_normal(len(v))
+            w -= w @ v / (v @ v) * v  # orthogonal component
+            w *= np.linalg.norm(v) / np.linalg.norm(w)
+            vp = v + 0.25 * w  # cos = 1/sqrt(1 + 0.0625) ~ 0.970
+            out.append((next_id, [float(x) for x in vp]))
+            truth.append((vid, next_id))
+            next_id += 1
+    d = str(tmp_path / "tight")
+    _write_embeddings(d, out)
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.operators.semantic_ivf import (
+        ivf_postings,
+    )
+
+    def cand_pairs(reps, cent, dim, np_):
+        occ = (
+            ivf_postings(reps, cent, dim, nprobe=np_)
+            .groupBy("c1", "c2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return occ.agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("c")
+        ).collect()[0]["c"]
+
+    reps32, cent32, dim = build_ivf_index(spark, d, target_cell=32)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_verified_pairs(
+            reps32, cent32, dim, threshold=0.9, nprobe=3
+        ).collect()
+    }
+    hit = sum(1 for p in truth if p in got)
+    assert hit / len(truth) >= 0.95, (hit, len(truth))
+
+    reps64, cent64, _ = build_ivf_index(spark, d, target_cell=64)
+    c_tight = cand_pairs(reps32, cent32, dim, 3)
+    c_loose = cand_pairs(reps64, cent64, dim, 6)
+    assert c_tight <= c_loose / 3, (c_tight, c_loose)
+
+
 def test_ivf_exact_duplicates_and_near_pairs_constructed(spark, tmp_path):
     """Constructed corpus: identical vectors ALWAYS co-cluster (same
     cells by determinism of argmin), near vectors above the cosine
