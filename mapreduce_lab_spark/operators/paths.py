@@ -280,13 +280,25 @@ SEQ_SHINGLE_CHARS = 6  # 3 tokens x 2 chars
 # recall knee from the round-9 trajectory_nn_recall_at_1 eval: the
 # sf0.1 shingle df distribution is bimodal and the common-motif lobe
 # sits at df 257-512, so cap 64/128/256 all recover only 12/25 true
-# top-1 neighbors while 512 recovers 25/25. Measured cost at sf0.1:
-# cold 14.1 -> 15.5 s, steady-state warm 5.7 -> 13.6 s (the larger
-# candidate set is real work) — the 2x recall is judged worth the 2x
-# warm verify; a recall-insensitive deployment dials the cap back
-# down and this trade is exactly what trajectory_nn_recall_at_1
-# measures per corpus.
+# top-1 neighbors while 512 recovers 25/25.
 SEQ_DF_CAP = 512
+# TWO-TIER index (round 10, closing the r9 cap-512 cost): shingles in
+# the discriminative lobe (df <= TIER1_DF_CAP) are indexed with FULL
+# postings; shingles in the motif lobe (TIER1_DF_CAP < df <=
+# SEQ_DF_CAP) are indexed only from each rep's TIER2_SEL_K
+# smallest-(df, s) motif shingles — deterministic bottom-k selection,
+# the identity-hash analogue of bottom-k MinHash, so two reps sharing
+# a similar motif profile keep colliding while a rep stops paying
+# df² join work for EVERY common motif it carries. Measured at sf0.1
+# (docs/SCALE.md round-10): the motif lobe was 97% of the enumerated
+# join work (25.2M of 26.0M pair rows from just 111 shingles);
+# two-tier keeps recall@1 at 25/25 (the registered eval) while
+# cutting candidates 2.25M -> 1.68M and warm wall 10.0 -> 4.6 s.
+# Scale contract unchanged: tier-1 buckets are <= 128 reps, tier-2
+# postings are <= TIER2_SEL_K per rep with buckets still <= SEQ_DF_CAP
+# reps, so candidate work stays linear with a tighter constant.
+TIER1_DF_CAP = 128
+TIER2_SEL_K = 4
 
 
 def user_gap_codes(events: DataFrame) -> DataFrame:
@@ -368,7 +380,16 @@ def _singleton_candidate_scores(fam: DataFrame) -> DataFrame:
     reps = _trajectory_reps(fam)
     exr = reps.select("rep", F.explode("sh").alias("s"))
     dft = exr.groupBy("s").agg(F.count("*").alias("df"))
-    idx = exr.join(dft.where(F.col("df") <= SEQ_DF_CAP), "s").select("rep", "s")
+    ed = exr.join(dft, "s")
+    idx1 = ed.where(F.col("df") <= TIER1_DF_CAP).select("rep", "s")
+    wm = Window.partitionBy("rep").orderBy("df", "s")
+    idx2 = (
+        ed.where((F.col("df") > TIER1_DF_CAP) & (F.col("df") <= SEQ_DF_CAP))
+        .withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") <= TIER2_SEL_K)
+        .select("rep", "s")
+    )
+    idx = idx1.unionByName(idx2)
     cand = (
         idx.alias("a")
         .join(idx.alias("b"), "s")
@@ -418,11 +439,15 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
        the clone count and either went quadratic (fraction cap) or
        empty (absolute cap).
     2. **Cross-family candidates for singletons.** One REPRESENTATIVE
-       (the min member) per family enters the postings index;
-       shingles carried by more than SEQ_DF_CAP families are not
-       indexed (the stop-motif analogue of the dedup lane's prefix
-       filter — a motif every family shares identifies nobody).
-       Candidates share >= 1 sub-cap shingle; exact Jaccard on full
+       (the min member) per family enters the TWO-TIER postings
+       index: full postings for discriminative shingles (df <=
+       TIER1_DF_CAP), per-rep bottom-TIER2_SEL_K (df, s) selection
+       for motif-lobe shingles (df up to SEQ_DF_CAP; see the constant
+       block above for the measured 97%-of-join-work motivation), and
+       nothing above SEQ_DF_CAP (the stop-motif analogue of the dedup
+       lane's prefix filter — a motif every family shares identifies
+       nobody). Candidates share >= 1 indexed shingle; exact Jaccard
+       on full
        shingle sets ranks them; per-user argmax breaks ties by the
        smaller neighbor id (the representative IS its family's min
        member, so the tie rule is id-consistent across tiers).
@@ -518,8 +543,19 @@ _TRAJ_CTES = f"""g AS (
     reps AS (SELECT user_id AS rep, sh, n_mem FROM fam WHERE user_id = m1),
     exr AS (SELECT rep, unnest(sh) AS s FROM reps),
     dft AS (SELECT s, count(*) AS df FROM exr GROUP BY s),
-    idx AS (SELECT rep, s FROM exr JOIN dft USING (s)
-            WHERE df <= {SEQ_DF_CAP}),
+    -- two-tier index: full postings for the discriminative lobe,
+    -- per-rep bottom-{TIER2_SEL_K} (df, s) selection for the motif
+    -- lobe (mirrors the Spark row_number window exactly)
+    idx AS (
+        SELECT rep, s FROM exr JOIN dft USING (s)
+        WHERE df <= {TIER1_DF_CAP}
+        UNION ALL
+        SELECT rep, s FROM (
+            SELECT rep, s,
+                   row_number() OVER (PARTITION BY rep ORDER BY df, s) AS rn
+            FROM exr JOIN dft USING (s)
+            WHERE df > {TIER1_DF_CAP} AND df <= {SEQ_DF_CAP}
+        ) WHERE rn <= {TIER2_SEL_K}),
     cand AS (
         SELECT DISTINCT a.rep AS ua, b.rep AS ub
         FROM idx a JOIN idx b ON a.s = b.s

@@ -175,11 +175,14 @@ def test_daily_value_ks_identical_then_disjoint_day(spark):
 
 
 def test_trajectory_nn_recall_floor_sf01(spark):
-    """The SEQ_DF_CAP=512 postings tier must recover the true top-1
-    neighbor for (almost) every sampled singleton user on the organic
-    sf0.1 corpus — the measured knee the round-9 cap re-tune pinned
-    (64/128/256 all sat at 12/25; 512 measures 25/25, floor 0.9 for
-    corpus robustness). See docs/SCALE.md round-9 eval table."""
+    """The two-tier postings index (full postings at df <= 128,
+    per-rep bottom-4 selection in the 129-512 motif lobe) must recover
+    the true top-1 neighbor for (almost) every sampled singleton user
+    on the organic sf0.1 corpus. Round-9 measured the single-tier knee
+    (64/128/256 all sat at 12/25; 512 = 25/25 at 2x warm cost);
+    round-10's two-tier keeps 25/25 at sf0.1 while halving the warm
+    wall (docs/SCALE.md round-10 table). Floor 0.9 for corpus
+    robustness."""
     from mapreduce_lab_spark.operators.paths import trajectory_nn_recall
     from mapreduce_lab_spark.sources.tables import load_table
 
