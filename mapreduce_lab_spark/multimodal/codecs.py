@@ -1,13 +1,13 @@
-"""Pure-Python image codecs: 24-bit BMP, binary PPM (P6), and (round
-9) 8-bit PNG via stdlib zlib.
+"""Pure-Python image codecs: 24-bit BMP, binary PPM (P6), 8-bit PNG
+via stdlib zlib (round 9), and baseline-sequential JPEG (round 10).
 
 The real decode path behind the multimodal seam (``binary_ops``).
-All three are fully specified public formats implementable
+All four are fully specified public formats implementable
 dependency-free — which is the point: the container ships no PIL,
 and until round 4 ``decode_image`` was the repo's one stub. With
 these, image payloads in the fixtures are REAL encoded images and
-the decode query is oracle-checked end to end; only JPEG remains
-PIL-gated.
+the decode queries are oracle-checked end to end; PIL remains only
+as the fallback for variants outside the baseline scope.
 
 Format notes (all from the public specs):
 
@@ -281,4 +281,650 @@ def decode_payload(payload: bytes) -> tuple[str, int, int, list[Pixel]]:
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         w, h, px = decode_png(payload)
         return "png", w, h, px
+    if payload[:2] == b"\xff\xd8":
+        w, h, px = decode_jpeg(payload)
+        return "jpeg", w, h, px
     raise ValueError(f"unknown image magic {payload[:2]!r}")
+
+
+# --- JPEG (baseline sequential, ITU-T T.81) ----------------------------------
+
+# Round-10 closure of the last PIL-gated codec: a dependency-free
+# baseline-sequential JPEG encoder/decoder. Scope (all from the
+# public T.81 spec + JFIF colour conventions):
+#
+# - encode: 8-bit 3-component YCbCr 4:4:4 (or 1-component grayscale),
+#   unit quantization tables by default (max fidelity), the Annex
+#   K.3 example Huffman tables, no subsampling, no restart markers.
+# - decode: baseline DCT (SOF0), 8-bit, components with 1x1 sampling
+#   (4:4:4 or grayscale), DHT/DQT from the stream (multi-table
+#   segments), DRI/RSTn restart handling, APPn/COM skipped.
+#   Progressive (SOF2), 12-bit, and subsampled files raise
+#   ValueError — the ``decode_image`` seam falls through to PIL for
+#   those exactly as before.
+#
+# Exactness note (what makes the oracled JPEG query possible): with
+# unit quant tables, an image whose every 8x8 block is a FLAT
+# grayscale value round-trips EXACTLY — the only nonzero coefficient
+# per block is DC = 8*(v-128) (an exact integer after the rounded
+# quantize; the float residue of the AC cancellation is ~1e-13 and
+# rounds to 0), the IDCT of a DC-only block is v-128 +- ~1e-11, and
+# the JFIF luma weights sum to 1 so grayscale survives both colour
+# conversions. tests/test_jpeg_property.py pins this plus a measured
+# tolerance bound for arbitrary images.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K.3 example Huffman tables (BITS per code length 1..16,
+# then the symbol values in canonical order).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> list[list[float]]:
+    import math
+
+    m = []
+    for u in range(8):
+        c = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        m.append(
+            [c * math.cos((2 * x + 1) * u * math.pi / 16.0) / 2.0 for x in range(8)]
+        )
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _round_half_away(x: float) -> int:
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _fdct_quant(block: list[list[float]], qt: list[int]) -> list[int]:
+    """Forward 8x8 DCT (separable, level-shifted input) + quantize;
+    returns the 64 coefficients in ZIGZAG order."""
+    m = _DCT_M
+    # rows pass: t = block @ m^T   (t[y][u] = sum_x block[y][x] m[u][x])
+    t = [[sum(row[x] * m[u][x] for x in range(8)) for u in range(8)] for row in block]
+    # cols pass: S[v][u] = sum_y m[v][y] t[y][u]
+    s = [[sum(m[v][y] * t[y][u] for y in range(8)) for u in range(8)] for v in range(8)]
+    return [
+        _round_half_away(s[z // 8][z % 8] / qt[i])
+        for i, z in enumerate(_ZIGZAG)
+    ]
+
+
+def _idct_block(coef_zz: list[int], qt: list[int]) -> list[list[int]]:
+    """Dequantize zigzag coefficients, inverse 8x8 DCT, level-unshift;
+    returns an 8x8 grid of clamped 0..255 ints."""
+    m = _DCT_M
+    s = [[0.0] * 8 for _ in range(8)]
+    for i, z in enumerate(_ZIGZAG):
+        if coef_zz[i]:
+            s[z // 8][z % 8] = coef_zz[i] * qt[i]
+    # t = m^T @ S  (t[y][u] = sum_v m[v][y] s[v][u])
+    t = [[sum(m[v][y] * s[v][u] for v in range(8)) for u in range(8)] for y in range(8)]
+    out = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            v = _round_half_away(sum(t[y][u] * m[u][x] for u in range(8)) + 128.0)
+            row.append(0 if v < 0 else (255 if v > 255 else v))
+        out.append(row)
+    return out
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 canonical code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    a = abs(v)
+    n = 0
+    while a:
+        a >>= 1
+        n += 1
+    return n
+
+
+def _encode_block(
+    w: _BitWriter,
+    coef: list[int],
+    pred: int,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    diff = coef[0] - pred
+    size = _category(diff)
+    code, length = dc_tab[size]
+    w.write(code, length)
+    if size:
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        w.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = coef[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_tab[0xF0]  # ZRL
+            w.write(zc, zl)
+            run -= 16
+        size = _category(v)
+        code, length = ac_tab[(run << 4) | size]
+        w.write(code, length)
+        bits = v if v >= 0 else v + (1 << size) - 1
+        w.write(bits, size)
+        run = 0
+    if run:
+        code, length = ac_tab[0x00]  # EOB
+        w.write(code, length)
+    return coef[0]
+
+
+def _plane_blocks(plane: list[list[float]], w: int, h: int):
+    """Yield 8x8 level-shifted blocks in MCU scan order, edge-padded."""
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            yield [
+                [
+                    plane[min(by + y, h - 1)][min(bx + x, w - 1)] - 128.0
+                    for x in range(8)
+                ]
+                for y in range(8)
+            ]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht_body(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: list[Pixel],
+    quant: int = 1,
+    grayscale: bool = False,
+) -> bytes:
+    """Encode top-down RGB pixels as a baseline-sequential JFIF JPEG
+    (4:4:4, no subsampling; ``quant`` fills both quantization tables
+    with a constant — 1 = maximum fidelity)."""
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    qt = [max(1, min(255, quant))] * 64
+    # colour planes (JFIF YCbCr)
+    ys, cbs, crs = [], [], []
+    for y in range(height):
+        yr, cbr, crr = [], [], []
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            yr.append(0.299 * r + 0.587 * g + 0.114 * b)
+            cbr.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+            crr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+        ys.append(yr)
+        cbs.append(cbr)
+        crs.append(crr)
+    dc_l = _huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bw = _BitWriter()
+    if grayscale:
+        preds = [0]
+        blocks = [_plane_blocks(ys, width, height)]
+        tabs = [(dc_l, ac_l)]
+    else:
+        preds = [0, 0, 0]
+        blocks = [
+            _plane_blocks(ys, width, height),
+            _plane_blocks(cbs, width, height),
+            _plane_blocks(crs, width, height),
+        ]
+        tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    n_mcux = (width + 7) // 8
+    n_mcuy = (height + 7) // 8
+    for _ in range(n_mcux * n_mcuy):
+        for ci, gen in enumerate(blocks):
+            coef = _fdct_quant(next(gen), qt)
+            preds[ci] = _encode_block(bw, coef, preds[ci], *tabs[ci])
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0x00]) + bytes(qt[i] for i in range(64)))
+    ncomp = 1 if grayscale else 3
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_body(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_body(0x10, _AC_LUMA_BITS, _AC_LUMA_VALS))
+    if not grayscale:
+        out += _seg(0xC4, _dht_body(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        out += _seg(0xC4, _dht_body(0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    non-stuffing marker (RSTn are consumed by the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise ValueError("marker inside entropy-coded segment")
+        self.pos += 1
+        return b
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self.acc = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("missing restart marker")
+        self.pos += 2
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(bits_val: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits_val < (1 << (size - 1)):
+        return bits_val - (1 << size) + 1
+    return bits_val
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
+    """Decode a baseline-sequential JPEG (8-bit, 1x1 sampling per
+    component — 4:4:4 colour or grayscale). Raises ValueError for
+    progressive/12-bit/subsampled streams (the PIL fallback's job)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int]] = []  # (component id, qt id) in SOF order
+    width = height = 0
+    restart = 0
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
+                qtabs[tq] = list(body[i + 1 : i + 65])
+                i += 65
+            pos += seglen
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+            pos += seglen
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (needs PIL)")
+                comps.append((cid, tq))
+            pos += seglen
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/etc) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", body[:2])[0]
+            pos += seglen
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c : 3 + 2 * c]
+                ci = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+                scan.append((ci, tt >> 4, tt & 0x0F))
+            pos += seglen
+            break  # entropy data follows
+        else:  # APPn, COM, anything else: skip
+            pos += seglen
+    if not comps or not scan or width == 0 or height == 0:
+        raise ValueError("incomplete JPEG header")
+    br = _BitReader(payload, pos)
+    n_mcux = (width + 7) // 8
+    n_mcuy = (height + 7) // 8
+    planes = [
+        [[0] * (n_mcux * 8) for _ in range(n_mcuy * 8)] for _ in comps
+    ]
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                br.align_restart()
+                preds = [0] * len(comps)
+            for ci, tdc, tac in scan:
+                dc_tab = htabs.get((0, tdc))
+                ac_tab = htabs.get((1, tac))
+                qt = qtabs.get(comps[ci][1])
+                if dc_tab is None or ac_tab is None or qt is None:
+                    raise ValueError("JPEG scan references missing table")
+                coef = [0] * 64
+                size = _read_symbol(br, dc_tab)
+                preds[ci] += _extend(br.bits(size), size)
+                coef[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, ac_tab)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    coef[k] = _extend(br.bits(size), size)
+                    k += 1
+                blk = _idct_block(coef, qt)
+                plane = planes[ci]
+                for y in range(8):
+                    prow = plane[my * 8 + y]
+                    brow = blk[y]
+                    for x in range(8):
+                        prow[mx * 8 + x] = brow[x]
+            mcu_count += 1
+    pixels: list[Pixel] = []
+    if len(comps) == 1:
+        yp = planes[0]
+        for y in range(height):
+            row = yp[y]
+            for x in range(width):
+                v = row[x]
+                pixels.append((v, v, v))
+    elif len(comps) == 3:
+        yp, cbp, crp = planes
+        for y in range(height):
+            yr, cbr, crr = yp[y], cbp[y], crp[y]
+            for x in range(width):
+                yy, cb, cr = yr[x], cbr[x] - 128, crr[x] - 128
+                r = _round_half_away(yy + 1.402 * cr)
+                g = _round_half_away(yy - 0.344136 * cb - 0.714136 * cr)
+                b = _round_half_away(yy + 1.772 * cb)
+                pixels.append(
+                    (
+                        0 if r < 0 else (255 if r > 255 else r),
+                        0 if g < 0 else (255 if g > 255 else g),
+                        0 if b < 0 else (255 if b > 255 else b),
+                    )
+                )
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    return width, height, pixels
+
+
+# --- WAV (RIFF PCM, round 10) -------------------------------------------------
+
+# The audio container twin of the image codecs above: RIFF/WAVE with
+# a PCM ``fmt `` chunk and a ``data`` chunk (the original 1991
+# Microsoft/IBM spec, public). PCM is LOSSLESS, so — unlike JPEG —
+# the whole decode path (chunk walk, header fields, little-endian
+# sample unpack) sits behind an exact hash gate
+# (``multimodal_wav_decode_stats`` in binary_ops). Scope: 8-bit
+# unsigned and 16-bit signed integer PCM, mono or interleaved
+# multi-channel; float/ADPCM/extensible raise ValueError (the same
+# fall-through-to-a-real-library seam as the image codecs).
+
+
+def encode_wav(
+    sample_rate: int, samples: list[int], bits: int = 16, channels: int = 1
+) -> bytes:
+    """Encode interleaved integer PCM samples as a RIFF/WAVE file.
+
+    ``samples`` are signed 16-bit values for bits=16 (range -32768..
+    32767) or unsigned bytes for bits=8 (0..255), interleaved by
+    channel; ``len(samples)`` must be a multiple of ``channels``.
+    """
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported PCM width {bits}")
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("samples not a multiple of channel count")
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes(samples)
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunk padding
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a RIFF/WAVE PCM file: (sample_rate, channels, bits,
+    interleaved samples — signed ints for 16-bit, unsigned for
+    8-bit). Walks chunks (skipping LIST/fact/etc), so files with
+    extra metadata chunks decode too."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt_seen = False
+    sample_rate = channels = bits = 0
+    samples: list[int] | None = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            tag, channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 1:
+                raise ValueError(f"non-PCM WAVE format tag {tag}")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported PCM width {bits}")
+            fmt_seen = True
+        elif cid == b"data":
+            if not fmt_seen:
+                raise ValueError("WAVE data chunk before fmt")
+            if len(body) < clen:
+                raise ValueError("truncated WAVE data chunk")
+            if bits == 16:
+                n = clen // 2
+                samples = list(struct.unpack(f"<{n}h", body[: n * 2]))
+            else:
+                samples = list(body)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if not fmt_seen or samples is None:
+        raise ValueError("incomplete WAVE file (missing fmt or data)")
+    return sample_rate, channels, bits, samples

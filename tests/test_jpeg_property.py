@@ -1,0 +1,140 @@
+"""Property tests for the dependency-free baseline JPEG codec.
+
+JPEG is lossy, so — unlike the PNG twin (test_png_property.py) — the
+general roundtrip contract is a TOLERANCE bound, not equality. The
+exactness the oracled ``multimodal_jpeg_decode_stats`` query stands
+on is pinned separately: with unit quantization tables, an image
+whose every 8x8 block is a flat grayscale value round-trips EXACTLY
+(the only nonzero coefficient per block is the integer DC; see the
+codec's commentary for the float-residue argument).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import pytest
+
+from mapreduce_lab_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+# Measured worst max-abs channel error over 90 random images (incl.
+# saturated-color extremes) at quant=1 is 3; bound 6 = 2x margin.
+MAX_ERR = 6
+
+_dims = st.tuples(st.integers(1, 17), st.integers(1, 17))
+
+
+@st.composite
+def _images(draw):
+    w, h = draw(_dims)
+    px = draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 255)] * 3),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    return w, h, px
+
+
+@settings(max_examples=25, deadline=None)
+@given(_images())
+def test_roundtrip_dims_exact_and_pixels_within_tolerance(img):
+    w, h, px = img
+    ww, hh, out = decode_jpeg(encode_jpeg(w, h, px))
+    assert (ww, hh) == (w, h)
+    assert len(out) == w * h
+    assert all(
+        abs(a - b) <= MAX_ERR for p, q in zip(px, out) for a, b in zip(p, q)
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.integers(0, 255))
+def test_flat_grayscale_roundtrips_exactly(dims, v):
+    w, h = dims
+    px = [(v, v, v)] * (w * h)
+    assert decode_jpeg(encode_jpeg(w, h, px)) == (w, h, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.data())
+def test_block_flat_grayscale_roundtrips_exactly(dims, data):
+    """The exactness contract the oracled JPEG query relies on: one
+    flat grayscale value per 8x8 block, values varying across blocks
+    (so the DC prediction chain and EOB paths are real)."""
+    w, h = dims
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=nbx * nby, max_size=nbx * nby)
+    )
+    px = [
+        (vals[(y // 8) * nbx + x // 8],) * 3
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert decode_jpeg(encode_jpeg(w, h, px)) == (w, h, px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_images())
+def test_grayscale_single_component_mode(img):
+    w, h, px = img
+    gray = [(p[0], p[0], p[0]) for p in px]
+    ww, hh, out = decode_jpeg(encode_jpeg(w, h, gray, grayscale=True))
+    assert (ww, hh) == (w, h)
+    assert all(
+        abs(a - b) <= MAX_ERR for p, q in zip(gray, out) for a, b in zip(p, q)
+    )
+    # single-component output is replicated to (v, v, v)
+    assert all(p[0] == p[1] == p[2] for p in out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_images(), st.integers(2, 16))
+def test_coarser_quantization_still_decodes_with_exact_dims(img, q):
+    w, h, px = img
+    ww, hh, out = decode_jpeg(encode_jpeg(w, h, px, quant=q))
+    assert (ww, hh) == (w, h) and len(out) == w * h
+
+
+def test_rejects_non_jpeg_and_truncation():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    good = encode_jpeg(9, 9, [(5, 5, 5)] * 81)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+
+
+def test_rejects_progressive_marker():
+    good = bytearray(encode_jpeg(8, 8, [(5, 5, 5)] * 64))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
+
+
+def test_byte_stuffing_roundtrip():
+    """Content tuned to emit 0xFF bytes in the entropy stream (dense
+    random noise makes long Huffman runs); the unstuffing path must
+    invert the writer's stuffing bit-exactly. Deterministic seeds."""
+    import random
+
+    for seed in range(5):
+        random.seed(seed)
+        w, h = 16, 16
+        px = [
+            tuple(random.randrange(256) for _ in range(3))
+            for _ in range(w * h)
+        ]
+        enc = encode_jpeg(w, h, px)
+        # entropy segment sits between SOS payload and EOI
+        assert b"\xff\x00" in enc  # stuffing actually exercised
+        ww, hh, out = decode_jpeg(enc)
+        assert (ww, hh) == (w, h)
+        assert all(
+            abs(a - b) <= MAX_ERR
+            for p, q in zip(px, out)
+            for a, b in zip(p, q)
+        )
