@@ -1,0 +1,207 @@
+"""Sequence packing: concat-and-chunk documents into fixed
+token-budget training sequences — the step every LLM pretraining
+pipeline runs between curation and the data loader.
+
+ABSENT from the reference (SURVEY §2.3 superset surface). The
+semantics here are the standard production ones: documents are
+concatenated in a deterministic global order (doc_id) and the token
+stream is chunked at exactly SEQ_BUDGET tokens, so documents may
+straddle sequence boundaries (the "packed dataset with document
+splitting" every major pretraining recipe uses; greedy no-split
+packing is inherently a sequential fold and is NOT this operator).
+
+Scale shape — the interesting part is the GLOBAL EXCLUSIVE CUMSUM of
+token counts, which a naive window (ORDER BY doc_id with no
+partition) would serialize onto one task. The distributed form is the
+classic two-level scan:
+
+1. per-shard cumsum: a window PARTITIONED by shard = doc_id div
+   PACK_SHARD — fully parallel;
+2. shard offsets: an exclusive cumsum over the |shards|-row per-shard
+   totals frame — a bounded-metadata window (same class as the
+   P-row partition windows in profiling/windows), broadcast back.
+
+``start`` = shard offset + intra-shard cumsum, exactly the global
+cumsum, with no unbounded single-task window anywhere. PACK_SHARD is
+a demo-scale constant (tests get multi-shard plans on 500-doc
+corpora); production sets it so |shards| stays ~1e4 (e.g. 1e6), and
+past that the same trick nests into a three-level tree.
+
+Token counts use the repo's whitespace tokenizer expression (the
+``text_token_stats`` pair), so the packing census is exact and fully
+oracled: DuckDB replays the cumsum with one window (the oracle is
+correctness-only, not a scale model). Integer note: window ids use
+exact int64 arithmetic ((start - start % B) / B, never float floor),
+so the census is stable past 2^53 tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
+from mapreduce_lab_spark.registry import query
+from mapreduce_lab_spark.sources.tables import load_table
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARD = 200  # doc_ids per cumsum shard (demo scale; see docstring)
+
+_TC = r"\s+"
+
+
+def _idiv(c: Column, d: int) -> Column:
+    """Exact int64 floor division for non-negative c (no float floor)."""
+    return ((c - c % d) / d).cast("long")
+
+
+def doc_token_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, tc, start, end): each document's half-open token span
+    [start, end) in the concatenated corpus stream, via the two-level
+    distributed cumsum described in the module docstring."""
+    tc = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
+        _idiv(F.col("doc_id"), PACK_SHARD).alias("shard"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tc = tc.withColumn("intra", F.coalesce(F.sum("tc").over(w_in), F.lit(0)))
+    # |shards|-row bounded frame: exclusive prefix over shard totals
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        tc.groupBy("shard")
+        .agg(F.sum("tc").alias("st"))
+        .select("shard", F.coalesce(F.sum("st").over(w_sh), F.lit(0)).alias("off"))
+    )
+    return (
+        tc.join(F.broadcast(offs), "shard")
+        .select(
+            "doc_id",
+            "tc",
+            (F.col("off") + F.col("intra")).alias("start"),
+            (F.col("off") + F.col("intra") + F.col("tc")).alias("end"),
+        )
+    )
+
+
+_ORACLE_SPANS = f"""tc AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '{_TC}')) AS tc
+      FROM documents
+    ), sp AS (
+      -- DuckDB's sum() widens to HUGEINT, which range()/arithmetic
+      -- downstream reject: pin the cumsum back to BIGINT.
+      SELECT doc_id, tc,
+             CAST(coalesce(sum(tc) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start
+      FROM tc
+    )"""
+
+
+def sequence_packing_census(docs: DataFrame) -> DataFrame:
+    """Per packed sequence: its id, how many documents contribute
+    tokens to it, its token count (SEQ_BUDGET except the final
+    partial sequence), and how many of its documents are
+    continuations that started in an earlier sequence — the
+    cross-boundary fragmentation a data-loader masking strategy
+    cares about."""
+    spans = doc_token_spans(docs)
+    b = SEQ_BUDGET
+    wins = spans.select(
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(_idiv(F.col("start"), b), _idiv(F.col("end") - 1, b))
+        ).alias("window_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("window_id") * b)
+    hi = F.least(F.col("end"), (F.col("window_id") + 1) * b)
+    return wins.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(hi - lo).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("start") < F.col("window_id") * b, 1).otherwise(0)
+        ).alias("n_carried_in"),
+    )
+
+
+@query(
+    "sequence_packing_census",
+    oracle=f"""
+    WITH {_ORACLE_SPANS}, wins AS (
+      SELECT doc_id, start, start + tc AS e,
+             unnest(range(start // {SEQ_BUDGET},
+                          (start + tc - 1) // {SEQ_BUDGET} + 1)) AS window_id
+      FROM sp
+    )
+    SELECT window_id,
+           count(*) AS n_docs,
+           CAST(sum(least(e, (window_id + 1) * {SEQ_BUDGET})
+                    - greatest(start, window_id * {SEQ_BUDGET}))
+                AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN start < window_id * {SEQ_BUDGET}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_carried_in
+    FROM wins GROUP BY window_id
+    """,
+)
+def q_sequence_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_packing_census(load_table(spark, sf_dir, "documents"))
+
+
+def sequence_packing_efficiency(docs: DataFrame) -> DataFrame:
+    """One row: corpus-level packing report — documents, tokens,
+    packed sequences, padding wasted in the final partial sequence,
+    fill ratio, and how many documents get split across a boundary
+    (the attention-masking surface)."""
+    spans = doc_token_spans(docs)
+    b = SEQ_BUDGET
+    split_doc = (_idiv(F.col("start"), b) < _idiv(F.col("end") - 1, b)).cast("int")
+    agg = spans.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").alias("total_tokens"),
+        F.sum(split_doc).alias("n_split_docs"),
+    )
+    n_windows = _idiv(F.col("total_tokens") - 1, b) + 1
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        n_windows.alias("n_sequences"),
+        (n_windows * b - F.col("total_tokens")).alias("pad_tokens"),
+        exact_ratio(F.col("total_tokens"), n_windows * b).alias("fill_ratio"),
+        "n_split_docs",
+    )
+
+
+@query(
+    "sequence_packing_efficiency",
+    oracle=f"""
+    WITH {_ORACLE_SPANS}, agg AS (
+      SELECT count(*) AS n_docs,
+             sum(tc) AS total_tokens,
+             sum(CASE WHEN start // {SEQ_BUDGET}
+                      < (start + tc - 1) // {SEQ_BUDGET}
+                 THEN 1 ELSE 0 END) AS n_split_docs
+      FROM sp
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST((total_tokens - 1) // {SEQ_BUDGET} + 1 AS BIGINT)
+               AS n_sequences,
+           CAST(((total_tokens - 1) // {SEQ_BUDGET} + 1) * {SEQ_BUDGET}
+                - total_tokens AS BIGINT) AS pad_tokens,
+           {oracle_exact_ratio(
+               "total_tokens",
+               f"((total_tokens - 1) // {SEQ_BUDGET} + 1) * {SEQ_BUDGET}",
+           )} AS fill_ratio,
+           CAST(n_split_docs AS BIGINT) AS n_split_docs
+    FROM agg
+    """,
+)
+def q_sequence_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_packing_efficiency(load_table(spark, sf_dir, "documents"))

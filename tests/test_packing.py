@@ -1,0 +1,80 @@
+"""Semantics pins for the sequence-packing lane: constructed corpora
+with known token counts, boundary straddles, and the census/summary
+consistency invariants."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mapreduce_lab_spark.operators.packing import (
+    SEQ_BUDGET,
+    doc_token_spans,
+    q_sequence_packing_census,
+    q_sequence_packing_efficiency,
+)
+
+
+def _write_docs(path: str, rows: list[tuple[int, str]]) -> None:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, os.path.join(path, "documents.parquet"))
+
+
+def test_spans_are_contiguous_and_ordered(spark, tmp_path):
+    # token counts 3, 1 (empty text -> [''] -> 1 token), 5
+    rows = [(1, "a b c"), (2, ""), (3, "x " * 4 + "x")]
+    d = str(tmp_path / "lake")
+    _write_docs(d, rows)
+    spans = {
+        r.doc_id: (r.tc, r.start, r.end)
+        for r in doc_token_spans(
+            spark.read.parquet(os.path.join(d, "documents.parquet"))
+        ).collect()
+    }
+    assert spans[1] == (3, 0, 3)
+    assert spans[2] == (1, 3, 4)
+    assert spans[3] == (5, 4, 9)
+
+
+def test_straddling_doc_is_split_and_counted(spark, tmp_path):
+    # doc 1 fills most of sequence 0; doc 2 straddles into sequence 1
+    n1 = SEQ_BUDGET - 10
+    rows = [(1, "w " * (n1 - 1) + "w"), (2, "y " * 39 + "y")]
+    d = str(tmp_path / "lake")
+    _write_docs(d, rows)
+    census = {
+        r.window_id: r for r in q_sequence_packing_census(spark, d).collect()
+    }
+    assert set(census) == {0, 1}
+    assert census[0].n_docs == 2 and census[0].n_tokens == SEQ_BUDGET
+    assert census[0].n_carried_in == 0
+    assert census[1].n_docs == 1 and census[1].n_tokens == 30
+    assert census[1].n_carried_in == 1  # doc 2 continues into seq 1
+    eff = q_sequence_packing_efficiency(spark, d).collect()[0]
+    assert eff.n_docs == 2
+    assert eff.total_tokens == n1 + 40
+    assert eff.n_sequences == 2
+    assert eff.pad_tokens == 2 * SEQ_BUDGET - (n1 + 40)
+    assert eff.n_split_docs == 1
+
+
+def test_census_and_summary_agree_on_real_corpus(spark, sf_dir):
+    census = q_sequence_packing_census(spark, sf_dir).collect()
+    eff = q_sequence_packing_efficiency(spark, sf_dir).collect()[0]
+    # every window id present exactly once, contiguous from 0
+    ids = sorted(r.window_id for r in census)
+    assert ids == list(range(eff.n_sequences))
+    # token mass conserved; all but the last window are exactly full
+    assert sum(r.n_tokens for r in census) == eff.total_tokens
+    full = [r for r in census if r.window_id < eff.n_sequences - 1]
+    assert all(r.n_tokens == SEQ_BUDGET for r in full)
+    # carried-in never exceeds one continuation per boundary
+    assert all(r.n_carried_in <= 1 for r in census)
