@@ -109,6 +109,13 @@ HEADLINE = [
     "markov_removal_attribution",
     "t_closeness_census",
     "life_table_signup_purchase",
+    # round 10: the fully-oracled pinned-codebook IVF contract, real
+    # JPEG + WAV container decode (the multimodal ingest shape), and
+    # the pretraining sequence-packing census (two-level cumsum).
+    "near_dup_embedding_ivf_pinned",
+    "multimodal_jpeg_decode_stats",
+    "multimodal_wav_decode_stats",
+    "sequence_packing_census",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -170,6 +177,10 @@ PRIMARY_INPUT = {
     "markov_removal_attribution": "events",
     "t_closeness_census": "customer",
     "life_table_signup_purchase": "events",
+    "near_dup_embedding_ivf_pinned": "embeddings",
+    "multimodal_jpeg_decode_stats": "documents",
+    "multimodal_wav_decode_stats": "documents",
+    "sequence_packing_census": "documents",
 }
 
 

@@ -90,6 +90,22 @@ def events_stream(
     return df.withColumn("ts", _normalize_ts(ts_type))
 
 
+def documents_stream(
+    spark: SparkSession, path: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """Streaming source over the documents parquet in ``path`` — the
+    ingest shape of a streaming curation/decode pipeline. Schema is
+    probed once from the batch footer (streaming readers need it
+    explicit), so the helper tracks whatever columns the data vintage
+    carries."""
+    probe = spark.read.option("pathGlobFilter", glob).parquet(path)
+    return (
+        spark.readStream.schema(probe.schema)
+        .option("pathGlobFilter", glob)
+        .parquet(path)
+    )
+
+
 # --- shared-plan streaming twins ------------------------------------------
 
 

@@ -493,3 +493,34 @@ def q_streaming_benford_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_share"),
         F.abs(share - expected).alias("abs_gap"),
     )
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.documents_stream(spark, sf_dir)
+
+
+def _wav_oracle() -> str:
+    from mapreduce_lab_spark.multimodal.binary_ops import _WAV_DECODE_SQL
+
+    return _WAV_DECODE_SQL
+
+
+@query("streaming_wav_decode_replay", oracle=_wav_oracle())
+def q_streaming_wav_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest-decode: the documents stream is
+    blobified into REAL RIFF/WAVE payloads and decoded by the
+    dependency-free PCM codec INSIDE a Structured Streaming job
+    (stateless mapInPandas stages, append mode), drained availableNow
+    into a memory sink — proving the whole codec path (encode →
+    chunk-walk decode → exact sample stats) delivers the batch answer
+    under streaming execution. Same oracle as the batch
+    ``multimodal_wav_decode_stats``; the decode work is per-row and
+    stateless, so the streaming plan carries no state store at all —
+    the shape a production audio-ingest decoder has."""
+    from mapreduce_lab_spark.multimodal.binary_ops import (
+        blobify_wav_audio,
+        wav_decode_stats,
+    )
+
+    docs = _documents_stream(spark, sf_dir)
+    return _drain(wav_decode_stats(blobify_wav_audio(docs)), "append")
