@@ -88,10 +88,14 @@ def doc_token_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-_ORACLE_SPANS = f"""tc AS (
+def oracle_spans(src: str) -> str:
+    """The tc/sp CTE pair (token counts + exclusive cumsum) over any
+    (doc_id, text) relation ``src`` — shared with the pipeline
+    capstone, which packs dedup survivors instead of raw documents."""
+    return f"""tc AS (
       SELECT doc_id,
              len(regexp_split_to_array(trim(text), '{_TC}')) AS tc
-      FROM documents
+      FROM {src}
     ), sp AS (
       -- DuckDB's sum() widens to HUGEINT, which range()/arithmetic
       -- downstream reject: pin the cumsum back to BIGINT.
@@ -101,6 +105,9 @@ _ORACLE_SPANS = f"""tc AS (
                   AS BIGINT) AS start
       FROM tc
     )"""
+
+
+_ORACLE_SPANS = oracle_spans("documents")
 
 
 def sequence_packing_census(docs: DataFrame) -> DataFrame:

@@ -656,3 +656,20 @@ def q_near_dup_embedding_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"),
         )
     )
+
+
+@query("ivf_train_codebook")
+def q_ivf_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained product-cell codebook itself, as a registered
+    (rows-only) artifact query: (sub, cid, centroid vector) after the
+    sampled Lloyd rounds — the model file a real IVF deployment ships
+    to workers. Rows-only at the driver because Lloyd is the
+    documented iterative class; everything DOWNSTREAM of a codebook is
+    hash-gated by ``near_dup_embedding_ivf_pinned``, and the trained
+    lane's recall is floor-pinned in tests/test_semantic_ivf.py. The
+    census row bound is 2*K1 = 2*ceil(sqrt(n/C)) — sublinear in the
+    corpus."""
+    _, cent, dim = build_ivf_index(spark, sf_dir)
+    return cent.select(
+        "sub", "cid", F.col("cv").alias("centroid"), F.lit(dim).alias("dim")
+    )

@@ -268,3 +268,36 @@ def test_corrupt_json_rows_quarantined_not_fatal(spark, tmp_path):
     bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
     assert sorted(good) == [(1, "a"), (2, "b")]
     assert len(bad) == 2 and "not json at all" in bad[0]
+
+
+def test_orc_replica_paths_do_not_collide_on_basename(spark, tmp_path):
+    """Review follow-up (round 10): two sf_dirs sharing a basename
+    must get DISTINCT /tmp replica paths (the old scheme keyed on
+    basename, so a memoized session could silently read the wrong
+    corpus), and the memo must key on the absolute path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_lab_spark.sources.sinks import _orc_replica
+
+    dirs = []
+    for root, n in (("a", 3), ("b", 5)):
+        d = tmp_path / root / "sf0.5"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "lang": pa.array(["en"] * n),
+                    "n_chars": pa.array([7] * n, pa.int64()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        dirs.append(str(d))
+    p1 = _orc_replica(spark, dirs[0])
+    p2 = _orc_replica(spark, dirs[1])
+    assert p1 != p2  # same basename, different corpora
+    assert p1 == _orc_replica(spark, dirs[0])  # memo hit on abs path
+    assert spark.read.orc(p1).count() == 3
+    assert spark.read.orc(p2).count() == 5
