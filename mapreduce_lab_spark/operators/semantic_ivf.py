@@ -54,13 +54,18 @@ next rung at extreme n is a coarse quantizer tree in front of the
 same cells — the join/shuffle side, which is what actually gated the
 LSH lane, is already linear.
 
-Driver check is rows-only (iterative Lloyd training is the
-documented non-SQL-expressible class, like ``kmeans_clusters``);
-semantics are pinned by tests/test_semantic_ivf.py instead: subset-
-of-exact precision, a recall floor against the oracle-checked
-``near_dup_embedding_cosine`` baseline, exact-duplicate co-cluster
-guarantees on a constructed corpus, and the candidate-linearity
-census ratio.
+Driver checks (round 10): the TRAINED lane stays rows-only
+(iterative Lloyd is the documented non-SQL-expressible class, like
+``kmeans_clusters``) with semantics pinned by
+tests/test_semantic_ivf.py — subset-of-exact precision, recall
+floors against the oracle-checked ``near_dup_embedding_cosine``
+baseline (loose AND tight operating points), exact-duplicate
+co-cluster guarantees, the candidate-linearity census ratio. The
+PINNED-INIT contract ``near_dup_embedding_ivf_pinned`` additionally
+puts the entire assign/probe/verify/CC/expansion chain behind a full
+rows+schema+hash DuckDB twin, so the only un-oracled code is the
+Lloyd avg-update loop (registered as the rows-only
+``ivf_train_codebook`` artifact query).
 
 Driver-side actions in index construction — all scalar/metadata, the
 same class as ``connected_components``' convergence signature: one
