@@ -135,6 +135,18 @@ REPRESENTATIVES = [
     "life_table_signup_purchase",
     "t_closeness_census",
     "diff_in_diff_revenue",
+    # round 10: pinned-IVF contract (driver scalars + pair memo), the
+    # JPEG/WAV codec queries (Python workers over empty batches),
+    # packing (empty-corpus cumsum/aggregate arithmetic), capstone #5,
+    # the codebook artifact, and the streaming decode replay.
+    "near_dup_embedding_ivf_pinned",
+    "ivf_train_codebook",
+    "multimodal_jpeg_decode_stats",
+    "multimodal_wav_decode_stats",
+    "sequence_packing_census",
+    "sequence_packing_efficiency",
+    "pipeline_packed_corpus",
+    "streaming_wav_decode_replay",
 ]
 
 
