@@ -941,3 +941,102 @@ def q_multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return wav_decode_stats(
         blobify_wav_audio(fan_out(load_table(spark, sf_dir, "documents"), spark))
     )
+
+
+# --- codec cross-validation (round 10) ---------------------------------------
+
+# Differential testing INSIDE the engine: the same block-flat
+# grayscale pixels encode through three independent container paths
+# (BMP bottom-up BGR, PNG zlib+filters, baseline JPEG Huffman+IDCT)
+# and all three decoders must recover identical pixel sums — plus the
+# DuckDB oracle recomputing the truth from text, giving the codecs a
+# four-way agreement gate. A stride bug, channel swap, filter error,
+# or IDCT drift in ANY path breaks the hash.
+
+
+def codec_cross_check(docs: DataFrame) -> DataFrame:
+    """Per doc: dims + per-codec decoded pixel sums + agreement flag
+    for the BMP/PNG/JPEG roundtrips of identical block-flat pixels."""
+    from mapreduce_lab_spark.multimodal import codecs
+
+    _ship_codecs_by_value()
+
+    def check(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def psum(px):
+            return sum(sum(p) for p in px)
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_px",
+                "px_sum_bmp", "px_sum_png", "px_sum_jpeg", "all_match",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                w = 4 + doc_id % JPEG_W_MOD
+                h = 3 + doc_id % JPEG_H_MOD
+                nbx = (w + 7) // 8
+                px = [
+                    (data[((y // 8) * nbx + x // 8) % len(data)],) * 3
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                sums = []
+                for enc, dec in (
+                    (codecs.encode_bmp, codecs.decode_bmp),
+                    (codecs.encode_png, codecs.decode_png),
+                    (codecs.encode_jpeg, codecs.decode_jpeg),
+                ):
+                    ww, hh, out = dec(enc(w, h, px))
+                    assert (ww, hh) == (w, h)
+                    sums.append(psum(out))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["px_sum_bmp"].append(sums[0])
+                rows["px_sum_png"].append(sums[1])
+                rows["px_sum_jpeg"].append(sums[2])
+                rows["all_match"].append(sums[0] == sums[1] == sums[2])
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, width int, height int, n_px long, "
+        "px_sum_bmp long, px_sum_png long, px_sum_jpeg long, "
+        "all_match boolean"
+    )
+    return docs.select("doc_id", "text").mapInPandas(check, schema=schema)
+
+
+_CROSS_SUM = f"""CAST(3 * list_sum(list_transform(range(0, w * h),
+            k -> ascii(substr(text,
+                 ((((k // w) // 8) * ((w + 7) // 8) + ((k % w) // 8)) % n) + 1,
+                 1)))) AS BIGINT)"""
+
+
+@query(
+    "multimodal_codec_cross_check",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               (4 + doc_id % {JPEG_W_MOD}) AS w,
+               (3 + doc_id % {JPEG_H_MOD}) AS h,
+               greatest(octet_length(encode(text)), 1) AS n
+        FROM documents
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           {_CROSS_SUM} AS px_sum_bmp,
+           {_CROSS_SUM} AS px_sum_png,
+           {_CROSS_SUM} AS px_sum_jpeg,
+           TRUE AS all_match
+    FROM dims
+    """,
+)
+def q_multimodal_codec_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way codec agreement gate: identical block-flat pixels
+    through BMP, PNG, and baseline-JPEG roundtrips must produce
+    identical decoded sums, all equal to the DuckDB oracle's
+    text-derived truth (see the section comment)."""
+    return codec_cross_check(fan_out(load_table(spark, sf_dir, "documents"), spark))
