@@ -55,14 +55,13 @@ def _idiv(c: Column, d: int) -> Column:
     return ((c - c % d) / d).cast("long")
 
 
-def doc_token_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, tc, start, end): each document's half-open token span
-    [start, end) in the concatenated corpus stream, via the two-level
-    distributed cumsum described in the module docstring."""
-    tc = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
-        _idiv(F.col("doc_id"), PACK_SHARD).alias("shard"),
+def token_spans_from_counts(tc_df: DataFrame) -> DataFrame:
+    """(doc_id, tc) -> (doc_id, tc, start, end): the two-level
+    distributed cumsum over precomputed token counts — the entry
+    point for consumers (the pipeline capstone) that already carry
+    counts and must not re-scan their source."""
+    tc = tc_df.select(
+        "doc_id", "tc", _idiv(F.col("doc_id"), PACK_SHARD).alias("shard")
     )
     w_in = (
         Window.partitionBy("shard")
@@ -84,6 +83,18 @@ def doc_token_spans(docs: DataFrame) -> DataFrame:
             "tc",
             (F.col("off") + F.col("intra")).alias("start"),
             (F.col("off") + F.col("intra") + F.col("tc")).alias("end"),
+        )
+    )
+
+
+def doc_token_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, tc, start, end): each document's half-open token span
+    [start, end) in the concatenated corpus stream, via the two-level
+    distributed cumsum described in the module docstring."""
+    return token_spans_from_counts(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
         )
     )
 
@@ -171,16 +182,21 @@ def sequence_packing_efficiency(docs: DataFrame) -> DataFrame:
     split_doc = (_idiv(F.col("start"), b) < _idiv(F.col("end") - 1, b)).cast("int")
     agg = spans.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tc").alias("total_tokens"),
-        F.sum(split_doc).alias("n_split_docs"),
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("total_tokens"),
+        F.coalesce(F.sum(split_doc), F.lit(0)).alias("n_split_docs"),
     )
-    n_windows = _idiv(F.col("total_tokens") - 1, b) + 1
+    # ceil form, not (total-1)//B + 1: an EMPTY corpus must report 0
+    # sequences in both engines (Spark's % keeps the dividend's sign,
+    # so the -1 route gives 1 here but 0 in DuckDB's floor //).
+    n_windows = _idiv(F.col("total_tokens") + (b - 1), b)
     return agg.select(
         "n_docs",
         "total_tokens",
         n_windows.alias("n_sequences"),
         (n_windows * b - F.col("total_tokens")).alias("pad_tokens"),
-        exact_ratio(F.col("total_tokens"), n_windows * b).alias("fill_ratio"),
+        exact_ratio(
+            F.col("total_tokens"), F.greatest(n_windows * b, F.lit(1))
+        ).alias("fill_ratio"),
         "n_split_docs",
     )
 
@@ -190,21 +206,22 @@ def sequence_packing_efficiency(docs: DataFrame) -> DataFrame:
     oracle=f"""
     WITH {_ORACLE_SPANS}, agg AS (
       SELECT count(*) AS n_docs,
-             sum(tc) AS total_tokens,
-             sum(CASE WHEN start // {SEQ_BUDGET}
+             coalesce(sum(tc), 0) AS total_tokens,
+             coalesce(sum(CASE WHEN start // {SEQ_BUDGET}
                       < (start + tc - 1) // {SEQ_BUDGET}
-                 THEN 1 ELSE 0 END) AS n_split_docs
+                 THEN 1 ELSE 0 END), 0) AS n_split_docs
       FROM sp
     )
     SELECT CAST(n_docs AS BIGINT) AS n_docs,
            CAST(total_tokens AS BIGINT) AS total_tokens,
-           CAST((total_tokens - 1) // {SEQ_BUDGET} + 1 AS BIGINT)
+           CAST((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET} AS BIGINT)
                AS n_sequences,
-           CAST(((total_tokens - 1) // {SEQ_BUDGET} + 1) * {SEQ_BUDGET}
+           CAST(((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET}) * {SEQ_BUDGET}
                 - total_tokens AS BIGINT) AS pad_tokens,
            {oracle_exact_ratio(
                "total_tokens",
-               f"((total_tokens - 1) // {SEQ_BUDGET} + 1) * {SEQ_BUDGET}",
+               f"greatest(((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET})"
+               f" * {SEQ_BUDGET}, 1)",
            )} AS fill_ratio,
            CAST(n_split_docs AS BIGINT) AS n_split_docs
     FROM agg

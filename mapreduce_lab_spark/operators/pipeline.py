@@ -381,8 +381,8 @@ def q_pipeline_governed_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from mapreduce_lab_spark.operators.packing import (  # noqa: E402
     SEQ_BUDGET,
-    doc_token_spans,
     oracle_spans,
+    token_spans_from_counts,
 )
 
 _KEPT_CTES = f"""toks AS (
@@ -425,13 +425,14 @@ _KEPT_CTES = f"""toks AS (
            (SELECT count(*) FROM kept) AS n_kept,
            CAST(n_survivors AS BIGINT) AS n_survivors,
            total_tokens,
-           CAST((total_tokens - 1) // {SEQ_BUDGET} + 1 AS BIGINT)
+           CAST((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET} AS BIGINT)
                AS n_sequences,
-           CAST(((total_tokens - 1) // {SEQ_BUDGET} + 1) * {SEQ_BUDGET}
-                - total_tokens AS BIGINT) AS pad_tokens,
+           CAST(((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET})
+                * {SEQ_BUDGET} - total_tokens AS BIGINT) AS pad_tokens,
            {oracle_exact_ratio(
                "total_tokens",
-               f"((total_tokens - 1) // {SEQ_BUDGET} + 1) * {SEQ_BUDGET}",
+               f"greatest(((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET})"
+               f" * {SEQ_BUDGET}, 1)",
            )} AS fill_ratio,
            n_split_docs
     FROM agg
@@ -445,18 +446,37 @@ def q_pipeline_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill/pad/split report. The judge-facing point is composition:
     every stage is an already-oracled operator and the whole chain
     still hash-matches end to end."""
+    # Single-lineage discipline (the plan-hygiene sweep caught the
+    # first cut re-scanning documents 7x): quality_scores carries
+    # ``text`` through its own projection (no self-join), the
+    # input/kept counts come from ONE conditional aggregate over that
+    # lineage, and the survivor frame is reduced to (doc_id, tc) —
+    # text dropped BEFORE packing — and localCheckpoint'd so the
+    # cumsum's offsets branch and the final aggregate replay a tiny
+    # 2-column block, not the corpus scan.
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    scored = docs.join(quality_scores(docs), "doc_id").withColumn(
-        "h", F.md5("text")
+    scored = quality_scores(docs, keep=("text",)).select(
+        "doc_id",
+        "quality_score",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tc"),
     )
-    kept = scored.filter(F.col("quality_score") >= QUALITY_THRESHOLD).select(
-        "doc_id", "text", "h"
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.coalesce(
+            F.sum((F.col("quality_score") >= QUALITY_THRESHOLD).cast("int")),
+            F.lit(0),
+        ).alias("n_kept"),
     )
+    kept = scored.filter(F.col("quality_score") >= QUALITY_THRESHOLD)
     rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
-    survivors = kept.withColumn("rn", rn).where(F.col("rn") == 1).select(
-        "doc_id", "text"
+    survivors = (
+        kept.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("doc_id", "tc")
+        .localCheckpoint()
     )
-    spans = doc_token_spans(survivors)
+    spans = token_spans_from_counts(survivors)
     b = SEQ_BUDGET
     start_w = ((F.col("start") - F.col("start") % b) / b).cast("long")
     end_w = (
@@ -469,16 +489,12 @@ def q_pipeline_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((start_w < end_w).cast("int")), F.lit(0)
         ).alias("n_split_docs"),
     )
-    n_input = docs.agg(F.count(F.lit(1)).alias("n_input"))
-    n_kept = kept.agg(F.count(F.lit(1)).alias("n_kept"))
-    n_windows = (
-        (F.col("total_tokens") - 1)
-        - (F.col("total_tokens") - 1) % b
-    ) / b
-    n_windows = n_windows.cast("long") + 1
+    # ceil form (see packing.py): empty corpus -> 0 sequences in both
+    # engines; exact int64 arithmetic, no float floor.
+    tpb = F.col("total_tokens") + (b - 1)
+    n_windows = ((tpb - tpb % b) / b).cast("long")
     return (
-        n_input.crossJoin(F.broadcast(n_kept))
-        .crossJoin(F.broadcast(sagg))
+        counts.crossJoin(F.broadcast(sagg))
         .select(
             "n_input",
             "n_kept",
@@ -486,9 +502,9 @@ def q_pipeline_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
             n_windows.alias("n_sequences"),
             (n_windows * b - F.col("total_tokens")).alias("pad_tokens"),
-            exact_ratio(F.col("total_tokens"), n_windows * b).alias(
-                "fill_ratio"
-            ),
+            exact_ratio(
+                F.col("total_tokens"), F.greatest(n_windows * b, F.lit(1))
+            ).alias("fill_ratio"),
             "n_split_docs",
         )
     )

@@ -85,12 +85,17 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(fan_out(load_table(spark, sf_dir, "documents"), spark))
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic per-document quality score in [0, 1].
 
     Components (all floor-scaled integer arithmetic, ``_m`` = milli):
     length score (tokens/100, capped), stopword ratio, punctuation
     ratio; composite = 0.4*len + 0.3*(1-stop) + 0.3*(1-punct).
+
+    ``keep`` carries extra input columns through the projection so a
+    consumer that needs them (the pipeline capstones need ``text``)
+    stays SINGLE-LINEAGE instead of self-joining the scan on doc_id —
+    the duplicate-scan shape the plan-hygiene sweep bounds.
     """
     toks = tokenize(F.col("text"))
     n_tokens = F.size(toks)
@@ -101,6 +106,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     stop_m = F.floor(stop_cnt * 1000 / n_tokens)
     punct_m = F.floor(punct_cnt * 1000 / n_chars)
     return docs.select(
+        *keep,
         "doc_id",
         (stop_m / 1000.0).alias("stopword_ratio"),
         (punct_m / 1000.0).alias("punct_ratio"),

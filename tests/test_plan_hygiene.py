@@ -43,6 +43,8 @@ BNLJ_AUDITED = {
     "child summary, per FK edge",
     "join_cardinality_estimate": "three 1-row stats/truth frames fused per "
     "FK edge",
+    "pipeline_packed_corpus": "1-row input/kept counts frame fused to the "
+    "1-row survivor packing aggregate",
     "rolling_7d_distinct_users": "1-row max-active-day frame fences the "
     "trailing-window tail",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
