@@ -121,14 +121,8 @@ def oracle_spans(src: str) -> str:
 _ORACLE_SPANS = oracle_spans("documents")
 
 
-def sequence_packing_census(docs: DataFrame) -> DataFrame:
-    """Per packed sequence: its id, how many documents contribute
-    tokens to it, its token count (SEQ_BUDGET except the final
-    partial sequence), and how many of its documents are
-    continuations that started in an earlier sequence — the
-    cross-boundary fragmentation a data-loader masking strategy
-    cares about."""
-    spans = doc_token_spans(docs)
+def census_from_spans(spans: DataFrame) -> DataFrame:
+    """(doc_id, tc, start, end) spans -> the per-sequence census."""
     b = SEQ_BUDGET
     wins = spans.select(
         "doc_id",
@@ -147,6 +141,16 @@ def sequence_packing_census(docs: DataFrame) -> DataFrame:
             F.when(F.col("start") < F.col("window_id") * b, 1).otherwise(0)
         ).alias("n_carried_in"),
     )
+
+
+def sequence_packing_census(docs: DataFrame) -> DataFrame:
+    """Per packed sequence: its id, how many documents contribute
+    tokens to it, its token count (SEQ_BUDGET except the final
+    partial sequence), and how many of its documents are
+    continuations that started in an earlier sequence — the
+    cross-boundary fragmentation a data-loader masking strategy
+    cares about."""
+    return census_from_spans(doc_token_spans(docs))
 
 
 @query(
@@ -229,3 +233,85 @@ def sequence_packing_efficiency(docs: DataFrame) -> DataFrame:
 )
 def q_sequence_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing_efficiency(load_table(spark, sf_dir, "documents"))
+
+
+# --- incremental packing (the IVM property of append-only cumsum) ------------
+
+# Packing is INCREMENTAL for appends: new documents always carry
+# larger doc_ids, the concatenation order is doc_id, so appending a
+# delta leaves every fully-packed prefix sequence untouched — only
+# the old final (partial) sequence and sequences after it change.
+# This query registers that property as a driver-checkable contract:
+# it splits the corpus at K = (max(doc_id) // 10) * 7 (a deterministic
+# prefix; overflow-safe divide-then-multiply, identical in both
+# engines), computes the census of base and of base+delta, and emits
+# EXCEPT ALL — exactly the rows an incremental maintainer would have
+# to rewrite. tests/test_packing.py pins that every emitted window_id
+# >= base_total // SEQ_BUDGET (nothing before the old tail changes),
+# which is what makes a 100 TB packed dataset maintainable by
+# appending shards instead of repacking the corpus.
+
+
+def _oracle_census_chain(tc_src: str, p: str) -> str:
+    b = SEQ_BUDGET
+    return f"""{p}sp AS (
+      SELECT doc_id, tc,
+             CAST(coalesce(sum(tc) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start
+      FROM {tc_src}
+    ), {p}wins AS (
+      SELECT doc_id, start, start + tc AS e,
+             unnest(range(start // {b},
+                          (start + tc - 1) // {b} + 1)) AS window_id
+      FROM {p}sp
+    ), {p}c AS (
+      SELECT window_id,
+             count(*) AS n_docs,
+             CAST(sum(least(e, (window_id + 1) * {b})
+                      - greatest(start, window_id * {b}))
+                  AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN start < window_id * {b}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_carried_in
+      FROM {p}wins GROUP BY window_id
+    )"""
+
+
+@query(
+    "sequence_packing_incremental",
+    oracle=f"""
+    WITH tcall AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '{_TC}')) AS tc
+      FROM documents
+    ), k AS (
+      SELECT (max(doc_id) // 10) * 7 AS kk FROM tcall
+    ), tcbase AS (
+      SELECT doc_id, tc FROM tcall, k WHERE doc_id <= kk
+    ), {_oracle_census_chain("tcall", "f")}, {_oracle_census_chain("tcbase", "b")}
+    SELECT window_id, n_docs, n_tokens, n_carried_in FROM fc
+    EXCEPT ALL
+    SELECT window_id, n_docs, n_tokens, n_carried_in FROM bc
+    """,
+)
+def q_sequence_packing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census rows an append-only delta actually changes: census
+    of the full corpus EXCEPT ALL census of the doc_id-prefix base —
+    every fully-packed prefix sequence is provably untouched (pinned
+    in tests), so an incremental maintainer rewrites only these."""
+    docs = load_table(spark, sf_dir, "documents")
+    tcdf = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
+    ).localCheckpoint()
+    kf = tcdf.agg(F.max("doc_id").alias("mx")).select(
+        (((F.col("mx") - F.col("mx") % 10) / 10).cast("long") * 7).alias("kk")
+    )
+    base = (
+        tcdf.crossJoin(F.broadcast(kf))
+        .where(F.col("doc_id") <= F.col("kk"))
+        .select("doc_id", "tc")
+    )
+    full_c = census_from_spans(token_spans_from_counts(tcdf))
+    base_c = census_from_spans(token_spans_from_counts(base))
+    return full_c.exceptAll(base_c)

@@ -145,6 +145,8 @@ REPRESENTATIVES = [
     "multimodal_wav_decode_stats",
     "sequence_packing_census",
     "sequence_packing_efficiency",
+    "sequence_packing_incremental",
+    "multimodal_codec_cross_check",
     "pipeline_packed_corpus",
     "streaming_wav_decode_replay",
 ]

@@ -66,6 +66,36 @@ def test_straddling_doc_is_split_and_counted(spark, tmp_path):
     assert eff.n_split_docs == 1
 
 
+def test_incremental_delta_touches_only_the_tail(spark, sf_dir):
+    """The IVM property the incremental contract exists for: every
+    census row the append changes sits at or after the base corpus's
+    final (partial) sequence — fully-packed prefix sequences are
+    untouched, so appends never repack the corpus."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.operators.packing import (
+        q_sequence_packing_incremental,
+    )
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    k = (mx // 10) * 7
+    base_total = (
+        docs.where(F.col("doc_id") <= k)
+        .select(F.size(F.split(F.trim("text"), r"\s+")).alias("tc"))
+        .agg(F.sum("tc"))
+        .collect()[0][0]
+    )
+    changed = q_sequence_packing_incremental(spark, sf_dir).collect()
+    assert changed, "split must change at least the tail sequence"
+    first_mutable = base_total // SEQ_BUDGET
+    assert all(r.window_id >= first_mutable for r in changed), (
+        sorted(r.window_id for r in changed)[:5],
+        first_mutable,
+    )
+
+
 def test_census_and_summary_agree_on_real_corpus(spark, sf_dir):
     census = q_sequence_packing_census(spark, sf_dir).collect()
     eff = q_sequence_packing_efficiency(spark, sf_dir).collect()[0]

@@ -45,6 +45,8 @@ BNLJ_AUDITED = {
     "FK edge",
     "pipeline_packed_corpus": "1-row input/kept counts frame fused to the "
     "1-row survivor packing aggregate",
+    "sequence_packing_incremental": "1-row max-doc_id split frame fences "
+    "the base prefix",
     "rolling_7d_distinct_users": "1-row max-active-day frame fences the "
     "trailing-window tail",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
