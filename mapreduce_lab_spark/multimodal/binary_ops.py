@@ -15,7 +15,8 @@ oracle-checked end to end by ``multimodal_decode_stats`` and
 ``multimodal_jpeg_decode_stats``, which encode text-derived pixels
 into genuine image bytes and decode them back. PIL remains the
 import-try fallback ONLY for variants outside the baseline scope
-(progressive/12-bit/subsampled JPEG, exotic BMP) — exactly where a
+(progressive/12-bit JPEG or sampling factors above 2 — 4:2:0 and
+4:4:4 both decode natively — plus exotic BMP) — exactly where a
 production deployment plugs in PIL/torchvision. ``fake_decode``
 remains the deterministic test double for the resize op. Everything around the seam — schema,
 batching, partitioning, the UDTF row-explosion shape for frame
@@ -69,8 +70,8 @@ def decode_image(payload: bytes, fmt: str):
     for real via the dependency-free pure-Python codecs in
     ``multimodal.codecs`` (returns ``(format, width, height, top-down
     RGB pixels)``). PIL is the import-try fallback only for variants
-    outside the native scope (progressive/12-bit/subsampled JPEG,
-    8/32-bit or RLE BMP) — exactly where a production deployment
+    outside the native scope (progressive/12-bit JPEG, sampling
+    factors above 2, 8/32-bit or RLE BMP; 4:2:0 decodes natively) — exactly where a production deployment
     would plug PIL/torchvision in.
     """
     from mapreduce_lab_spark.multimodal import codecs
@@ -718,14 +719,17 @@ JPEG_W_MOD = 9  # w in 4..12 -> up to 2 block columns
 JPEG_H_MOD = 11  # h in 3..13 -> up to 2 block rows
 
 
-def blobify_jpeg_images(docs: DataFrame) -> DataFrame:
+def blobify_jpeg_images(docs: DataFrame, subsampling: str = "444") -> DataFrame:
     """documents → REAL baseline-JPEG payloads: block-flat grayscale
     images (8x8 block (bx, by) carries text byte (by*nbx + bx) % n,
-    replicated to r = g = b), dimensions derived from doc_id."""
+    replicated to r = g = b), dimensions derived from doc_id;
+    ``subsampling`` selects 4:4:4 or 4:2:0 MCU layout."""
+    import functools
+
     from mapreduce_lab_spark.multimodal import codecs
 
     _ship_codecs_by_value()
-    enc = codecs.encode_jpeg
+    enc = functools.partial(codecs.encode_jpeg, subsampling=subsampling)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -1040,3 +1044,26 @@ def q_multimodal_codec_cross_check(spark: SparkSession, sf_dir: str) -> DataFram
     identical decoded sums, all equal to the DuckDB oracle's
     text-derived truth (see the section comment)."""
     return codec_cross_check(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+@query(
+    "multimodal_jpeg420_decode_stats",
+    oracle=_JPEG_DECODE_SQL,
+)
+def q_multimodal_jpeg420_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4:2:0 twin of ``multimodal_jpeg_decode_stats``: the same
+    block-flat grayscale pixels travel through the chroma-subsampled
+    MCU layout that dominates real-world JPEGs (16x16 MCUs, four luma
+    blocks + 2x2-averaged chroma, interleaved 0x22/0x11 sampling) and
+    must decode to the identical text-derived truth — block-flat luma
+    stays flat under the 16x16 tiling and flat-128 chroma survives
+    2x2 averaging exactly, so the hash gate holds (property-pinned in
+    tests/test_jpeg_property.py). Exercises the general sampling-
+    factor decode path (per-MCU multi-block placement + nearest
+    upsampling) end to end under the oracle."""
+    return decode_image_stats(
+        blobify_jpeg_images(
+            fan_out(load_table(spark, sf_dir, "documents"), spark),
+            subsampling="420",
+        )
+    )

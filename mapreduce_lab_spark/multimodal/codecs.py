@@ -293,14 +293,15 @@ def decode_payload(payload: bytes) -> tuple[str, int, int, list[Pixel]]:
 # baseline-sequential JPEG encoder/decoder. Scope (all from the
 # public T.81 spec + JFIF colour conventions):
 #
-# - encode: 8-bit 3-component YCbCr 4:4:4 (or 1-component grayscale),
-#   unit quantization tables by default (max fidelity), the Annex
-#   K.3 example Huffman tables, no subsampling, no restart markers.
-# - decode: baseline DCT (SOF0), 8-bit, components with 1x1 sampling
-#   (4:4:4 or grayscale), DHT/DQT from the stream (multi-table
-#   segments), DRI/RSTn restart handling, APPn/COM skipped.
-#   Progressive (SOF2), 12-bit, and subsampled files raise
-#   ValueError — the ``decode_image`` seam falls through to PIL for
+# - encode: 8-bit 3-component YCbCr 4:4:4 or 4:2:0 (2x2-averaged
+#   chroma) or 1-component grayscale, unit quantization tables by
+#   default (max fidelity), the Annex K.3 example Huffman tables, no
+#   restart markers.
+# - decode: baseline DCT (SOF0), 8-bit, general sampling factors up
+#   to 2x2 (4:4:4, 4:2:0, 4:2:2, grayscale; nearest-sample chroma
+#   upsampling), DHT/DQT from the stream (multi-table segments),
+#   DRI/RSTn restart handling, APPn/COM skipped. Progressive (SOF2),
+#   12-bit, and sampling factors above 2 raise ValueError — the ``decode_image`` seam falls through to PIL for
 #   those exactly as before.
 #
 # Exactness note (what makes the oracled JPEG query possible): with
@@ -539,18 +540,35 @@ def _dht_body(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc_th]) + bytes(bits) + bytes(vals)
 
 
+def _block_at(
+    plane: list[list[float]], h: int, w: int, oy: int, ox: int
+) -> list[list[float]]:
+    """8x8 level-shifted block at pixel origin (oy, ox), edge-clamped."""
+    return [
+        [plane[min(oy + y, h - 1)][min(ox + x, w - 1)] - 128.0 for x in range(8)]
+        for y in range(8)
+    ]
+
+
 def encode_jpeg(
     width: int,
     height: int,
     pixels: list[Pixel],
     quant: int = 1,
     grayscale: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
-    """Encode top-down RGB pixels as a baseline-sequential JFIF JPEG
-    (4:4:4, no subsampling; ``quant`` fills both quantization tables
-    with a constant — 1 = maximum fidelity)."""
+    """Encode top-down RGB pixels as a baseline-sequential JFIF JPEG.
+
+    ``subsampling``: "444" (no chroma subsampling, 1x1 everywhere) or
+    "420" (2x2 luma sampling, chroma downsampled by 2x2 AVERAGING —
+    the layout that dominates real-world JPEGs). ``quant`` fills both
+    quantization tables with a constant — 1 = maximum fidelity.
+    Grayscale ignores subsampling (single component)."""
     if len(pixels) != width * height:
         raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     qt = [max(1, min(255, quant))] * 64
     # colour planes (JFIF YCbCr)
     ys, cbs, crs = [], [], []
@@ -569,11 +587,12 @@ def encode_jpeg(
     dc_c = _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
     bw = _BitWriter()
+    is420 = subsampling == "420" and not grayscale
     if grayscale:
         preds = [0]
         blocks = [_plane_blocks(ys, width, height)]
         tabs = [(dc_l, ac_l)]
-    else:
+    elif not is420:
         preds = [0, 0, 0]
         blocks = [
             _plane_blocks(ys, width, height),
@@ -581,18 +600,61 @@ def encode_jpeg(
             _plane_blocks(crs, width, height),
         ]
         tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-    n_mcux = (width + 7) // 8
-    n_mcuy = (height + 7) // 8
-    for _ in range(n_mcux * n_mcuy):
-        for ci, gen in enumerate(blocks):
-            coef = _fdct_quant(next(gen), qt)
-            preds[ci] = _encode_block(bw, coef, preds[ci], *tabs[ci])
+    if is420:
+        # chroma downsample by 2x2 averaging over edge-clamped pixels
+        chh, cw = (height + 1) // 2, (width + 1) // 2
+
+        def down(p):
+            return [
+                [
+                    (
+                        p[min(2 * cy, height - 1)][min(2 * cx, width - 1)]
+                        + p[min(2 * cy, height - 1)][min(2 * cx + 1, width - 1)]
+                        + p[min(2 * cy + 1, height - 1)][min(2 * cx, width - 1)]
+                        + p[min(2 * cy + 1, height - 1)][min(2 * cx + 1, width - 1)]
+                    )
+                    / 4.0
+                    for cx in range(cw)
+                ]
+                for cy in range(chh)
+            ]
+
+        cbd, crd = down(cbs), down(crs)
+        preds = [0, 0, 0]
+        n_mcux = (width + 15) // 16
+        n_mcuy = (height + 15) // 16
+        tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                for jy in range(2):  # four luma blocks, raster order
+                    for jx in range(2):
+                        coef = _fdct_quant(
+                            _block_at(
+                                ys, height, width,
+                                my * 16 + jy * 8, mx * 16 + jx * 8,
+                            ),
+                            qt,
+                        )
+                        preds[0] = _encode_block(bw, coef, preds[0], *tabs[0])
+                for ci, cp in ((1, cbd), (2, crd)):
+                    coef = _fdct_quant(
+                        _block_at(cp, chh, cw, my * 8, mx * 8), qt
+                    )
+                    preds[ci] = _encode_block(bw, coef, preds[ci], *tabs[ci])
+    else:
+        n_mcux = (width + 7) // 8
+        n_mcuy = (height + 7) // 8
+        for _ in range(n_mcux * n_mcuy):
+            for ci, gen in enumerate(blocks):
+                coef = _fdct_quant(next(gen), qt)
+                preds[ci] = _encode_block(bw, coef, preds[ci], *tabs[ci])
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0x00]) + bytes(qt[i] for i in range(64)))
     ncomp = 1 if grayscale else 3
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0x00])
+        hv = 0x22 if (is420 and cid == 1) else 0x11
+        sof += bytes([cid, hv, 0x00])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_body(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS))
     out += _seg(0xC4, _dht_body(0x10, _AC_LUMA_BITS, _AC_LUMA_VALS))
@@ -700,7 +762,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
     pos = 2
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    comps: list[tuple[int, int]] = []  # (component id, qt id) in SOF order
+    comps: list[tuple[int, int, int, int]] = []  # (id, qt, h, v) in SOF order
     width = height = 0
     restart = 0
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
@@ -748,9 +810,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
             ncomp = body[5]
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (needs PIL)")
-                comps.append((cid, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {hs}x{vs} unsupported (needs PIL)"
+                    )
+                comps.append((cid, tq, hs, vs))
             pos += seglen
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -762,7 +827,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
             ns = body[0]
             for c in range(ns):
                 cs, tt = body[1 + 2 * c : 3 + 2 * c]
-                ci = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+                ci = next(i for i, c in enumerate(comps) if c[0] == cs)
                 scan.append((ci, tt >> 4, tt & 0x0F))
             pos += seglen
             break  # entropy data follows
@@ -771,10 +836,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
     if not comps or not scan or width == 0 or height == 0:
         raise ValueError("incomplete JPEG header")
     br = _BitReader(payload, pos)
-    n_mcux = (width + 7) // 8
-    n_mcuy = (height + 7) // 8
+    h_max = max(h for _, _, h, _ in comps)
+    v_max = max(v for _, _, _, v in comps)
+    n_mcux = (width + 8 * h_max - 1) // (8 * h_max)
+    n_mcuy = (height + 8 * v_max - 1) // (8 * v_max)
     planes = [
-        [[0] * (n_mcux * 8) for _ in range(n_mcuy * 8)] for _ in comps
+        [[0] * (n_mcux * h * 8) for _ in range(n_mcuy * v * 8)]
+        for _, _, h, v in comps
     ]
     preds = [0] * len(comps)
     mcu_count = 0
@@ -789,32 +857,45 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
                 qt = qtabs.get(comps[ci][1])
                 if dc_tab is None or ac_tab is None or qt is None:
                     raise ValueError("JPEG scan references missing table")
-                coef = [0] * 64
-                size = _read_symbol(br, dc_tab)
-                preds[ci] += _extend(br.bits(size), size)
-                coef[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_symbol(br, ac_tab)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    coef[k] = _extend(br.bits(size), size)
-                    k += 1
-                blk = _idct_block(coef, qt)
-                plane = planes[ci]
-                for y in range(8):
-                    prow = plane[my * 8 + y]
-                    brow = blk[y]
-                    for x in range(8):
-                        prow[mx * 8 + x] = brow[x]
+                hs, vs = comps[ci][2], comps[ci][3]
+                for jy in range(vs):
+                    for jx in range(hs):
+                        coef = [0] * 64
+                        size = _read_symbol(br, dc_tab)
+                        preds[ci] += _extend(br.bits(size), size)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            coef[k] = _extend(br.bits(size), size)
+                            k += 1
+                        blk = _idct_block(coef, qt)
+                        plane = planes[ci]
+                        oy = (my * vs + jy) * 8
+                        ox = (mx * hs + jx) * 8
+                        for y in range(8):
+                            prow = plane[oy + y]
+                            brow = blk[y]
+                            for x in range(8):
+                                prow[ox + x] = brow[x]
             mcu_count += 1
+
+    def comp_at(ci: int, x: int, y: int) -> int:
+        # nearest-sample upsampling to full resolution (replication)
+        hs, vs = comps[ci][2], comps[ci][3]
+        return planes[ci][(y * vs) // v_max][(x * hs) // h_max]
+
     pixels: list[Pixel] = []
     if len(comps) == 1:
         yp = planes[0]
@@ -824,11 +905,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
                 v = row[x]
                 pixels.append((v, v, v))
     elif len(comps) == 3:
-        yp, cbp, crp = planes
+        full = all(h == h_max and v == v_max for _, _, h, v in comps)
         for y in range(height):
-            yr, cbr, crr = yp[y], cbp[y], crp[y]
             for x in range(width):
-                yy, cb, cr = yr[x], cbr[x] - 128, crr[x] - 128
+                if full:
+                    yy = planes[0][y][x]
+                    cb = planes[1][y][x] - 128
+                    cr = planes[2][y][x] - 128
+                else:
+                    yy = comp_at(0, x, y)
+                    cb = comp_at(1, x, y) - 128
+                    cr = comp_at(2, x, y) - 128
                 r = _round_half_away(yy + 1.402 * cr)
                 g = _round_half_away(yy - 0.344136 * cb - 0.714136 * cr)
                 b = _round_half_away(yy + 1.772 * cb)

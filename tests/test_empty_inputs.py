@@ -147,6 +147,7 @@ REPRESENTATIVES = [
     "sequence_packing_efficiency",
     "sequence_packing_incremental",
     "multimodal_codec_cross_check",
+    "multimodal_jpeg420_decode_stats",
     "pipeline_packed_corpus",
     "streaming_wav_decode_replay",
 ]

@@ -138,3 +138,56 @@ def test_byte_stuffing_roundtrip():
             for p, q in zip(px, out)
             for a, b in zip(p, q)
         )
+
+
+@settings(max_examples=20, deadline=None)
+@given(_dims, st.data())
+def test_420_block_flat_grayscale_roundtrips_exactly(dims, data):
+    """4:2:0 keeps the block-flat exactness contract: flat 8x8 luma
+    blocks stay flat under the 16x16 MCU tiling (block boundaries are
+    8-aligned and edge padding replicates a constant), and flat-128
+    chroma survives 2x2 averaging exactly."""
+    w, h = dims
+    nbx = (w + 7) // 8
+    nby = (h + 7) // 8
+    vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=nbx * nby, max_size=nbx * nby)
+    )
+    px = [
+        (vals[(y // 8) * nbx + x // 8],) * 3
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert decode_jpeg(encode_jpeg(w, h, px, subsampling="420")) == (w, h, px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_images())
+def test_420_grayscale_within_tolerance_and_dims_exact(img):
+    w, h, px = img
+    gray = [(p[0],) * 3 for p in px]
+    ww, hh, out = decode_jpeg(encode_jpeg(w, h, gray, subsampling="420"))
+    assert (ww, hh) == (w, h) and len(out) == w * h
+    # flat chroma -> only luma quantization error (measured max 1)
+    assert all(
+        abs(a - b) <= MAX_ERR for p, q in zip(gray, out) for a, b in zip(p, q)
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(_images())
+def test_420_color_decodes_with_exact_dims(img):
+    """Chroma subsampling is lossy for saturated per-pixel color noise
+    BY DESIGN (4 pixels share one chroma sample) — geometry and luma
+    still hold; no per-channel bound is claimed for color content."""
+    w, h, px = img
+    ww, hh, out = decode_jpeg(encode_jpeg(w, h, px, subsampling="420"))
+    assert (ww, hh) == (w, h) and len(out) == w * h
+
+
+def test_rejects_sampling_above_two():
+    good = bytearray(encode_jpeg(8, 8, [(5, 5, 5)] * 64, subsampling="420"))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 11] = 0x33  # comp 1 sampling 3x3
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
