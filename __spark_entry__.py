@@ -36,3 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for each queries() entry (omitted → rows-only check)."""
     return registry.oracles()
+
+
+def describe() -> dict[str, dict[str, str]]:
+    """Per-query metadata (description, oracle class, module, and lane
+    routing tags such as the embedding near-dup tight/loose-threshold
+    split) — readable by a driver-side consumer without opening
+    operator source."""
+    return registry.describe()

@@ -754,9 +754,11 @@ def _extend(bits_val: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
-    """Decode a baseline-sequential JPEG (8-bit, 1x1 sampling per
-    component — 4:4:4 colour or grayscale). Raises ValueError for
-    progressive/12-bit/subsampled streams (the PIL fallback's job)."""
+    """Decode a baseline-sequential JPEG: 8-bit, single interleaved
+    scan, sampling factors up to 2x2 per component (4:4:4, 4:2:2,
+    4:2:0, grayscale), multi-table DQT/DHT, DRI restart markers.
+    Raises ValueError for progressive / 12-bit / >2x2 sampling /
+    multi-scan (non-interleaved) streams — the PIL fallback's job."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -835,6 +837,22 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[Pixel]]:
             pos += seglen
     if not comps or not scan or width == 0 or height == 0:
         raise ValueError("incomplete JPEG header")
+    # This decoder implements only the single interleaved scan of
+    # T.81 §A.2.3. A legal multi-scan baseline stream (one SOS per
+    # component) would leave the later components' planes at zero and
+    # return garbage silently; reject it so decode_image falls through
+    # to PIL (ADVICE r10). Same for a single-component scan whose
+    # sampling factors exceed 1x1 — T.81 §A.2.2 gives non-interleaved
+    # scans per-BLOCK geometry, not the hs x vs MCU layout below.
+    if len(scan) != len(comps):
+        raise ValueError(
+            f"multi-scan JPEG (scan covers {len(scan)}/{len(comps)} "
+            "components) unsupported (needs PIL)"
+        )
+    if len(scan) == 1 and (comps[scan[0][0]][2] > 1 or comps[scan[0][0]][3] > 1):
+        raise ValueError(
+            "non-interleaved scan of a subsampled component unsupported"
+        )
     br = _BitReader(payload, pos)
     h_max = max(h for _, _, h, _ in comps)
     v_max = max(v for _, _, _, v in comps)

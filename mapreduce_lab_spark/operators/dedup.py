@@ -992,6 +992,17 @@ _RP_CAND_CTE = f"""e AS (
 
 @query(
     "near_dup_embedding_lsh",
+    meta={
+        "lane": "tight-threshold",
+        "routing": (
+            "Constant-bucket sign-LSH: use for cosine thresholds >= "
+            "~0.9, where per-bit agreement >= 0.86 makes the band "
+            "buckets selective. At loose thresholds (e.g. this repo's "
+            "0.4) its candidates grow quadratically with corpus size "
+            "(lsh_band_census pre-flight) — route loose traffic to "
+            "near_dup_embedding_ivf_clusters instead."
+        ),
+    },
     oracle=f"""
     WITH {_RP_CAND_CTE}
     SELECT vec_a, vec_b,

@@ -7,8 +7,12 @@ semantics here are the standard production ones: documents are
 concatenated in a deterministic global order (doc_id) and the token
 stream is chunked at exactly SEQ_BUDGET tokens, so documents may
 straddle sequence boundaries (the "packed dataset with document
-splitting" every major pretraining recipe uses; greedy no-split
-packing is inherently a sequential fold and is NOT this operator).
+splitting" every major pretraining recipe uses). Round 11 adds the
+complementary NO-SPLIT family — length-bucketed shelf packing plus a
+concat-chunk vs no-split comparison report; see the greedy section
+below. Exact first-fit-decreasing is inherently a sequential fold,
+which is why the distributed form buckets by power-of-two length
+class instead.
 
 Scale shape — the interesting part is the GLOBAL EXCLUSIVE CUMSUM of
 token counts, which a naive window (ORDER BY doc_id with no
@@ -51,8 +55,11 @@ _TC = r"\s+"
 
 
 def _idiv(c: Column, d: int) -> Column:
-    """Exact int64 floor division for non-negative c (no float floor)."""
-    return ((c - c % d) / d).cast("long")
+    """Exact int64 floor division for non-negative c via Spark's
+    integral `div` operator — no double round-trip, so exact across
+    the full int64 range. The previous `(c - c%d)/d` passed through
+    double division and lost exactness past 2^53 (ADVICE r10)."""
+    return F.call_function("div", c.cast("long"), F.lit(d).cast("long"))
 
 
 def token_spans_from_counts(tc_df: DataFrame) -> DataFrame:
@@ -315,3 +322,260 @@ def q_sequence_packing_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     full_c = census_from_spans(token_spans_from_counts(tcdf))
     base_c = census_from_spans(token_spans_from_counts(base))
     return full_c.exceptAll(base_c)
+
+
+# --- greedy no-split packing (length-bucketed shelf packing) ------------------
+
+# The complement of concat-and-chunk: every document lands WHOLE in
+# exactly one sequence (no attention-mask straddling), at the price of
+# padding. Exact first-fit-decreasing is a sequential fold over the
+# whole corpus — undistributable — so this lane ships the standard
+# distributed approximation: SHELF PACKING BY POWER-OF-TWO LENGTH
+# CLASS. Each document is bucketed by the smallest power of two >= its
+# (budget-capped) length; a class of width U packs exactly
+# cap = SEQ_BUDGET div U documents per sequence by rank, so no bin
+# ever overflows BY CONSTRUCTION and per-bin fill is >= 50% minus the
+# class-tail remainder (each doc is > U/2 except in the width-1
+# class). Documents longer than the budget are truncated to SEQ_BUDGET
+# (the standard no-split recipe) and reported.
+#
+# Scale shape: the only coordination is a rank within each of the
+# |log2(SEQ_BUDGET)|+1 = 10 classes. A naive
+# row_number() OVER (PARTITION BY class) serializes each class onto
+# one task, so ranks use the same two-level scan as the cumsum above:
+# shard-local rank (parallel) + an exclusive prefix over the bounded
+# |shards| x |classes| counts frame, broadcast back. The DuckDB twins
+# replay the rank with one window (correctness-only, not a scale
+# model) — identical because shard order = doc_id order.
+
+
+def _idivc(c: Column, d: Column) -> Column:
+    """Exact int64 floor division, column divisor (same `div` rationale
+    as _idiv)."""
+    return F.call_function("div", c.cast("long"), d.cast("long"))
+
+
+_WIDTHS = [1, 2, 4, 8, 16, 32, 64, 128, 256, SEQ_BUDGET]
+
+
+def _width_class(el: Column) -> Column:
+    """Smallest power-of-two width >= el (el pre-capped to SEQ_BUDGET).
+    A CASE ladder, not log2: float logs round differently across
+    engines at exact powers of two."""
+    expr = F.when(el <= _WIDTHS[0], _WIDTHS[0])
+    for wv in _WIDTHS[1:-1]:
+        expr = expr.when(el <= wv, wv)
+    return expr.otherwise(_WIDTHS[-1])
+
+
+def _oracle_width_class(el: str) -> str:
+    arms = " ".join(f"WHEN {el} <= {wv} THEN {wv}" for wv in _WIDTHS[:-1])
+    return f"CASE {arms} ELSE {_WIDTHS[-1]} END"
+
+
+def doc_length_classes(docs: DataFrame) -> DataFrame:
+    """(doc_id, tc, el, wclass, shard): token count, budget-capped
+    effective length, power-of-two length class, cumsum shard."""
+    b = SEQ_BUDGET
+    tc = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
+    )
+    el = F.least(F.greatest(F.col("tc"), F.lit(1)), F.lit(b))
+    return tc.select(
+        "doc_id",
+        "tc",
+        el.alias("el"),
+        _width_class(el).cast("long").alias("wclass"),
+        _idiv(F.col("doc_id"), PACK_SHARD).alias("shard"),
+    )
+
+
+def greedy_pack_bins(docs: DataFrame) -> DataFrame:
+    """(wclass, bin_id, n_docs, n_tokens, pad_tokens): one row per
+    packed no-split sequence. Rank within class via the two-level
+    scan (see section comment); bin = rank div (SEQ_BUDGET div wclass),
+    so capacity is exact and no bin overflows."""
+    b = SEQ_BUDGET
+    t = doc_length_classes(docs)
+    w_in = Window.partitionBy("shard", "wclass").orderBy("doc_id")
+    t = t.withColumn("intra", F.row_number().over(w_in) - 1)
+    # bounded |shards| x |classes| frame: exclusive prefix per class
+    w_sh = (
+        Window.partitionBy("wclass")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        t.groupBy("shard", "wclass")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .select(
+            "shard",
+            "wclass",
+            F.coalesce(F.sum("cn").over(w_sh), F.lit(0)).alias("off"),
+        )
+    )
+    ranked = t.join(F.broadcast(offs), ["shard", "wclass"]).select(
+        "wclass",
+        "el",
+        _idivc(F.col("off") + F.col("intra"), _idivc(F.lit(b), F.col("wclass"))).alias(
+            "bin_id"
+        ),
+    )
+    return ranked.groupBy("wclass", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("el").alias("n_tokens"),
+        (F.lit(b) - F.sum("el")).alias("pad_tokens"),
+    )
+
+
+_ORACLE_GREEDY_BINS = f"""tc AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '{_TC}')) AS tc
+      FROM documents
+    ), cls AS (
+      SELECT doc_id, tc,
+             least(greatest(tc, 1), {SEQ_BUDGET}) AS el,
+             {_oracle_width_class(f"least(greatest(tc, 1), {SEQ_BUDGET})")} AS wclass
+      FROM tc
+    ), ranked AS (
+      SELECT wclass, el, tc,
+             (row_number() OVER (PARTITION BY wclass ORDER BY doc_id) - 1)
+               // ({SEQ_BUDGET} // wclass) AS bin_id
+      FROM cls
+    ), bins AS (
+      SELECT wclass, bin_id,
+             count(*) AS n_docs,
+             CAST(sum(el) AS BIGINT) AS n_tokens,
+             CAST({SEQ_BUDGET} - sum(el) AS BIGINT) AS pad_tokens
+      FROM ranked GROUP BY wclass, bin_id
+    )"""
+
+
+@query(
+    "sequence_packing_greedy_census",
+    oracle=f"""
+    WITH {_ORACLE_GREEDY_BINS}
+    SELECT wclass, bin_id, n_docs, n_tokens, pad_tokens FROM bins
+    """,
+)
+def q_sequence_packing_greedy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per no-split packed sequence: its length class, bin id within
+    the class, document count, packed tokens, and padding — the shelf
+    packer's per-sequence census (the no-split twin of
+    ``sequence_packing_census``)."""
+    return greedy_pack_bins(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sequence_packing_strategy_compare",
+    meta={
+        "lane": "packing-report",
+        "routing": (
+            "One row per packing strategy: concat_chunk (splits "
+            "documents at sequence boundaries, ~zero padding) vs "
+            "greedy_nosplit (length-bucketed shelf packing: zero "
+            "splits, bounded padding, oversize docs truncated). Pick "
+            "by what the trainer's attention masking tolerates."
+        ),
+    },
+    oracle=f"""
+    WITH {_ORACLE_SPANS}, agg AS (
+      SELECT count(*) AS n_docs,
+             coalesce(sum(tc), 0) AS total_tokens,
+             coalesce(sum(CASE WHEN start // {SEQ_BUDGET}
+                      < (start + tc - 1) // {SEQ_BUDGET}
+                 THEN 1 ELSE 0 END), 0) AS n_split_docs
+      FROM sp
+    ), cls AS (
+      SELECT doc_id, tc,
+             least(greatest(tc, 1), {SEQ_BUDGET}) AS el,
+             {_oracle_width_class(f"least(greatest(tc, 1), {SEQ_BUDGET})")} AS wclass
+      FROM tc
+    ), ranked AS (
+      SELECT wclass, el, tc,
+             (row_number() OVER (PARTITION BY wclass ORDER BY doc_id) - 1)
+               // ({SEQ_BUDGET} // wclass) AS bin_id
+      FROM cls
+    ), gbins AS (
+      SELECT wclass, bin_id, sum(el) AS packed FROM ranked
+      GROUP BY wclass, bin_id
+    ), greedy AS (
+      SELECT count(*) AS n_sequences,
+             coalesce(sum({SEQ_BUDGET} - packed), 0) AS pad_tokens,
+             coalesce(sum(packed), 0) AS packed_tokens
+      FROM gbins
+    ), trunc AS (
+      SELECT coalesce(sum(CASE WHEN tc > {SEQ_BUDGET} THEN 1 ELSE 0 END), 0)
+               AS n_truncated_docs
+      FROM cls
+    )
+    SELECT 'concat_chunk' AS strategy,
+           CAST((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET} AS BIGINT)
+               AS n_sequences,
+           CAST(((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET})
+                * {SEQ_BUDGET} - total_tokens AS BIGINT) AS pad_tokens,
+           {oracle_exact_ratio(
+               "total_tokens",
+               f"greatest(((total_tokens + {SEQ_BUDGET - 1}) // {SEQ_BUDGET})"
+               f" * {SEQ_BUDGET}, 1)",
+           )} AS fill_ratio,
+           CAST(n_split_docs AS BIGINT) AS n_split_docs,
+           CAST(0 AS BIGINT) AS n_truncated_docs
+    FROM agg
+    UNION ALL
+    SELECT 'greedy_nosplit' AS strategy,
+           CAST(n_sequences AS BIGINT) AS n_sequences,
+           CAST(pad_tokens AS BIGINT) AS pad_tokens,
+           {oracle_exact_ratio(
+               "packed_tokens",
+               f"greatest(n_sequences * {SEQ_BUDGET}, 1)",
+           )} AS fill_ratio,
+           CAST(0 AS BIGINT) AS n_split_docs,
+           CAST(n_truncated_docs AS BIGINT) AS n_truncated_docs
+    FROM greedy, trunc
+    """,
+)
+def q_sequence_packing_strategy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fill-vs-split trade, one row per strategy (VERDICT r10 task
+    #5): concat-chunk (existing lane — near-zero pad, documents
+    straddle boundaries) against greedy no-split shelf packing (zero
+    straddling, bounded pad, oversize docs truncated). Shared columns:
+    sequences produced, padding tokens, fill ratio, split documents,
+    truncated documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = SEQ_BUDGET
+    chunk = sequence_packing_efficiency(docs).select(
+        F.lit("concat_chunk").alias("strategy"),
+        "n_sequences",
+        "pad_tokens",
+        "fill_ratio",
+        "n_split_docs",
+        F.lit(0).cast("long").alias("n_truncated_docs"),
+    )
+    trunc = doc_length_classes(docs).agg(
+        F.coalesce(F.sum((F.col("tc") > b).cast("long")), F.lit(0)).alias(
+            "n_truncated_docs"
+        )
+    )
+    greedy = (
+        greedy_pack_bins(docs)
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.coalesce(F.sum("pad_tokens"), F.lit(0)).alias("pad_tokens"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("packed_tokens"),
+        )
+        .crossJoin(F.broadcast(trunc))
+        .select(
+            F.lit("greedy_nosplit").alias("strategy"),
+            "n_sequences",
+            "pad_tokens",
+            exact_ratio(
+                F.col("packed_tokens"),
+                F.greatest(F.col("n_sequences") * b, F.lit(1)),
+            ).alias("fill_ratio"),
+            F.lit(0).cast("long").alias("n_split_docs"),
+            "n_truncated_docs",
+        )
+    )
+    return chunk.unionByName(greedy)

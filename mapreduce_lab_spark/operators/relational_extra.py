@@ -197,16 +197,17 @@ def q_stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per event type.
 
-    No oracle: HLL sketches are engine-specific (DuckDB's approx
-    differs), so the driver records the rows-only check; the accuracy
-    contract (≤ 2% relative error vs exact) is asserted in
-    tests/test_relational_extra.py instead. At scale this is the
-    operator that replaces an O(distinct) exact shuffle with a
-    constant-size sketch mergeable map-side.
+    RETIRED from the registry in round 11 (VERDICT r10 task #7): HLL
+    sketches are engine-specific, so the driver could only ever record
+    a rows-only check here, while the portable-hash siblings
+    ``hll_portable_users`` / ``kmv_distinct_users`` put the same
+    capability behind full oracles. The native path stays exercised by
+    tests/test_relational_extra.py (≤ 2% relative error vs exact). At
+    scale this is the operator that replaces an O(distinct) exact
+    shuffle with a constant-size sketch mergeable map-side.
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(

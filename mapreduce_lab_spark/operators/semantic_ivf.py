@@ -63,9 +63,12 @@ baseline (loose AND tight operating points), exact-duplicate
 co-cluster guarantees, the candidate-linearity census ratio. The
 PINNED-INIT contract ``near_dup_embedding_ivf_pinned`` additionally
 puts the entire assign/probe/verify/CC/expansion chain behind a full
-rows+schema+hash DuckDB twin, so the only un-oracled code is the
-Lloyd avg-update loop (registered as the rows-only
-``ivf_train_codebook`` artifact query).
+rows+schema+hash DuckDB twin, and ``ivf_init_codebook`` (round 11)
+puts the codebook CONSTRUCTION (collapse → sizing → sample stride →
+half slicing → distinct-first init) behind its own hash gate — so the
+only un-oracled code is the Lloyd avg-update loop (registered as the
+rows-only ``ivf_train_codebook`` artifact query, exploded to scalar
+rows per the r10 driver-canonicalizer postmortem).
 
 Driver-side actions in index construction — all scalar/metadata, the
 same class as ``connected_components``' convergence signature: one
@@ -248,7 +251,7 @@ def build_ivf_index(
 
 
 def ivf_postings(
-    reps: DataFrame, cent: DataFrame, dim: int, nprobe: int = None
+    reps: DataFrame, cent: DataFrame, dim: int, nprobe: int | None = None
 ) -> DataFrame:
     """(vec_id, v, norm, c1, c2): each rep in its IVF_NPROBE probe
     cells — the product cells with the smallest COMBINED half-space
@@ -317,7 +320,7 @@ def ivf_verified_pairs(
     cent: DataFrame,
     dim: int,
     threshold: float = COSINE_THRESHOLD,
-    nprobe: int = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Rep-level (vec_a < vec_b) pairs with exact cosine >=
     COSINE_THRESHOLD, verified per cell as a blocked Gram matrix.
@@ -379,7 +382,21 @@ def ivf_verified_pairs(
     )
 
 
-@query("near_dup_embedding_ivf_clusters")
+@query(
+    "near_dup_embedding_ivf_clusters",
+    meta={
+        "lane": "loose-threshold",
+        "routing": (
+            "Trained inverted multi-index: the scale lane for loose "
+            "cosine thresholds (<= ~0.9). Cell count grows with the "
+            "corpus so candidates stay linear (ivf_cell_census); "
+            "rows-only at the driver (iterative Lloyd) but the full "
+            "downstream chain is hash-gated by "
+            "near_dup_embedding_ivf_pinned. Tight-threshold traffic "
+            "can use near_dup_embedding_lsh instead."
+        ),
+    },
+)
 def q_near_dup_embedding_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup clusters (cosine >= 0.4, min-vec_id labels) via
     the trained inverted multi-index — the registered loose-threshold
@@ -627,7 +644,18 @@ def ivf_pinned_pair_table(
     return reps, pairs
 
 
-@query("near_dup_embedding_ivf_pinned", oracle=_IVF_PINNED_ORACLE)
+@query(
+    "near_dup_embedding_ivf_pinned",
+    oracle=_IVF_PINNED_ORACLE,
+    meta={
+        "lane": "oracle-contract",
+        "routing": (
+            "Differential-testing twin of near_dup_embedding_ivf_"
+            "clusters with the codebook pinned at the Lloyd init; "
+            "production traffic should use the trained lane."
+        ),
+    },
+)
 def q_near_dup_embedding_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup clusters via the inverted multi-index with the
     codebook PINNED at the deterministic Lloyd init — the fully
@@ -666,15 +694,86 @@ def q_near_dup_embedding_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFra
 @query("ivf_train_codebook")
 def q_ivf_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained product-cell codebook itself, as a registered
-    (rows-only) artifact query: (sub, cid, centroid vector) after the
-    sampled Lloyd rounds — the model file a real IVF deployment ships
-    to workers. Rows-only at the driver because Lloyd is the
+    (rows-only) artifact query, exploded to scalar rows
+    (sub, cid, dim_idx, value) — the model file a real IVF deployment
+    ships to workers. Rows-only at the driver because Lloyd is the
     documented iterative class; everything DOWNSTREAM of a codebook is
-    hash-gated by ``near_dup_embedding_ivf_pinned``, and the trained
-    lane's recall is floor-pinned in tests/test_semantic_ivf.py. The
-    census row bound is 2*K1 = 2*ceil(sqrt(n/C)) — sublinear in the
-    corpus."""
-    _, cent, dim = build_ivf_index(spark, sf_dir)
-    return cent.select(
-        "sub", "cid", F.col("cv").alias("centroid"), F.lit(dim).alias("dim")
+    hash-gated by ``near_dup_embedding_ivf_pinned``, the INIT the
+    Lloyd loop starts from is hash-gated by ``ivf_init_codebook``,
+    and the trained lane's recall is floor-pinned in
+    tests/test_semantic_ivf.py. The census row bound is 2*K1*dim =
+    2*ceil(sqrt(n/C))*dim — sublinear in the corpus.
+
+    Exploded rather than array<double>-valued (r10 postmortem): the
+    driver canonicalizes results with a pandas sort over every output
+    column, and pandas cannot factorize list cells — an array-typed
+    column crashes the harness before even the rows-only count. Every
+    registered query therefore emits scalar columns only (enforced for
+    rows-only queries by tests/test_oracle_parity.py; oracled queries
+    hit the same constraint through compare()'s canonical sort)."""
+    _, cent, _ = build_ivf_index(spark, sf_dir)
+    return cent.select("sub", "cid", F.posexplode("cv").alias("dim_idx", "value"))
+
+
+_IVF_INIT_CODEBOOK_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), reps AS (
+      SELECT min(vec_id) AS vec_id, v FROM e GROUP BY v
+    ), params AS (
+      SELECT n, k1, greatest(1, n // ({IMI_TRAIN_PER_CENT} * k1)) AS step,
+             dim, dim // 2 AS w1
+      FROM (
+        SELECT count(*) AS n,
+               greatest(2, CAST(ceil(sqrt(count(*) / {float(IMI_TARGET_CELL)}))
+                                AS BIGINT)) AS k1,
+               (SELECT max(len(v)) FROM e) AS dim
+        FROM reps
+      )
+    ), subv AS (
+      SELECT vec_id, 0 AS sub, list_slice(v, 1, w1) AS sv
+      FROM reps, params WHERE vec_id % step = 0
+      UNION ALL
+      SELECT vec_id, 1 AS sub, list_slice(v, w1 + 1, dim) AS sv
+      FROM reps, params WHERE vec_id % step = 0
+    ), cent AS (
+      SELECT sub, vec_id AS cid, sv AS cv
+      FROM (
+        SELECT sub, sv, min(vec_id) AS vec_id,
+               row_number() OVER (PARTITION BY sub ORDER BY min(vec_id)) AS rn
+        FROM subv GROUP BY sub, sv
+      ), params
+      WHERE rn <= k1
     )
+    SELECT sub, cid, CAST(i - 1 AS INT) AS dim_idx, cv[i] AS value
+    FROM cent, LATERAL (SELECT unnest(generate_series(1, len(cv))) AS i) gs
+"""
+
+
+@query("ivf_init_codebook", oracle=_IVF_INIT_CODEBOOK_ORACLE)
+def q_ivf_init_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic Lloyd-INIT codebook, exploded to scalar rows
+    (sub, cid, dim_idx, value) and put behind a full rows+schema+hash
+    DuckDB gate — graduating the pinned artifact itself to an oracle
+    (VERDICT r10 task #1's second half).
+
+    ``near_dup_embedding_ivf_pinned`` hash-gates everything DOWNSTREAM
+    of this codebook (assign → probe → verify → CC → expansion); this
+    query hash-gates the codebook CONSTRUCTION: identical-vector
+    collapse, K1 = ceil(sqrt(n/C)) sizing, the deterministic training
+    stride, half-space slicing, and the distinct-first min-vec_id
+    selection. Together the two leave only the Lloyd avg-update loop
+    rows-only (``ivf_train_codebook``). Values are raw float→double
+    casts of parquet data — no arithmetic — so the hash gate is exact
+    by construction.
+
+    Driver-side scalars: one count() (sizes K1) + one first() (reads
+    dim) — the same bounded-metadata class as ``build_ivf_index``.
+    """
+    reps = collapse_identical_vectors(spark, sf_dir)
+    n = reps.count()  # scalar: sizes the codebook
+    first = reps.select(F.size("v").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 2
+    k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
+    cent = init_codebooks(_half_subvectors(_train_sample(reps, n, k1), dim), k1)
+    return cent.select("sub", "cid", F.posexplode("cv").alias("dim_idx", "value"))

@@ -12,9 +12,10 @@ KMV set-algebra pairwise corpus overlap at the end of the module):
 
 - ``hll_union_users`` — Spark's native Datasketches HLL:
   ``hll_sketch_agg`` per (event_type, day), ``hll_union_agg`` across
-  days, estimate per type. Registered rows-only (the sketch binary is
-  engine-specific, like ``approx_count_distinct``); the accuracy and
-  the merge-vs-direct consistency are pinned in tests instead.
+  days, estimate per type. NOT registered (retired round 11: the
+  sketch binary is engine-specific, so the driver could only check
+  rows; the portable twin below carries the registry surface); the
+  accuracy and merge-vs-direct consistency are pinned in tests.
 - ``hll_portable_users`` — the same daily-partial/union rollup as a
   hand-rolled HLL on the portable md5 hash, register math exact in
   both engines, FULLY oracle-checked (see its docstring for the
@@ -63,7 +64,11 @@ def hll_union_users(events: DataFrame) -> DataFrame:
     )
 
 
-@query("hll_union_users")  # rows-only: sketch binaries are engine-specific
+# Retired from the registry in round 11 (VERDICT r10 task #7): the
+# native Datasketches binary is engine-specific so the driver could
+# only check rows; hll_portable_users carries the same daily-partial/
+# union capability behind a full oracle. Accuracy and merge-vs-direct
+# consistency stay pinned in tests/test_sketches.py.
 def q_hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_union_users(load_table(spark, sf_dir, "events"))
 

@@ -90,7 +90,6 @@ REPRESENTATIVES = [
     "triangle_count_copurchase",
     "bigram_pmi_top",
     "kmv_distinct_users",
-    "hll_union_users",
     "hll_portable_users",
     "near_dup_incremental_minhash",
     "near_dup_embedding_lsh",
@@ -172,3 +171,14 @@ _QUERIES = registry.queries()
 def test_runs_on_empty_lake(name, spark, empty_dir):
     df = _QUERIES[name](spark, empty_dir)
     assert df.count() >= 0
+
+
+def test_hll_union_users_empty_events(spark, empty_dir):
+    """The unregistered native-HLL rollup (retired from the registry
+    round 11) keeps its empty-input contract via direct call."""
+    import os
+
+    from mapreduce_lab_spark.operators.sketches import hll_union_users
+
+    ev = spark.read.parquet(os.path.join(empty_dir, "events.parquet"))
+    assert hll_union_users(ev).count() == 0

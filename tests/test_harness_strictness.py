@@ -175,3 +175,23 @@ def test_driver_seen_snapshot_staleness_warns_not_gates():
             f"root has {have} — run scripts/update_seen.py and commit",
             stacklevel=1,
         )
+
+
+def test_describe_surfaces_lane_routing():
+    """VERDICT r10 task #3: a driver-side consumer must be able to read
+    the embedding near-dup lane split (tight-threshold sign-LSH vs
+    loose-threshold IVF) from registry metadata without opening
+    operator source."""
+    from mapreduce_lab_spark import registry
+
+    d = registry.describe()
+    assert set(d) == set(registry.queries()), "describe covers every query"
+    for name, info in d.items():
+        assert info["description"], f"{name}: empty description"
+        assert info["oracle"] in ("full", "rows-only")
+    assert d["near_dup_embedding_lsh"]["lane"] == "tight-threshold"
+    assert "ivf_clusters" in d["near_dup_embedding_lsh"]["routing"]
+    assert d["near_dup_embedding_ivf_clusters"]["lane"] == "loose-threshold"
+    assert d["near_dup_embedding_ivf_pinned"]["lane"] == "oracle-contract"
+    assert d["ivf_init_codebook"]["oracle"] == "full"
+    assert d["ivf_train_codebook"]["oracle"] == "rows-only"

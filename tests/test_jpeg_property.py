@@ -191,3 +191,34 @@ def test_rejects_sampling_above_two():
     good[sof + 11] = 0x33  # comp 1 sampling 3x3
     with pytest.raises(ValueError):
         decode_jpeg(bytes(good))
+
+
+def test_rejects_multi_scan_partial_sos():
+    """A legal multi-scan baseline JPEG emits one SOS per component;
+    decoding only the first scan would leave the other planes zeroed
+    and silently return garbage. The decoder must raise so
+    decode_image falls through to PIL (ADVICE r10)."""
+    good = bytearray(encode_jpeg(8, 8, [(200, 30, 90)] * 64))
+    sos = good.find(b"\xff\xda")
+    # Rewrite the 3-component SOS (len 12: ns=3, 3 (cs,tt) pairs,
+    # Ss Se AhAl) as a 1-component scan (len 8) keeping component 1.
+    patched = bytes(
+        good[: sos + 2]           # up to and incl. FFDA
+        + b"\x00\x08\x01"         # seglen=8, ns=1
+        + good[sos + 5 : sos + 7]   # (cs1, tt1)
+        + good[sos + 11 : sos + 14]  # Ss, Se, AhAl
+        + good[sos + 14 :]        # entropy data (never reached)
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(patched)
+
+
+def test_rejects_noninterleaved_subsampled_single_component():
+    """T.81 gives a single-component scan per-block geometry; with
+    sampling factors above 1x1 that differs from the interleaved MCU
+    layout this decoder implements, so it must refuse."""
+    good = bytearray(encode_jpeg(8, 8, [(5, 5, 5)] * 64, grayscale=True))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 11] = 0x22  # declare 2x2 sampling on the only component
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bytes(good))

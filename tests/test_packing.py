@@ -108,3 +108,62 @@ def test_census_and_summary_agree_on_real_corpus(spark, sf_dir):
     assert all(r.n_tokens == SEQ_BUDGET for r in full)
     # carried-in never exceeds one continuation per boundary
     assert all(r.n_carried_in <= 1 for r in census)
+
+
+def test_greedy_bins_never_overflow_and_cover_every_doc(spark, sf_dir):
+    from mapreduce_lab_spark.operators.packing import greedy_pack_bins
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bins = greedy_pack_bins(docs).collect()
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in bins) == n_docs, "every doc packed exactly once"
+    for r in bins:
+        assert r.n_tokens <= SEQ_BUDGET, f"bin overflow: {r}"
+        assert r.pad_tokens == SEQ_BUDGET - r.n_tokens
+        # capacity bound: a class of width U holds at most B div U docs
+        assert r.n_docs <= SEQ_BUDGET // r.wclass
+
+
+def test_greedy_shelf_packing_semantics_constructed(spark, tmp_path):
+    """Docs of lengths 1, 2, 300, 600: classes 1, 2, 512, 512; the
+    oversize doc truncates to the budget; the width-512 class has
+    capacity 1 so each of its docs gets its own bin."""
+    from mapreduce_lab_spark.operators.packing import greedy_pack_bins
+
+    rows = [
+        (1, "a"),                 # el 1  -> class 1
+        (2, "a b"),               # el 2  -> class 2
+        (3, "w " * 299 + "w"),    # el 300 -> class 512
+        (4, "y " * 599 + "y"),    # el 600 -> truncated to 512, class 512
+    ]
+    d = str(tmp_path / "lake")
+    _write_docs(d, rows)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.wclass, r.bin_id): (r.n_docs, r.n_tokens)
+        for r in greedy_pack_bins(docs).collect()
+    }
+    assert got[(1, 0)] == (1, 1)
+    assert got[(2, 0)] == (1, 2)
+    # class 512 has capacity 1: docs 3 and 4 get their own bins
+    assert got[(512, 0)] == (1, 300)
+    assert got[(512, 1)] == (1, 512)  # truncated to the budget
+    assert len(got) == 4
+
+
+def test_strategy_compare_trade_holds(spark, sf_dir):
+    from mapreduce_lab_spark.operators.packing import (
+        q_sequence_packing_strategy_compare,
+    )
+
+    rows = {
+        r.strategy: r
+        for r in q_sequence_packing_strategy_compare(spark, sf_dir).collect()
+    }
+    cc, gn = rows["concat_chunk"], rows["greedy_nosplit"]
+    assert gn.n_split_docs == 0, "no-split lane must not split"
+    assert cc.n_truncated_docs == 0, "concat-chunk never truncates"
+    assert gn.n_sequences >= cc.n_sequences, "padding costs sequences"
+    assert cc.fill_ratio >= gn.fill_ratio, "concat-chunk fills tighter"
+    assert 0 < gn.fill_ratio <= 1 and 0 < cc.fill_ratio <= 1
