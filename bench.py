@@ -116,6 +116,15 @@ HEADLINE = [
     "multimodal_jpeg_decode_stats",
     "multimodal_wav_decode_stats",
     "sequence_packing_census",
+    # round 11: the no-split shelf-packing comparison (two packing
+    # plans over one scan family) and the fully-oracled codebook
+    # construction artifact.
+    "sequence_packing_strategy_compare",
+    "ivf_init_codebook",
+    "basket_association_rules",
+    "cuped_adjusted_revenue",
+    "multimodal_gif_decode_stats",
+    "ivf_incremental_postings",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -181,6 +190,12 @@ PRIMARY_INPUT = {
     "multimodal_jpeg_decode_stats": "documents",
     "multimodal_wav_decode_stats": "documents",
     "sequence_packing_census": "documents",
+    "sequence_packing_strategy_compare": "documents",
+    "ivf_init_codebook": "embeddings",
+    "basket_association_rules": "lineitem",
+    "cuped_adjusted_revenue": "events",
+    "multimodal_gif_decode_stats": "documents",
+    "ivf_incremental_postings": "embeddings",
 }
 
 

@@ -1067,3 +1067,113 @@ def q_multimodal_jpeg420_decode_stats(spark: SparkSession, sf_dir: str) -> DataF
             subsampling="420",
         )
     )
+
+
+# --- real GIF decode (round 11: LZW joins the codec family) ------------------
+
+# GIF87a is LOSSLESS for indexed content, so — like PNG and WAV — the
+# full pixel path carries an exact hash gate. Beyond the sum/first/
+# last stats the other image gates use, this one adds a POSITION-
+# WEIGHTED checksum (sum (k+1)·px[k]): LZW bugs characteristically
+# permute or shift runs, which a plain sum cannot see. The decode
+# exercises the whole container: header/LSD parse, global color
+# table, sub-block reassembly, and variable-width LSB-first LZW with
+# its clear/EOI discipline (codecs._lzw_decompress_gif).
+
+GIF_W_MOD = 7
+GIF_H_MOD = 5
+
+
+def blobify_gif_images(docs: DataFrame) -> DataFrame:
+    """documents → REAL GIF87a payloads: text bytes cycled as
+    grayscale palette indices, dimensions derived from doc_id."""
+    from mapreduce_lab_spark.multimodal import codecs
+
+    _ship_codecs_by_value()
+    enc = codecs.encode_gif
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                w = 4 + doc_id % GIF_W_MOD
+                h = 3 + doc_id % GIF_H_MOD
+                px = [(data[k % len(data)],) * 3 for k in range(w * h)]
+                ids.append(doc_id)
+                payloads.append(enc(w, h, px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+_GIF_DECODE_SQL = f"""
+WITH dims AS (
+    SELECT doc_id, text,
+           (4 + doc_id % {GIF_W_MOD}) AS w,
+           (3 + doc_id % {GIF_H_MOD}) AS h,
+           greatest(octet_length(encode(text)), 1) AS n
+    FROM documents
+)
+SELECT doc_id, 'gif' AS fmt,
+       w::INT AS width, h::INT AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(3 * list_sum(list_transform(range(0, w * h),
+            k -> ascii(substr(text, (k % n) + 1, 1)))) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(range(0, w * h),
+            k -> (k + 1) * ascii(substr(text, (k % n) + 1, 1))))
+           AS BIGINT) AS px_posw,
+       ascii(substr(text, 1, 1)) AS px_first,
+       ascii(substr(text, ((w * h - 1) % n) + 1, 1)) AS px_last
+FROM dims
+"""
+
+
+@query("multimodal_gif_decode_stats", oracle=_GIF_DECODE_SQL)
+def q_multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through REAL GIF87a bytes: text-derived grayscale
+    indices LZW-compress into single-image GIFs, the dependency-free
+    decoder recovers the pixels, and DuckDB recomputes every stat —
+    including the position-weighted checksum — straight from the
+    text. Same ASCII-fixture assumption as the other decode gates
+    (pinned in tests/test_multimodal.py)."""
+    _ship_codecs_by_value()
+    from mapreduce_lab_spark.multimodal import codecs
+
+    decode = codecs.decode_payload
+    blobs = blobify_gif_images(
+        fan_out(load_table(spark, sf_dir, "documents"), spark)
+    )
+    schema = (
+        "doc_id long, fmt string, width int, height int, "
+        "n_px long, px_sum long, px_posw long, px_first int, px_last int"
+    )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "width", "height", "n_px", "px_sum",
+                "px_posw", "px_first", "px_last",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, px = decode(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(px))
+                rows["px_sum"].append(sum(sum(p) for p in px))
+                rows["px_posw"].append(
+                    sum((k + 1) * p[0] for k, p in enumerate(px))
+                )
+                rows["px_first"].append(px[0][0])
+                rows["px_last"].append(px[-1][2])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, schema=schema)

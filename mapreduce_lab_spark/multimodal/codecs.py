@@ -1,5 +1,6 @@
 """Pure-Python image codecs: 24-bit BMP, binary PPM (P6), 8-bit PNG
-via stdlib zlib (round 9), and baseline-sequential JPEG (round 10).
+via stdlib zlib (round 9), baseline-sequential JPEG (round 10), and
+GIF87a with from-scratch variable-width LZW (round 11).
 
 The real decode path behind the multimodal seam (``binary_ops``).
 All four are fully specified public formats implementable
@@ -284,6 +285,9 @@ def decode_payload(payload: bytes) -> tuple[str, int, int, list[Pixel]]:
     if payload[:2] == b"\xff\xd8":
         w, h, px = decode_jpeg(payload)
         return "jpeg", w, h, px
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, px = decode_gif(payload)
+        return "gif", w, h, px
     raise ValueError(f"unknown image magic {payload[:2]!r}")
 
 
@@ -1033,3 +1037,202 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
     if not fmt_seen or samples is None:
         raise ValueError("incomplete WAVE file (missing fmt or data)")
     return sample_rate, channels, bits, samples
+
+
+# --- GIF87a (CompuServe GIF, LZW-compressed indexed color) -------------------
+
+# Round-11 codec-family addition: GIF87a with the GIF flavor of LZW
+# (variable-width codes, LSB-first bit packing, clear/EOI control
+# codes, 12-bit code cap with dictionary reset). All from the public
+# GIF87a specification. GIF is LOSSLESS for indexed content, so —
+# like PNG and WAV, and unlike JPEG — the full pixel path sits behind
+# an exact hash gate.
+#
+# Scope: encode emits a single image with a 256-entry grayscale
+# global color table (the fixtures' pixel class), no interlace, no
+# extensions. Decode handles any global/local color table, skips
+# GIF89a extension blocks, and raises ValueError on interlaced images
+# (the PIL seam, same contract as the other decoders).
+#
+# LZW width discipline (the subtle part, derived in-step with the
+# canonical decoder): the DECODER grows its code width immediately
+# after the dictionary add that makes next_code == 2^width (width
+# capped at 12); the ENCODER therefore grows when ITS next_code
+# (which runs exactly one entry ahead of the decoder's) reaches
+# 2^width + 1. When the table is full (4096) the encoder emits CLEAR
+# and both sides reset. Round-trip is property-tested across the
+# reset boundary in tests/test_gif_property.py.
+
+_GIF_MAX_CODE = 4096
+
+
+def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    codes: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    codes.append((clear, width))
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    s = b""
+    for byte in data:
+        sc = s + bytes([byte])
+        if sc in table:
+            s = sc
+            continue
+        codes.append((table[s], width))
+        if next_code < _GIF_MAX_CODE:
+            table[sc] = next_code
+            next_code += 1
+            # one entry ahead of the decoder: grow at 2^width + 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        s = bytes([byte])
+    if s:
+        codes.append((table[s], width))
+    codes.append((eoi, width))
+    # LSB-first bit packing
+    out = bytearray()
+    acc = nbits = 0
+    for code, w in codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"GIF LZW: first code {code} not a literal")
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW: code {code} ahead of table")
+        if prev is not None and next_code < _GIF_MAX_CODE:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def encode_gif(width: int, height: int, pixels: list[Pixel]) -> bytes:
+    """Encode grayscale pixels (r == g == b assumed; the red channel
+    indexes a 256-entry grayscale palette) as a single-image GIF87a."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count mismatch")
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: global table, 8 bits/entry (size=7)
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+    for i in range(256):  # grayscale global color table
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)  # LZW minimum code size
+    comp = _lzw_compress_gif(bytes(p[0] for p in pixels), 8)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[Pixel]]:
+    """Decode the first image of a GIF87a/GIF89a stream (no interlace;
+    extensions skipped)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (missing signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette: list[Pixel] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = [
+            (payload[pos + 3 * i], payload[pos + 3 * i + 1], payload[pos + 3 * i + 2])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # GIF89a extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _left, _top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported (needs PIL)")
+        pal = palette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = [
+                (
+                    payload[pos + 3 * i],
+                    payload[pos + 3 * i + 1],
+                    payload[pos + 3 * i + 2],
+                )
+                for i in range(n)
+            ]
+            pos += 3 * n
+        if not pal:
+            raise ValueError("GIF image with no color table")
+        min_code = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decompress_gif(bytes(comp), min_code)
+        if len(idx) < w * h:
+            raise ValueError("GIF index stream shorter than image")
+        return w, h, [pal[i] for i in idx[: w * h]]
+    raise ValueError("GIF contains no image descriptor")

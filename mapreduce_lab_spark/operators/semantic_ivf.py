@@ -777,3 +777,140 @@ def q_ivf_init_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
     cent = init_codebooks(_half_subvectors(_train_sample(reps, n, k1), dim), k1)
     return cent.select("sub", "cid", F.posexplode("cv").alias("dim_idx", "value"))
+
+
+# --- incremental index maintenance (append-only postings contract) -----------
+
+# A production IVF deployment does NOT rebuild the index when new
+# vectors arrive: the shipped codebook is FROZEN, new vectors are
+# assigned to its cells, and only cells receiving new postings need
+# pair re-verification. This contract registers that property the
+# same way sequence_packing_incremental does for packing: split the
+# corpus at a deterministic vec_id prefix (kk = (max rep id div 10)*7),
+# pin the codebook at the BASE prefix's Lloyd init, assign BOTH the
+# base and the full corpus with that frozen codebook, and emit
+# postings(full) EXCEPT ALL postings(base) — exactly the rows an
+# incremental maintainer appends. Because the codebook is frozen and
+# delta vec_ids are strictly larger, base reps' assignments are
+# provably unchanged (pinned in tests/test_semantic_ivf.py: every
+# emitted vec_id > kk), so at 100 TB appends cost O(delta) assignment
+# FLOPs plus re-verification of touched cells only — never a rebuild.
+
+
+def _oracle_probed_chain(rep_src: str, p: str) -> str:
+    """The assign/probe CTE chain of _IVF_PINNED_ORACLE, parameterized
+    by source rep relation and CTE prefix so the incremental contract
+    can replay it for base and full against one frozen codebook."""
+    return f"""{p}rhalf AS (
+      SELECT vec_id, 0 AS sub, list_slice(v, 1, w1) AS hv
+      FROM {rep_src}, params
+      UNION ALL
+      SELECT vec_id, 1 AS sub, list_slice(v, w1 + 1, dim) AS hv
+      FROM {rep_src}, params
+    ), {p}halfd AS (
+      SELECT r.vec_id, r.sub, c.cid,
+             list_reduce([(r.hv[i] - c.cv[i]) * (r.hv[i] - c.cv[i])
+                          for i in range(1, len(r.hv) + 1)],
+                         (x, y) -> x + y) AS d
+      FROM {p}rhalf r JOIN cent c ON c.sub = r.sub
+    ), {p}topk AS (
+      SELECT vec_id, sub, cid, d,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d, cid) AS rn
+      FROM {p}halfd
+    ), {p}probed AS (
+      SELECT vec_id, c1, c2 FROM (
+        SELECT a.vec_id, a.cid AS c1, b.cid AS c2,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY a.d + b.d, a.cid, b.cid) AS rn
+        FROM (SELECT * FROM {p}topk
+              WHERE sub = 0 AND rn <= {IMI_PROBE_RANK}) a
+        JOIN (SELECT * FROM {p}topk
+              WHERE sub = 1 AND rn <= {IMI_PROBE_RANK}) b
+          USING (vec_id)
+      ) WHERE rn <= {IVF_NPROBE}
+    )"""
+
+
+_IVF_INCR_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), reps AS (
+      SELECT min(vec_id) AS vec_id, v FROM e GROUP BY v
+    ), k AS (
+      SELECT (max(vec_id) // 10) * 7 AS kk FROM reps
+    ), rbase AS (
+      SELECT vec_id, v FROM reps, k WHERE vec_id <= kk
+    ), params AS (
+      SELECT n, k1, greatest(1, n // ({IMI_TRAIN_PER_CENT} * k1)) AS step,
+             dim, dim // 2 AS w1
+      FROM (
+        SELECT count(*) AS n,
+               greatest(2, CAST(ceil(sqrt(count(*) / {float(IMI_TARGET_CELL)}))
+                                AS BIGINT)) AS k1,
+               (SELECT max(len(v)) FROM e) AS dim
+        FROM rbase
+      )
+    ), subv AS (
+      SELECT vec_id, 0 AS sub, list_slice(v, 1, w1) AS sv
+      FROM rbase, params WHERE vec_id % step = 0
+      UNION ALL
+      SELECT vec_id, 1 AS sub, list_slice(v, w1 + 1, dim) AS sv
+      FROM rbase, params WHERE vec_id % step = 0
+    ), cent AS (
+      SELECT sub, vec_id AS cid, sv AS cv
+      FROM (
+        SELECT sub, sv, min(vec_id) AS vec_id,
+               row_number() OVER (PARTITION BY sub ORDER BY min(vec_id)) AS rn
+        FROM subv GROUP BY sub, sv
+      ), params
+      WHERE rn <= k1
+    ), {_oracle_probed_chain("reps", "f")}, {_oracle_probed_chain("rbase", "b")}
+    SELECT vec_id, c1, c2 FROM fprobed
+    EXCEPT ALL
+    SELECT vec_id, c1, c2 FROM bprobed
+"""
+
+
+@query(
+    "ivf_incremental_postings",
+    oracle=_IVF_INCR_ORACLE,
+    meta={
+        "lane": "index-maintenance",
+        "routing": (
+            "Append-only IVF maintenance contract: postings added by "
+            "a corpus append under a frozen (base-trained) codebook. "
+            "Use to size incremental re-verification; full-corpus "
+            "traffic uses near_dup_embedding_ivf_clusters."
+        ),
+    },
+)
+def q_ivf_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c1, c2) postings an append adds under a frozen
+    codebook — postings(full) EXCEPT ALL postings(base prefix), with
+    the codebook pinned at the base prefix's deterministic Lloyd init
+    (the oracle replays every step; see section comment).
+
+    Driver-side scalars: one count() + one first() (codebook sizing),
+    the same bounded-metadata class as the other IVF queries.
+    """
+    reps_full = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
+    kf = reps_full.agg(F.max("vec_id").alias("mx")).select(
+        (
+            F.call_function("div", F.col("mx"), F.lit(10).cast("long")) * 7
+        ).alias("kk")
+    )
+    base = (
+        reps_full.crossJoin(F.broadcast(kf))
+        .where(F.col("vec_id") <= F.col("kk"))
+        .select("vec_id", "v", "norm")
+        .localCheckpoint()
+    )
+    n = base.count()  # scalar: sizes the frozen codebook
+    first = base.select(F.size("v").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 2
+    k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
+    cent = init_codebooks(_half_subvectors(_train_sample(base, n, k1), dim), k1)
+    post_full = ivf_postings(reps_full, cent, dim).select("vec_id", "c1", "c2")
+    post_base = ivf_postings(base, cent, dim).select("vec_id", "c1", "c2")
+    return post_full.exceptAll(post_base)

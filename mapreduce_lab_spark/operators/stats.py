@@ -274,3 +274,212 @@ FROM cells
 @query("diff_in_diff_revenue", oracle=_DID_ORACLE)
 def q_diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_in_diff_revenue(load_table(spark, sf_dir, "orders"))
+
+
+# --- CUPED variance-reduced experiment readout --------------------------------
+
+# CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et al.,
+# WSDM 2013): shrink an A/B metric's variance by regressing out each
+# unit's PRE-period covariate — adjusted y' = y - theta (x - mean(x)),
+# theta = cov(x, y) / var(x). The estimator is pure sufficient
+# statistics (n, sum x, sum y, sum xy, sum x^2 over users), so the
+# distributed shape is one combinable per-user aggregate, a 1-row
+# moment frame, one broadcast back, and a per-group aggregate —
+# identical at sf0.001 and 100 TB.
+#
+# Experiment frame on the synthetic events table: users split into
+# arms by user_id % 2 (a deterministic stand-in for the assignment
+# log); the observation window splits at the midpoint of the event
+# time range (exact integer microseconds, identical in both engines);
+# the metric is per-user purchase revenue in exact cents.
+#
+# Cross-engine exactness: moments are int64; the theta and variance
+# combinations convert to double BEFORE multiplying (sum x * sum y
+# overflows int64 at large user counts) — identical IEEE ops both
+# engines — and every rendered statistic floor-scales per the house
+# ppm discipline. The per-user adjusted metric floors back to an
+# integer before the group sum, so group aggregates stay
+# order-independent and hash-stable.
+
+CUPED_PPM = 1_000_000
+
+
+def _cuped_users(events: DataFrame) -> DataFrame:
+    """(user_id, grp, x, y): pre/post purchase revenue in exact cents
+    per user (0 when the user has no purchase in a period)."""
+    # cast covers TIMESTAMP_NTZ inputs (constructed parquet without a
+    # zone reads as NTZ in Spark 4; unix_micros requires TIMESTAMP)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = events.agg(
+        F.call_function(
+            "div", F.min(us) + F.max(us), F.lit(2).cast("long")
+        ).alias("split_us")
+    )
+    rev = F.when(
+        F.col("event_type") == "purchase", to_units(F.col("value"), 100)
+    ).otherwise(F.lit(0))
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(us < F.col("split_us"), rev)),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(us >= F.col("split_us"), rev)),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .select("user_id", (F.col("user_id") % 2).alias("grp"), "x", "y")
+    )
+
+
+def cuped_adjusted_revenue(events: DataFrame) -> DataFrame:
+    """Per experiment arm: user count, mean post-period revenue
+    (dollars, floor-scaled), CUPED-adjusted mean, per-arm variance
+    reduction ratio (ppm), and the pooled theta (ppm)."""
+    users = _cuped_users(events).localCheckpoint()
+    m = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    num = nd * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    params = m.select(
+        F.when(den > 0, F.floor(num * CUPED_PPM / den))
+        .otherwise(F.lit(0))
+        .alias("theta_ppm"),
+        F.floor(F.col("sx").cast("double") * CUPED_PPM / F.col("n")).alias(
+            "xbar_ppm"
+        ),
+    )
+    theta = F.col("theta_ppm").cast("double") / CUPED_PPM
+    xbar = F.col("xbar_ppm").cast("double") / CUPED_PPM
+    adj = users.crossJoin(F.broadcast(params)).select(
+        "grp",
+        "y",
+        "theta_ppm",
+        F.floor(
+            F.col("y").cast("double") - theta * (F.col("x").cast("double") - xbar)
+        )
+        .cast("long")
+        .alias("ya"),
+    )
+    g = adj.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").alias("gy"),
+        F.sum("ya").alias("gya"),
+        F.sum(F.col("y") * F.col("y")).alias("gyy"),
+        F.sum(F.col("ya") * F.col("ya")).alias("gyaya"),
+        F.max("theta_ppm").alias("theta_ppm"),
+    )
+    gnd = F.col("n_users").cast("double")
+
+    def _var(s2: str, s1: str) -> F.Column:
+        return (
+            gnd * F.col(s2).cast("double")
+            - F.col(s1).cast("double") * F.col(s1).cast("double")
+        ) / (gnd * gnd)
+
+    # mean in dollars at 6dp: cents -> dollars is /100, ppm render x1e6
+    mean_y = F.floor(F.col("gy").cast("double") * 10_000 / F.col("n_users")) / F.lit(
+        1_000_000.0
+    )
+    mean_ya = F.floor(
+        F.col("gya").cast("double") * 10_000 / F.col("n_users")
+    ) / F.lit(1_000_000.0)
+    var_y = _var("gyy", "gy")
+    var_ya = _var("gyaya", "gya")
+    return g.select(
+        "grp",
+        "n_users",
+        mean_y.alias("mean_rev"),
+        mean_ya.alias("mean_rev_cuped"),
+        F.when(var_y > 0, F.floor(var_ya * CUPED_PPM / var_y))
+        .otherwise(F.lit(CUPED_PPM).cast("long"))
+        .alias("var_ratio_ppm"),
+        "theta_ppm",
+    ).orderBy("grp")
+
+
+_CUPED_ORACLE = f"""
+WITH bounds AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS split_us FROM events
+), users AS (
+  SELECT user_id, user_id % 2 AS grp,
+         coalesce(sum(CASE WHEN epoch_us(ts) < split_us THEN
+             CASE WHEN event_type = 'purchase'
+                  THEN {oracle_units('value', 100)} ELSE 0 END END), 0) AS x,
+         coalesce(sum(CASE WHEN epoch_us(ts) >= split_us THEN
+             CASE WHEN event_type = 'purchase'
+                  THEN {oracle_units('value', 100)} ELSE 0 END END), 0) AS y
+  FROM events, bounds
+  GROUP BY user_id
+), m AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM users
+), params AS (
+  SELECT CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         THEN CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * {CUPED_PPM}
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              AS BIGINT)
+         ELSE 0 END AS theta_ppm,
+         floor(CAST(sx AS DOUBLE) * {CUPED_PPM} / n) AS xbar_ppm
+  FROM m
+), adj AS (
+  SELECT grp, y, theta_ppm,
+         CAST(floor(CAST(y AS DOUBLE)
+                    - (CAST(theta_ppm AS DOUBLE) / {CUPED_PPM})
+                      * (CAST(x AS DOUBLE)
+                         - CAST(xbar_ppm AS DOUBLE) / {CUPED_PPM}))
+              AS BIGINT) AS ya
+  FROM users, params
+), g AS (
+  SELECT grp, count(*) AS n_users,
+         CAST(sum(y) AS BIGINT) AS gy, CAST(sum(ya) AS BIGINT) AS gya,
+         CAST(sum(y * y) AS BIGINT) AS gyy,
+         CAST(sum(ya * ya) AS BIGINT) AS gyaya,
+         max(theta_ppm) AS theta_ppm
+  FROM adj GROUP BY grp
+)
+SELECT grp, n_users,
+       floor(CAST(gy AS DOUBLE) * 10000 / n_users) / 1000000.0 AS mean_rev,
+       floor(CAST(gya AS DOUBLE) * 10000 / n_users) / 1000000.0
+           AS mean_rev_cuped,
+       CAST(CASE WHEN (CAST(n_users AS DOUBLE) * CAST(gyy AS DOUBLE)
+                  - CAST(gy AS DOUBLE) * CAST(gy AS DOUBLE))
+                 / (CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)) > 0
+            THEN floor(((CAST(n_users AS DOUBLE) * CAST(gyaya AS DOUBLE)
+                         - CAST(gya AS DOUBLE) * CAST(gya AS DOUBLE))
+                        / (CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))
+                       * {CUPED_PPM}
+                       / ((CAST(n_users AS DOUBLE) * CAST(gyy AS DOUBLE)
+                           - CAST(gy AS DOUBLE) * CAST(gy AS DOUBLE))
+                          / (CAST(n_users AS DOUBLE)
+                             * CAST(n_users AS DOUBLE))))
+            ELSE {CUPED_PPM} END AS BIGINT) AS var_ratio_ppm,
+       theta_ppm
+FROM g
+ORDER BY grp
+"""
+
+
+@query("cuped_adjusted_revenue", oracle=_CUPED_ORACLE)
+def q_cuped_adjusted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cuped_adjusted_revenue(load_table(spark, sf_dir, "events"))

@@ -232,3 +232,25 @@ def test_ivf_empty_and_single_vector(spark, tmp_path):
     d2 = str(tmp_path / "single")
     _write_embeddings(d2, [(7, [1.0] * 64)])
     assert q_near_dup_embedding_ivf_clusters(spark, d2).count() == 0
+
+
+def test_incremental_postings_touch_only_the_delta(spark, sf_dir):
+    """Under the frozen base codebook, base reps' assignments cannot
+    change: every posting the append adds belongs to a delta rep
+    (vec_id > kk) — the property that makes IVF maintenance O(delta)
+    instead of a rebuild."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.operators.semantic_ivf import (
+        collapse_identical_vectors,
+        q_ivf_incremental_postings,
+    )
+
+    reps = collapse_identical_vectors(spark, sf_dir)
+    mx = reps.agg(F.max("vec_id").alias("mx")).collect()[0].mx
+    kk = (mx // 10) * 7
+    delta = q_ivf_incremental_postings(spark, sf_dir).collect()
+    assert delta, "the corpus append must add postings"
+    assert all(r.vec_id > kk for r in delta), (
+        "a frozen codebook must leave base assignments untouched"
+    )
