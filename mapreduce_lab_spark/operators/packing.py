@@ -183,12 +183,11 @@ def q_sequence_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing_census(load_table(spark, sf_dir, "documents"))
 
 
-def sequence_packing_efficiency(docs: DataFrame) -> DataFrame:
-    """One row: corpus-level packing report — documents, tokens,
-    packed sequences, padding wasted in the final partial sequence,
-    fill ratio, and how many documents get split across a boundary
-    (the attention-masking surface)."""
-    spans = doc_token_spans(docs)
+def efficiency_from_counts(tc_df: DataFrame) -> DataFrame:
+    """The efficiency report over a precomputed (doc_id, tc) frame —
+    shared with the strategy-compare query, which derives BOTH
+    packing plans from one materialized count frame (one scan)."""
+    spans = token_spans_from_counts(tc_df)
     b = SEQ_BUDGET
     split_doc = (_idiv(F.col("start"), b) < _idiv(F.col("end") - 1, b)).cast("int")
     agg = spans.agg(
@@ -209,6 +208,19 @@ def sequence_packing_efficiency(docs: DataFrame) -> DataFrame:
             F.col("total_tokens"), F.greatest(n_windows * b, F.lit(1))
         ).alias("fill_ratio"),
         "n_split_docs",
+    )
+
+
+def sequence_packing_efficiency(docs: DataFrame) -> DataFrame:
+    """One row: corpus-level packing report — documents, tokens,
+    packed sequences, padding wasted in the final partial sequence,
+    fill ratio, and how many documents get split across a boundary
+    (the attention-masking surface)."""
+    return efficiency_from_counts(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
+        )
     )
 
 
@@ -373,16 +385,11 @@ def _oracle_width_class(el: str) -> str:
     return f"CASE {arms} ELSE {_WIDTHS[-1]} END"
 
 
-def doc_length_classes(docs: DataFrame) -> DataFrame:
-    """(doc_id, tc, el, wclass, shard): token count, budget-capped
-    effective length, power-of-two length class, cumsum shard."""
+def classes_from_counts(tc_df: DataFrame) -> DataFrame:
+    """(doc_id, tc, el, wclass, shard) over a precomputed count frame."""
     b = SEQ_BUDGET
-    tc = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
-    )
     el = F.least(F.greatest(F.col("tc"), F.lit(1)), F.lit(b))
-    return tc.select(
+    return tc_df.select(
         "doc_id",
         "tc",
         el.alias("el"),
@@ -391,13 +398,23 @@ def doc_length_classes(docs: DataFrame) -> DataFrame:
     )
 
 
-def greedy_pack_bins(docs: DataFrame) -> DataFrame:
+def doc_length_classes(docs: DataFrame) -> DataFrame:
+    """(doc_id, tc, el, wclass, shard): token count, budget-capped
+    effective length, power-of-two length class, cumsum shard."""
+    return classes_from_counts(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
+        )
+    )
+
+
+def bins_from_classes(t: DataFrame) -> DataFrame:
     """(wclass, bin_id, n_docs, n_tokens, pad_tokens): one row per
     packed no-split sequence. Rank within class via the two-level
     scan (see section comment); bin = rank div (SEQ_BUDGET div wclass),
     so capacity is exact and no bin overflows."""
     b = SEQ_BUDGET
-    t = doc_length_classes(docs)
     w_in = Window.partitionBy("shard", "wclass").orderBy("doc_id")
     t = t.withColumn("intra", F.row_number().over(w_in) - 1)
     # bounded |shards| x |classes| frame: exclusive prefix per class
@@ -427,6 +444,10 @@ def greedy_pack_bins(docs: DataFrame) -> DataFrame:
         F.sum("el").alias("n_tokens"),
         (F.lit(b) - F.sum("el")).alias("pad_tokens"),
     )
+
+
+def greedy_pack_bins(docs: DataFrame) -> DataFrame:
+    return bins_from_classes(doc_length_classes(docs))
 
 
 _ORACLE_GREEDY_BINS = f"""tc AS (
@@ -545,7 +566,14 @@ def q_sequence_packing_strategy_compare(spark: SparkSession, sf_dir: str) -> Dat
     truncated documents."""
     docs = load_table(spark, sf_dir, "documents")
     b = SEQ_BUDGET
-    chunk = sequence_packing_efficiency(docs).select(
+    # ONE materialized count frame feeds both strategies (the naive
+    # form re-executed the document scan 5x: spans + shard offsets +
+    # class ranks + class offsets + the truncation census).
+    tcdf = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), _TC)).cast("long").alias("tc"),
+    ).localCheckpoint()
+    chunk = efficiency_from_counts(tcdf).select(
         F.lit("concat_chunk").alias("strategy"),
         "n_sequences",
         "pad_tokens",
@@ -553,13 +581,14 @@ def q_sequence_packing_strategy_compare(spark: SparkSession, sf_dir: str) -> Dat
         "n_split_docs",
         F.lit(0).cast("long").alias("n_truncated_docs"),
     )
-    trunc = doc_length_classes(docs).agg(
+    classes = classes_from_counts(tcdf)
+    trunc = classes.agg(
         F.coalesce(F.sum((F.col("tc") > b).cast("long")), F.lit(0)).alias(
             "n_truncated_docs"
         )
     )
     greedy = (
-        greedy_pack_bins(docs)
+        bins_from_classes(classes)
         .agg(
             F.count(F.lit(1)).alias("n_sequences"),
             F.coalesce(F.sum("pad_tokens"), F.lit(0)).alias("pad_tokens"),

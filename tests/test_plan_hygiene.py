@@ -47,6 +47,17 @@ BNLJ_AUDITED = {
     "1-row survivor packing aggregate",
     "sequence_packing_incremental": "1-row max-doc_id split frame fences "
     "the base prefix",
+    "sequence_packing_strategy_compare": "1-row truncation-census frame "
+    "fused to the 1-row greedy bin aggregate; plus the two 1-row "
+    "strategy aggregates unioned",
+    "basket_association_rules": "1-row basket-count frame scales "
+    "support/lift over the aggregated pair frame",
+    "cuped_adjusted_revenue": "1-row time-split frame fences pre/post; "
+    "1-row (theta, xbar) moment frame broadcast to the per-user "
+    "adjustment",
+    "ivf_incremental_postings": "1-row max-rep-id split frame fences the "
+    "base prefix (same fence as sequence_packing_incremental); plus the "
+    "1-row collected-codebook frame every IVF assignment broadcasts",
     "rolling_7d_distinct_users": "1-row max-active-day frame fences the "
     "trailing-window tail",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",

@@ -246,7 +246,17 @@ def test_incremental_postings_touch_only_the_delta(spark, sf_dir):
         q_ivf_incremental_postings,
     )
 
-    reps = collapse_identical_vectors(spark, sf_dir)
+    import math
+
+    from mapreduce_lab_spark.operators.semantic_ivf import (
+        IMI_TARGET_CELL,
+        _half_subvectors,
+        _train_sample,
+        init_codebooks,
+        ivf_postings,
+    )
+
+    reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
     mx = reps.agg(F.max("vec_id").alias("mx")).collect()[0].mx
     kk = (mx // 10) * 7
     delta = q_ivf_incremental_postings(spark, sf_dir).collect()
@@ -254,3 +264,17 @@ def test_incremental_postings_touch_only_the_delta(spark, sf_dir):
     assert all(r.vec_id > kk for r in delta), (
         "a frozen codebook must leave base assignments untouched"
     )
+    # The registered query computes the delta as a filter over ONE
+    # assignment pass (frozen-codebook purity); prove in-engine that
+    # it equals the literal subtraction the oracle replays.
+    base = reps.where(F.col("vec_id") <= kk).localCheckpoint()
+    n = base.count()
+    dim = int(base.select(F.size("v").alias("d")).first()["d"])
+    k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
+    cent = init_codebooks(_half_subvectors(_train_sample(base, n, k1), dim), k1)
+    full_p = ivf_postings(reps, cent, dim).select("vec_id", "c1", "c2")
+    base_p = ivf_postings(base, cent, dim).select("vec_id", "c1", "c2")
+    subtraction = {
+        (r.vec_id, r.c1, r.c2) for r in full_p.exceptAll(base_p).collect()
+    }
+    assert {(r.vec_id, r.c1, r.c2) for r in delta} == subtraction
