@@ -125,6 +125,9 @@ HEADLINE = [
     "cuped_adjusted_revenue",
     "multimodal_gif_decode_stats",
     "ivf_incremental_postings",
+    "webdataset_shard_census",
+    "hilbert_layout_census",
+    "bootstrap_mean_ci_revenue",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -196,6 +199,9 @@ PRIMARY_INPUT = {
     "cuped_adjusted_revenue": "events",
     "multimodal_gif_decode_stats": "documents",
     "ivf_incremental_postings": "embeddings",
+    "webdataset_shard_census": "documents",
+    "hilbert_layout_census": "lineitem",
+    "bootstrap_mean_ci_revenue": "events",
 }
 
 

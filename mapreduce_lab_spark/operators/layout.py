@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
 from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import load_table
@@ -61,46 +62,52 @@ _DUCK_SHL = "(({x}) << {n})"
 _DUCK_SHR = "(({x}) >> {n})"
 
 
+def _dims_base(lineitem: DataFrame) -> DataFrame:
+    return lineitem.select(
+        F.pmod("l_partkey", F.lit(1 << Z_BITS)).cast("int").alias("d1"),
+        F.pmod("l_suppkey", F.lit(1 << Z_BITS)).cast("int").alias("d2"),
+    )
+
+
+def _census_leg(base: DataFrame, tag: str, file_col) -> DataFrame:
+    files = (
+        base.withColumn("f", file_col)
+        .groupBy("f")
+        .agg(
+            F.min("d1").alias("min1"), F.max("d1").alias("max1"),
+            F.min("d2").alias("min2"), F.max("d2").alias("max2"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
+    hit = (
+        (F.col("min1") <= D1_HI) & (F.col("max1") >= D1_LO)
+        & (F.col("min2") <= D2_HI) & (F.col("max2") >= D2_LO)
+    )
+    return files.agg(
+        F.lit(tag).alias("layout"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(hit.cast("long")).alias("files_scanned"),
+        F.sum(F.when(hit, F.col("rows")).otherwise(0)).alias("rows_scanned"),
+        exact_ratio(
+            F.count(F.lit(1)) - F.sum(hit.cast("long")), F.count(F.lit(1))
+        ).alias("skip_ratio"),
+    ).select("layout", "n_files", "files_scanned", "rows_scanned", "skip_ratio")
+
+
 def zorder_layout_census(lineitem: DataFrame) -> DataFrame:
     """Per layout ('linear' = sorted by d1, 'zorder' = Morton(d1,d2)):
     simulated file count, files/rows a 2-D range predicate must scan
     given min/max footer stats, and the skip ratio."""
     width_d1 = (1 << Z_BITS) // N_FILES
     width_z = (1 << (2 * Z_BITS)) // N_FILES
-    base = lineitem.select(
-        F.pmod("l_partkey", F.lit(1 << Z_BITS)).cast("int").alias("d1"),
-        F.pmod("l_suppkey", F.lit(1 << Z_BITS)).cast("int").alias("d2"),
-    ).withColumn("z", F.expr(_z_sql("d1", "d2", _SPARK_SHL, _SPARK_SHR)))
-
-    def leg(tag: str, file_col) -> DataFrame:
-        files = (
-            base.withColumn("f", file_col)
-            .groupBy("f")
-            .agg(
-                F.min("d1").alias("min1"), F.max("d1").alias("max1"),
-                F.min("d2").alias("min2"), F.max("d2").alias("max2"),
-                F.count(F.lit(1)).alias("rows"),
-            )
-        )
-        hit = (
-            (F.col("min1") <= D1_HI) & (F.col("max1") >= D1_LO)
-            & (F.col("min2") <= D2_HI) & (F.col("max2") >= D2_LO)
-        )
-        return files.agg(
-            F.lit(tag).alias("layout"),
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum(hit.cast("long")).alias("files_scanned"),
-            F.sum(F.when(hit, F.col("rows")).otherwise(0)).alias("rows_scanned"),
-            exact_ratio(
-                F.count(F.lit(1)) - F.sum(hit.cast("long")), F.count(F.lit(1))
-            ).alias("skip_ratio"),
-        ).select("layout", "n_files", "files_scanned", "rows_scanned", "skip_ratio")
-
+    base = _dims_base(lineitem).withColumn(
+        "z", F.expr(_z_sql("d1", "d2", _SPARK_SHL, _SPARK_SHR))
+    )
     # explicit floor on BOTH engines: DuckDB's CAST(x AS INT) rounds
     # half-even while Spark's cast truncates — floor-then-cast is the
     # one spelling with identical semantics (all values non-negative).
-    lin = leg("linear", F.floor(F.col("d1") / F.lit(width_d1)).cast("int"))
-    zo = leg("zorder", F.floor(F.col("z") / F.lit(width_z)).cast("int"))
+    lin = _census_leg(base, "linear", F.floor(F.col("d1") / F.lit(width_d1)).cast("int"))
+    zo = _census_leg(base, "zorder", F.floor(F.col("z") / F.lit(width_z)).cast("int"))
     return lin.unionByName(zo)
 
 
@@ -231,3 +238,165 @@ def postings_compression_estimate(docs: DataFrame) -> DataFrame:
 )
 def q_postings_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_compression_estimate(load_table(spark, sf_dir, "documents"))
+
+
+# --- Hilbert-curve layout census (round 11) -----------------------------------
+
+# The Z-order census above prices Morton interleaving; real lake
+# OPTIMIZE implementations increasingly prefer the HILBERT curve
+# because Morton's quadrant jumps leave some files spanning wide value
+# ranges on one dimension, while Hilbert's unit-step adjacency keeps
+# every file's min/max box tight (public technique: Hilbert clustering
+# in Delta Lake / Apache Iceberg discussions; curve construction from
+# the standard iterative algorithm).
+#
+# The index is computed by the NON-NEGATIVE variant of the classic
+# xy2d loop: each of the Z_BITS levels extracts the quadrant bits
+# (rx, ry) by integer division, REDUCES the coordinates modulo s so
+# every intermediate stays in [0, s) — the property that makes `div`
+# and `%` translate identically to Spark and DuckDB (they disagree on
+# negatives: truncation vs floor) — and rotates the subsquare with
+# pure CASE arithmetic ((3*rx) XOR ry == CASE rx=0 -> ry ELSE 3-ry,
+# valid for bit inputs, so no engine-specific XOR operator is
+# needed). The whole transform is one 10-level projection chain that
+# Catalyst collapses into a single whole-stage-codegen expression; no
+# shuffle, no UDF. tests/test_layout_plans.py pins bijectivity and
+# unit adjacency of the Spark expression against a pure-Python
+# reference.
+
+
+# File count for the three-way census: an ODD power of two on
+# purpose. At a power of FOUR (like the zorder gate's 64) an
+# equal-width cut of EITHER curve yields the same square tiles and
+# the two curves are indistinguishable; at 2 * 4^k each file is a
+# PAIR of squares — adjacent (tight bounding box) under Hilbert,
+# Z-sequence-adjacent (often diagonal, double-width box) under
+# Morton — which is exactly the geometry difference Hilbert
+# clustering buys.
+H_FILES = 32
+
+
+def _hilbert_levels() -> list[int]:
+    return [1 << i for i in range(Z_BITS - 1, -1, -1)]
+
+
+def hilbert_index_py(n: int, x: int, y: int) -> int:
+    """Pure-Python reference (test oracle) of the same variant."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx, ry = x // s, y // s
+        d += s * s * ((3 * rx) ^ ry)
+        x, y = x % s, y % s
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def with_hilbert_index(base: DataFrame) -> DataFrame:
+    """Adds h = Hilbert index of (d1, d2) via the unrolled level chain."""
+    df = base.select(
+        "*",
+        F.col("d1").alias("hx"),
+        F.col("d2").alias("hy"),
+        F.lit(0).cast("long").alias("hacc"),
+    )
+    for s in _hilbert_levels():
+        rx = (F.col("hx") / s).cast("int")  # hx < 2s, non-negative
+        ry = (F.col("hy") / s).cast("int")
+        xm = F.col("hx") % s
+        ym = F.col("hy") % s
+        step = F.when(rx == 0, ry).otherwise(3 - ry)
+        new_hx = F.when(ry == 0, F.when(rx == 1, s - 1 - ym).otherwise(ym)).otherwise(xm)
+        new_hy = F.when(ry == 0, F.when(rx == 1, s - 1 - xm).otherwise(xm)).otherwise(ym)
+        df = df.select(
+            "d1",
+            "d2",
+            new_hx.alias("hx"),
+            new_hy.alias("hy"),
+            (F.col("hacc") + F.lit(s * s).cast("long") * step).alias("hacc"),
+        )
+    return df.select("d1", "d2", F.col("hacc").alias("h"))
+
+
+def _hilbert_oracle_chain(src: str) -> str:
+    inner = f"SELECT d1, d2, d1 AS hx, d2 AS hy, CAST(0 AS BIGINT) AS hacc FROM {src}"
+    for s in _hilbert_levels():
+        rx, ry = f"(hx // {s})", f"(hy // {s})"
+        xm, ym = f"(hx % {s})", f"(hy % {s})"
+        step = f"(CASE WHEN {rx} = 0 THEN {ry} ELSE 3 - {ry} END)"
+        new_hx = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s} - 1 - {ym}"
+            f" ELSE {ym} END) ELSE {xm} END"
+        )
+        new_hy = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s} - 1 - {xm}"
+            f" ELSE {xm} END) ELSE {ym} END"
+        )
+        inner = (
+            f"SELECT d1, d2, {new_hx} AS hx, {new_hy} AS hy, "
+            f"hacc + {s * s} * {step} AS hacc FROM ({inner})"
+        )
+    return f"SELECT d1, d2, hacc AS h FROM ({inner})"
+
+
+@query(
+    "hilbert_layout_census",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST({oracle_hex8_int("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % {1 << Z_BITS} AS INT) AS d1,
+             CAST({oracle_hex8_int("CAST(l_linenumber AS VARCHAR) || '~' || CAST(l_orderkey AS VARCHAR)")} % {1 << Z_BITS} AS INT) AS d2
+      FROM lineitem
+    ), b AS (
+      SELECT d1, d2,
+             {_z_sql("d1", "d2", _DUCK_SHL, _DUCK_SHR)} AS z,
+             h
+      FROM ({_hilbert_oracle_chain("dims")})
+    )
+    {_oracle_leg("hilbert", f"CAST(floor(h / {(1 << (2 * Z_BITS)) // H_FILES}) AS INT)")}
+    UNION ALL
+    {_oracle_leg("linear", f"CAST(floor(d1 / {(1 << Z_BITS) // H_FILES}) AS INT)")}
+    UNION ALL
+    {_oracle_leg("zorder", f"CAST(floor(z / {(1 << (2 * Z_BITS)) // H_FILES}) AS INT)")}
+    """,
+)
+def q_hilbert_layout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way layout comparison — linear sort key vs Morton vs
+    Hilbert clustering: simulated files, files/rows a 2-D range
+    predicate must scan given min/max footers, skip ratio per layout.
+    The Hilbert index is the fully-oracled unrolled level chain (see
+    section comment); the report is the number an OPTIMIZE
+    CLUSTER-BY decision stands on."""
+    width_d1 = (1 << Z_BITS) // H_FILES
+    width_c = (1 << (2 * Z_BITS)) // H_FILES
+    # Hash-spread dims (NOT the raw mod dims the zorder gate uses):
+    # the geometry comparison needs coordinates that span the full
+    # 2^Z_BITS x 2^Z_BITS grid at EVERY scale factor — raw l_partkey /
+    # l_suppkey cover a corner at small SFs and every file trivially
+    # misses the predicate box, which gates the hash but measures
+    # nothing. hex8_int of two independent key spellings gives
+    # uniform, engine-portable coordinates.
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = li.select(
+        (
+            hex8_int(
+                F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"))
+            ) % (1 << Z_BITS)
+        ).cast("int").alias("d1"),
+        (
+            hex8_int(
+                F.concat_ws("~", F.col("l_linenumber").cast("string"),
+                            F.col("l_orderkey").cast("string"))
+            ) % (1 << Z_BITS)
+        ).cast("int").alias("d2"),
+    )
+    base = with_hilbert_index(dims)
+    base = base.withColumn("z", F.expr(_z_sql("d1", "d2", _SPARK_SHL, _SPARK_SHR)))
+    hil = _census_leg(base, "hilbert", F.floor(F.col("h") / F.lit(width_c)).cast("int"))
+    lin = _census_leg(base, "linear", F.floor(F.col("d1") / F.lit(width_d1)).cast("int"))
+    zo = _census_leg(base, "zorder", F.floor(F.col("z") / F.lit(width_c)).cast("int"))
+    return hil.unionByName(lin).unionByName(zo)

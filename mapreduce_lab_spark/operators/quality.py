@@ -539,3 +539,106 @@ FROM census
 @query("benford_digit_census", oracle=_BENFORD_ORACLE)
 def q_benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digit_census(load_table(spark, sf_dir, "orders"))
+
+
+# --- delete-propagation census (right-to-be-forgotten sizing) -----------------
+
+# GDPR/CCPA erasure and training-data takedowns hit a warehouse as a
+# CASCADE: deleting a customer set must also delete their orders and
+# those orders' line items. Before running the (expensive, compacting)
+# delete, every governed lake SIZES it — per table: rows to erase and
+# the fraction of the table they are — because the answer decides
+# between delete-vector tombstones and full-file rewrites.
+#
+# The census walks the FK chain with semi joins only (the delete-key
+# sets stream; no row payload ever shuffles): customer sample ->
+# orders by o_custkey -> lineitem by l_orderkey. The sample is the
+# deterministic c_custkey % 97 == 0 slice (a stand-in for the real
+# deletion-request manifest). One row per affected table, fully
+# oracled.
+
+DELETE_SAMPLE_MOD = 97
+
+
+def delete_propagation_census(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    doomed_c = customer.where(
+        F.col("c_custkey") % DELETE_SAMPLE_MOD == 0
+    ).select("c_custkey")
+    doomed_o = orders.join(
+        doomed_c.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        "left_semi",
+    )
+    doomed_l = lineitem.join(
+        doomed_o.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+
+    def leg(tag: str, doomed: DataFrame, full: DataFrame) -> DataFrame:
+        d = doomed.agg(F.count(F.lit(1)).alias("rows_to_delete"))
+        t = full.agg(F.count(F.lit(1)).alias("table_rows"))
+        return d.crossJoin(F.broadcast(t)).select(
+            F.lit(tag).alias("table_name"),
+            "rows_to_delete",
+            "table_rows",
+            exact_ratio(F.col("rows_to_delete"), F.greatest(F.col("table_rows"), F.lit(1))).alias(
+                "delete_fraction"
+            ),
+        )
+
+    return (
+        leg("customer", doomed_c, customer)
+        .unionByName(leg("orders", doomed_o, orders))
+        .unionByName(leg("lineitem", doomed_l, lineitem))
+    )
+
+
+_DELETE_ORACLE = f"""
+WITH dc AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {DELETE_SAMPLE_MOD} = 0
+), do_ AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dc)
+), dl AS (
+  SELECT 1 AS x FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM do_)
+)
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM dc) AS rows_to_delete,
+       (SELECT count(*) FROM customer) AS table_rows,
+       {oracle_exact_ratio(
+           "(SELECT count(*) FROM dc)",
+           "greatest((SELECT count(*) FROM customer), 1)",
+       )} AS delete_fraction
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM do_),
+       (SELECT count(*) FROM orders),
+       {oracle_exact_ratio(
+           "(SELECT count(*) FROM do_)",
+           "greatest((SELECT count(*) FROM orders), 1)",
+       )}
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM dl),
+       (SELECT count(*) FROM lineitem),
+       {oracle_exact_ratio(
+           "(SELECT count(*) FROM dl)",
+           "greatest((SELECT count(*) FROM lineitem), 1)",
+       )}
+"""
+
+
+@query("delete_propagation_census", oracle=_DELETE_ORACLE)
+def q_delete_propagation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-cascade sizing: rows each table loses if the sampled
+    customer set exercises its right to be forgotten, via semi-join
+    FK walks (customer -> orders -> lineitem); per-table counts and
+    delete fractions, fully oracled."""
+    return delete_propagation_census(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

@@ -483,3 +483,142 @@ ORDER BY grp
 @query("cuped_adjusted_revenue", oracle=_CUPED_ORACLE)
 def q_cuped_adjusted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted_revenue(load_table(spark, sf_dir, "events"))
+
+
+# --- Poisson-bootstrap confidence interval ------------------------------------
+
+# The industrial-scale bootstrap (Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams", Google 2012): classical
+# resampling needs n draws per replicate — impossible distributed —
+# but a Poisson(1) weight per (row, replicate) is an excellent
+# approximation to multinomial resampling and needs ONE streaming
+# pass: every replicate's weighted sum is just another combinable
+# aggregate. B replicates = 2B agg expressions generated side by
+# side, so the plan is one scan + one narrow shuffle regardless of B.
+#
+# Determinism/cross-engine: the Poisson draw inverts the CDF on
+# u32 = hex8_int(event_id : replicate) — an exact integer compared
+# against precomputed integer thresholds floor(cdf_k * 2^32), so both
+# engines draw bit-identical weights. Replicate means and the sample
+# std over replicates are generated as the SAME fixed-order double
+# expression chain in Spark and the oracle, then floor-scaled.
+
+BOOT_B = 16  # replicates
+_POIS1_CDF = [
+    0.36787944117144233,  # P(X <= 0), X ~ Poisson(1)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+_POIS1_THRESH = [int(p * (1 << 32)) for p in _POIS1_CDF]
+
+
+def _boot_weight_spark(b: int):
+    from mapreduce_lab_spark.functions.hashing import hex8_int
+
+    u32 = hex8_int(
+        F.concat_ws(":", F.col("event_id").cast("string"), F.lit(str(b)))
+    )
+    w = None
+    for t in _POIS1_THRESH:
+        ind = (u32 >= t).cast("long")
+        w = ind if w is None else w + ind
+    return w
+
+
+def _boot_weight_sql(b: int) -> str:
+    from mapreduce_lab_spark.functions.hashing import oracle_hex8_int
+
+    u32 = oracle_hex8_int(f"CAST(event_id AS VARCHAR) || ':' || '{b}'")
+    parts = " + ".join(
+        f"(CASE WHEN {u32} >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_THRESH
+    )
+    return f"({parts})"
+
+
+def bootstrap_mean_ci_revenue(events: DataFrame) -> DataFrame:
+    """Per event type: mean value (exact cents), Poisson-bootstrap
+    standard error of the mean over BOOT_B replicates, and the 95%
+    normal-interval bounds — one combinable pass, 2*BOOT_B generated
+    aggregates."""
+    x = to_units(F.col("value"), 100)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+    ]
+    for b in range(BOOT_B):
+        w = _boot_weight_spark(b)
+        aggs.append(F.sum(w * x).alias(f"wx{b}"))
+        aggs.append(F.sum(w).alias(f"w{b}"))
+    g = events.groupBy("event_type").agg(*aggs)
+    means = [
+        F.col(f"wx{b}").cast("double") / F.col(f"w{b}") for b in range(BOOT_B)
+    ]
+    msum = means[0]
+    for m in means[1:]:
+        msum = msum + m
+    sqsum = means[0] * means[0]
+    for m in means[1:]:
+        sqsum = sqsum + m * m
+    # sample variance over replicates (ddof = 1), fixed-order chain
+    var = (sqsum - msum * msum / BOOT_B) / (BOOT_B - 1)
+    se = F.sqrt(var)
+    mean = F.col("sx").cast("double") / F.col("n")
+    ppm = 1_000_000
+    # cents -> dollars at 6 dp: floor(v * 1e4) / 1e6
+    def _dollars(c):
+        return F.floor(c * 10_000) / F.lit(float(ppm))
+
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        _dollars(mean).alias("mean_value"),
+        _dollars(se).alias("boot_se"),
+        _dollars(mean - 1.96 * se).alias("ci_lo"),
+        _dollars(mean + 1.96 * se).alias("ci_hi"),
+    )
+
+
+def _boot_oracle() -> str:
+    wx = ",\n         ".join(
+        f"CAST(sum({_boot_weight_sql(b)} * {oracle_units('value', 100)}) AS BIGINT)"
+        f" AS wx{b},\n         CAST(sum({_boot_weight_sql(b)}) AS BIGINT) AS w{b}"
+        for b in range(BOOT_B)
+    )
+    means = [f"(CAST(wx{b} AS DOUBLE) / w{b})" for b in range(BOOT_B)]
+    msum = means[0]
+    for m in means[1:]:
+        msum = f"({msum} + {m})"
+    sqsum = f"({means[0]} * {means[0]})"
+    for m in means[1:]:
+        sqsum = f"({sqsum} + {m} * {m})"
+    var = f"(({sqsum} - {msum} * {msum} / {BOOT_B}) / {BOOT_B - 1})"
+    mean = "(CAST(sx AS DOUBLE) / n)"
+    se = f"sqrt({var})"
+
+    def dollars(c: str) -> str:
+        return f"(floor(({c}) * 10000) / 1000000.0)"
+
+    return f"""
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+         CAST(sum({oracle_units('value', 100)}) AS BIGINT) AS sx,
+         {wx}
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           {dollars(mean)} AS mean_value,
+           {dollars(se)} AS boot_se,
+           {dollars(f"{mean} - 1.96 * {se}")} AS ci_lo,
+           {dollars(f"{mean} + 1.96 * {se}")} AS ci_hi
+    FROM g
+    """
+
+
+@query("bootstrap_mean_ci_revenue", oracle=_boot_oracle())
+def q_bootstrap_mean_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bootstrap_mean_ci_revenue(load_table(spark, sf_dir, "events"))

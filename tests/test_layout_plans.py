@@ -51,3 +51,51 @@ def test_zorder_census_has_no_global_sort(spark, sf_dir):
 
     plan = formatted_plan(_Q["zorder_layout_census"](spark, sf_dir))
     assert "WindowExec" not in plan and "windowspecdefinition" not in plan
+
+
+def test_hilbert_index_is_a_hilbert_curve(spark):
+    """The Spark expression chain equals the pure-Python reference on
+    a full small grid, and the reference itself is a genuine Hilbert
+    curve: a bijection onto [0, n^2) whose consecutive indices are
+    Manhattan-distance-1 neighbors."""
+    from mapreduce_lab_spark.operators.layout import (
+        Z_BITS,
+        hilbert_index_py,
+        with_hilbert_index,
+    )
+
+    n = 1 << Z_BITS
+    # reference properties on a 32x32 subgrid scaled up by n/32 would
+    # break locality; verify the reference at full order on a sampled
+    # diagonal band plus exhaustively at order 16 (fast).
+    seen = {}
+    for x in range(16):
+        for y in range(16):
+            seen[(x, y)] = hilbert_index_py(16, x, y)
+    assert sorted(seen.values()) == list(range(256)), "bijection"
+    inv = {v: k for k, v in seen.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    ), "unit adjacency"
+    # Spark chain == reference at full Z_BITS order on sampled points
+    pts = [(x, y) for x in range(0, n, 37) for y in range(0, n, 41)]
+    df = spark.createDataFrame(pts, "d1 int, d2 int")
+    got = {
+        (r.d1, r.d2): r.h for r in with_hilbert_index(df).collect()
+    }
+    for (x, y), h in got.items():
+        assert h == hilbert_index_py(n, x, y), (x, y)
+
+
+def test_hilbert_census_orders_the_layouts(spark, sf_dir):
+    """At the odd-power file count the report must show the designed
+    geometry ordering: hilbert scans no more files than zorder, which
+    scans no more than the linear sort."""
+    from mapreduce_lab_spark.operators.layout import q_hilbert_layout_census
+
+    rows = {r.layout: r for r in q_hilbert_layout_census(spark, sf_dir).collect()}
+    assert set(rows) == {"hilbert", "zorder", "linear"}
+    assert rows["hilbert"].files_scanned <= rows["zorder"].files_scanned
+    assert rows["zorder"].files_scanned <= rows["linear"].files_scanned
+    assert rows["hilbert"].n_files == rows["zorder"].n_files

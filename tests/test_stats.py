@@ -84,3 +84,45 @@ def test_diff_in_diff_hand_case(spark):
     assert r["t_pre"] == 100.0 and r["t_post"] == 250.0
     assert r["c_pre"] == 50.0 and r["c_post"] == 100.0
     assert abs(r["did"] - 100.0) < 1e-9
+
+
+def test_bootstrap_se_tracks_classical_se(spark, sf_dir):
+    """The Poisson-bootstrap SE of the mean must sit near the
+    classical sigma/sqrt(n) on the real corpus (within 2x both ways —
+    B=16 replicates is noisy but not order-of-magnitude noisy), and
+    the normal interval must bracket the mean."""
+    import math
+
+    from mapreduce_lab_spark.operators.stats import (
+        q_bootstrap_mean_ci_revenue,
+    )
+    from mapreduce_lab_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in q_bootstrap_mean_ci_revenue(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    classical = {
+        r.event_type: (r.sd / math.sqrt(r.n), r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.stddev("value").alias("sd"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows, "no event types"
+    for et, r in rows.items():
+        se_ref, n = classical[et]
+        assert r.n_events == n
+        assert r.ci_lo < r.mean_value < r.ci_hi
+        assert se_ref / 2 <= r.boot_se <= se_ref * 2, (
+            f"{et}: boot {r.boot_se} vs classical {se_ref}"
+        )
+
+
+def test_bootstrap_weights_are_deterministic(spark, sf_dir):
+    from mapreduce_lab_spark.operators.stats import (
+        q_bootstrap_mean_ci_revenue,
+    )
+
+    a = sorted(map(tuple, q_bootstrap_mean_ci_revenue(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_bootstrap_mean_ci_revenue(spark, sf_dir).collect()))
+    assert a == b
