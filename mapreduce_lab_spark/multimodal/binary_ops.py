@@ -1133,21 +1133,14 @@ FROM dims
 """
 
 
-@query("multimodal_gif_decode_stats", oracle=_GIF_DECODE_SQL)
-def q_multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip through REAL GIF87a bytes: text-derived grayscale
-    indices LZW-compress into single-image GIFs, the dependency-free
-    decoder recovers the pixels, and DuckDB recomputes every stat —
-    including the position-weighted checksum — straight from the
-    text. Same ASCII-fixture assumption as the other decode gates
-    (pinned in tests/test_multimodal.py)."""
+def gif_decode_stats(blobs: DataFrame) -> DataFrame:
+    """Decode GIF payloads and emit the per-image stats incl. the
+    position-weighted checksum (works on batch AND streaming frames —
+    stateless mapInPandas)."""
     _ship_codecs_by_value()
     from mapreduce_lab_spark.multimodal import codecs
 
     decode = codecs.decode_payload
-    blobs = blobify_gif_images(
-        fan_out(load_table(spark, sf_dir, "documents"), spark)
-    )
     schema = (
         "doc_id long, fmt string, width int, height int, "
         "n_px long, px_sum long, px_posw long, px_first int, px_last int"
@@ -1177,3 +1170,16 @@ def q_multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, schema=schema)
+
+
+@query("multimodal_gif_decode_stats", oracle=_GIF_DECODE_SQL)
+def q_multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through REAL GIF87a bytes: text-derived grayscale
+    indices LZW-compress into single-image GIFs, the dependency-free
+    decoder recovers the pixels, and DuckDB recomputes every stat —
+    including the position-weighted checksum — straight from the
+    text. Same ASCII-fixture assumption as the other decode gates
+    (pinned in tests/test_multimodal.py)."""
+    return gif_decode_stats(
+        blobify_gif_images(fan_out(load_table(spark, sf_dir, "documents"), spark))
+    )

@@ -341,3 +341,164 @@ GROUP BY 1, 2, 3, 4, 5
 @query("weak_label_vote_census", oracle=_WLV_ORACLE)
 def q_weak_label_vote_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weak_label_vote_census(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- split-conformal calibration of the quality gate ---------------------------
+
+# Split-conformal prediction (Vovk et al.; Papadopoulos et al. 2002 —
+# the distribution-free calibration layer production ML filters put
+# on top of an uncalibrated score): hold out a calibration split,
+# take nonconformity = -score, and set the cutoff at the
+# ceil((n_cal + 1) * (1 - alpha))-th smallest nonconformity. Any
+# exchangeable future document then passes the gate with probability
+# >= 1 - alpha, NO assumptions on the score distribution. For a
+# training-data quality filter this turns "keep score >= 0" folklore
+# into "keep with a guaranteed 90% pass rate on in-distribution
+# data", which is what a data-mixture planner actually budgets with.
+#
+# Distributed shape: the calibration split's k-th order statistic via
+# one window rank over the (bounded) calibration slice, coverage as
+# one aggregate over the rest; everything exact-integer (scores are
+# int64 by construction) so the gate is hash-stable.
+
+CONF_ALPHA_PCT = 10  # miscoverage alpha = 0.10
+CONF_CAL_MOD = 5  # doc_id % 5 == 0 -> calibration split
+
+
+def conformal_keep_threshold(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    scored = classify_documents(docs, spark).select(
+        "doc_id", "score", (F.col("doc_id") % CONF_CAL_MOD == 0).alias("is_cal")
+    )
+    cal = scored.where("is_cal").localCheckpoint()
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    # k = ceil((n_cal + 1) * (1 - alpha)); exact integer arithmetic
+    k = F.call_function(
+        "div",
+        (F.col("n_cal") + 1) * (100 - CONF_ALPHA_PCT) + 99,
+        F.lit(100).cast("long"),
+    ).alias("k")
+    kf = n_cal.select("n_cal", k)
+    # k-th smallest nonconformity (-score) = k-th HIGHEST score,
+    # selected by the house two-pass bucket refinement (the
+    # distributed_exact_quantiles pattern) instead of one global
+    # row_number window — an unpartitioned rank over the calibration
+    # slice would serialize n/CONF_CAL_MOD rows onto one task at
+    # 100 TB. Buckets shift scores non-negative first: integral `div`
+    # truncates in Spark but floors in DuckDB on negatives, and the
+    # shifted form needs neither to care.
+    shift = F.lit(1 << 31).cast("long")
+    bucketed = cal.select(
+        "doc_id", "score",
+        F.call_function("div", F.col("score") + shift, F.lit(256).cast("long")
+                        ).alias("bkt"),
+    )
+    hist = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_hi = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = (
+        hist.withColumn("above", F.coalesce(F.sum("cnt").over(w_hi), F.lit(0)))
+        .crossJoin(F.broadcast(kf))
+        .where(
+            (F.col("above") < F.col("k"))
+            & (F.col("above") + F.col("cnt") >= F.col("k"))
+        )
+        .select("bkt", (F.col("k") - F.col("above")).alias("k_in"), "n_cal", "k")
+    )
+    # pass 2: rank only inside the one target bucket (bounded rows)
+    w_in = Window.partitionBy("bkt").orderBy(F.desc("score"), F.asc("doc_id"))
+    thr = (
+        bucketed.join(F.broadcast(marked), "bkt")
+        .withColumn("rnk", F.row_number().over(w_in))
+        .where(F.col("rnk") == F.col("k_in"))
+        .select("n_cal", "k", F.col("score").alias("threshold_score"))
+    )
+    ev = scored.where(~F.col("is_cal"))
+    cov = ev.crossJoin(F.broadcast(thr)).agg(
+        F.first("n_cal").alias("n_cal"),
+        F.first("k").alias("k"),
+        F.first("threshold_score").alias("threshold_score"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(
+            (F.col("score") >= F.col("threshold_score")).cast("long")
+        ).alias("n_pass"),
+    )
+    return cov.select(
+        F.lit(CONF_ALPHA_PCT).alias("alpha_pct"),
+        "n_cal",
+        "k",
+        "threshold_score",
+        "n_eval",
+        "n_pass",
+        exact_ratio(F.col("n_pass"), F.greatest(F.col("n_eval"), F.lit(1))).alias(
+            "eval_coverage"
+        ),
+    )
+
+
+_CONF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           ({oracle_hex8_int("bg")} % {N_BUCKETS} + {N_BUCKETS}) % {N_BUCKETS}
+               AS bucket
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        FROM toks WHERE len(ts) >= 2
+    )
+),
+weights AS (
+    SELECT i AS bucket,
+           ({oracle_hex8_int("'w:' || i")} % {WEIGHT_SPAN}) - {_HALF_SPAN} AS w
+    FROM generate_series(0, {N_BUCKETS - 1}) t(i)
+),
+scored0 AS (
+    SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+    FROM feats JOIN weights USING (bucket) GROUP BY doc_id
+),
+scored AS (
+    SELECT d.doc_id, coalesce(s.score, 0) AS score,
+           d.doc_id % {CONF_CAL_MOD} = 0 AS is_cal
+    FROM documents d LEFT JOIN scored0 s USING (doc_id)
+),
+kf AS (
+    SELECT count(*) AS n_cal,
+           ((count(*) + 1) * {100 - CONF_ALPHA_PCT} + 99) // 100 AS k
+    FROM scored WHERE is_cal
+),
+thr AS (
+    SELECT n_cal, k, score AS threshold_score
+    FROM (
+        SELECT score, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM scored WHERE is_cal
+    ), kf
+    WHERE rnk = k
+)
+SELECT {CONF_ALPHA_PCT} AS alpha_pct,
+       CAST(n_cal AS BIGINT) AS n_cal,
+       CAST(k AS BIGINT) AS k,
+       threshold_score,
+       count(*) AS n_eval,
+       CAST(sum(CASE WHEN score >= threshold_score THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass,
+       {oracle_exact_ratio(
+           "sum(CASE WHEN score >= threshold_score THEN 1 ELSE 0 END)",
+           "greatest(count(*), 1)",
+       )} AS eval_coverage
+FROM scored, thr
+WHERE NOT is_cal
+GROUP BY n_cal, k, threshold_score
+"""
+
+
+@query("conformal_keep_threshold", oracle=_CONF_ORACLE)
+def q_conformal_keep_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the hashed quality classifier:
+    the score cutoff guaranteeing >= 90% pass rate on exchangeable
+    documents, plus the measured held-out coverage (one row)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return conformal_keep_threshold(docs, spark)

@@ -315,3 +315,113 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+# --- pinned-init IVF ANN: the fully-oracled twin of ann_ivf_trained ----------
+
+# Same differential strategy as semantic_ivf's pinned near-dup
+# contract (VERDICT r9/r10 lineage): the TRAINED lane stays rows-only
+# because Lloyd is iterative, but with the codebook PINNED at the
+# deterministic init (centroids = the k smallest vec_ids — the exact
+# seed the trainer starts from) the ENTIRE search path is
+# SQL-expressible: broadcast argmin assignment (ties to the smaller
+# centroid id), per-query in-cell candidate join (nprobe=1), the
+# left-fold IEEE cosine, and the (cos desc, id asc) top-k window.
+# A bug anywhere in that path — which is every line ann_ivf_trained
+# executes except the centroid-update rounds — now fails a
+# rows+schema+hash gate instead of only the recall-floor pytest.
+
+_ANN_PINNED_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}
+), a AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               [(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                for i in range(1, len(e.v) + 1)], (x, y) -> x + y),
+               c.centroid_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), n AS (
+  SELECT vec_id, v, centroid_id,
+         list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)],
+                     (x, y) -> x + y) AS norm
+  FROM a
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, centroid_id
+  FROM n WHERE vec_id < {N_QUERIES}
+), s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_reduce([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)],
+                     (x, y) -> x + y) / sqrt(q.qnorm * c.norm) AS cos_raw
+  FROM q JOIN n c USING (centroid_id)
+  WHERE q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+FROM (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query(
+    "ann_ivf_pinned",
+    oracle=_ANN_PINNED_ORACLE,
+    meta={
+        "lane": "oracle-contract",
+        "routing": (
+            "Differential twin of ann_ivf_trained with the codebook "
+            "pinned at the deterministic init; production traffic "
+            "uses the trained lane."
+        ),
+    },
+)
+def q_ann_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1, top-TOP_K cosine per probe query) against
+    the 0-iteration pinned-init codebook — the fully-oracled twin of
+    ``ann_ivf_trained`` (see section comment)."""
+    pts = _points(spark, sf_dir)
+    cent = pts.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = assign_nearest(pts, cent)
+    base = assigned.select("vec_id", "v", "centroid_id").withColumn(
+        "norm",
+        F.aggregate(
+            F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "centroid_id",
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", _cosine("qv", "cv", "qnorm", "cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine")
+        )
+    )

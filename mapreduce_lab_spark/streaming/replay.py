@@ -524,3 +524,27 @@ def q_streaming_wav_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _documents_stream(spark, sf_dir)
     return _drain(wav_decode_stats(blobify_wav_audio(docs)), "append")
+
+
+def _gif_oracle() -> str:
+    from mapreduce_lab_spark.multimodal.binary_ops import _GIF_DECODE_SQL
+
+    return _GIF_DECODE_SQL
+
+
+@query("streaming_gif_decode_replay", oracle=_gif_oracle())
+def q_streaming_gif_decode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GIF ingest-decode: the documents stream is LZW-
+    compressed into REAL GIF87a payloads and decoded back INSIDE a
+    Structured Streaming job (stateless mapInPandas stages, append
+    mode, no state store), drained availableNow into a memory sink —
+    the image twin of ``streaming_wav_decode_replay``, against the
+    same oracle as the batch ``multimodal_gif_decode_stats`` including
+    the position-weighted LZW checksum."""
+    from mapreduce_lab_spark.multimodal.binary_ops import (
+        blobify_gif_images,
+        gif_decode_stats,
+    )
+
+    docs = _documents_stream(spark, sf_dir)
+    return _drain(gif_decode_stats(blobify_gif_images(docs)), "append")

@@ -127,3 +127,18 @@ def test_cdc_apply_broadcasts_touched_keys(spark, sf_dir):
     df = q_cdc_apply_orders(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_conformal_coverage_honors_the_guarantee(spark, sf_dir):
+    """Split-conformal marginal guarantee: held-out coverage must sit
+    at or above 1 - alpha minus finite-sample slack (pinned at 0.85
+    for alpha=0.10 on the iid synthetic split)."""
+    from mapreduce_lab_spark.operators.classify import (
+        q_conformal_keep_threshold,
+    )
+
+    r = q_conformal_keep_threshold(spark, sf_dir).collect()[0]
+    assert r.alpha_pct == 10
+    assert r.k == (r.n_cal + 1) * 90 // 100 + (1 if ((r.n_cal + 1) * 90) % 100 else 0)
+    assert r.n_pass <= r.n_eval
+    assert r.eval_coverage >= 0.85, r
