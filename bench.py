@@ -128,6 +128,8 @@ HEADLINE = [
     "webdataset_shard_census",
     "hilbert_layout_census",
     "bootstrap_mean_ci_revenue",
+    "delete_propagation_census",
+    "conformal_keep_threshold",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -202,6 +204,8 @@ PRIMARY_INPUT = {
     "webdataset_shard_census": "documents",
     "hilbert_layout_census": "lineitem",
     "bootstrap_mean_ci_revenue": "events",
+    "delete_propagation_census": "lineitem",
+    "conformal_keep_threshold": "documents",
 }
 
 

@@ -398,7 +398,7 @@ def q_ann_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         ),
-    )
+    ).localCheckpoint()  # assign once; both join sides below reuse it
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

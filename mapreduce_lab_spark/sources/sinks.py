@@ -290,3 +290,94 @@ def orc_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_orc_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orc_roundtrip_census(spark, sf_dir)
+
+
+# --- schema-evolution (mergeSchema) roundtrip census --------------------------
+
+# Real lakes accrete columns: v1 files lack what v2 files carry, and
+# the reader must UNION the schemas, null-filling the old files — the
+# mergeSchema contract every long-lived parquet dataset depends on.
+# This census writes the documents table as TWO generations (v1 drops
+# `source`; v2 adds a derived `quality_band` column v1 never had),
+# reads the directory back with mergeSchema=true, and aggregates per
+# lang: rows per generation, how many rows carry each
+# generation-specific column, and the exact char sum — all recomputed
+# by DuckDB from the original table, so a reader that drops v1 rows,
+# misaligns columns, or fails to null-fill breaks the hash gate.
+# Same replica discipline as the ORC census (pid+abspath-keyed /tmp
+# path, overwrite mode, process-local memo).
+
+_EVO_WRITTEN: dict[str, str] = {}
+
+
+def _evolved_replica(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key not in _EVO_WRITTEN:
+        path = os.path.join(
+            "/tmp",
+            f"spark_graft_evo_{os.getpid()}",
+            hashlib.sha1(key.encode()).hexdigest()[:16],
+        )
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        v1 = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            (F.col("n_chars") % 7).alias("quality_band"),
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(path, "gen=v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(path, "gen=v2"))
+        _EVO_WRITTEN[key] = path
+    return _EVO_WRITTEN[key]
+
+
+def schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _evolved_replica(spark, sf_dir)
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("gen") == "v1").cast("long")).alias("n_v1"),
+        F.sum((F.col("gen") == "v2").cast("long")).alias("n_v2"),
+        F.sum(F.col("source").isNotNull().cast("long")).alias("with_source"),
+        F.sum(F.col("quality_band").isNotNull().cast("long")).alias(
+            "with_quality_band"
+        ),
+        F.coalesce(F.sum("quality_band"), F.lit(0)).alias("quality_band_sum"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "schema_evolution_census",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_v1,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_v2,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS with_source,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS with_quality_band,
+           CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1
+                    THEN n_chars % 7 END), 0) AS BIGINT) AS quality_band_sum,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-generation parquet dataset read back under mergeSchema:
+    per-lang row counts per generation, null-fill coverage of each
+    generation-specific column, and exact sums — oracled against the
+    original single-schema table."""
+    return schema_evolution_census(spark, sf_dir)

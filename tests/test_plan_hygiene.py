@@ -58,6 +58,10 @@ BNLJ_AUDITED = {
     "ivf_incremental_postings": "1-row max-rep-id split frame fences the "
     "base prefix (same fence as sequence_packing_incremental); plus the "
     "1-row collected-codebook frame every IVF assignment broadcasts",
+    "conformal_keep_threshold": "1-row (n_cal, k) frame fences the rank "
+    "refinement; 1-row threshold frame gates the coverage aggregate",
+    "delete_propagation_census": "three 1-row (doomed, total) count pairs "
+    "fused, one per cascade table",
     "rolling_7d_distinct_users": "1-row max-active-day frame fences the "
     "trailing-window tail",
     "triangle_count_copurchase": "1-row wedge-count frame joined to 1-row triangle count",
@@ -246,6 +250,9 @@ DUP_SCAN_AUDITED = {
     "bigram_pmi_top": (4, "bigram counts + two unigram marginals"),
     "mad_outlier_events": (4, "exact median, then MAD, then outlier gate — "
                               "three order-statistic passes by definition"),
+    "delete_propagation_census": (4, "per-table census = full count + "
+                                     "cascade-filtered count per cascade "
+                                     "level; key-column scans only"),
     "scd2_incremental_refresh": (4, "delta-affected rebuild joins base "
                                     "snapshot + delta on both branches"),
     "bag_set_ops_probe": (4, "EXCEPT ALL / INTERSECT ALL operands are "
