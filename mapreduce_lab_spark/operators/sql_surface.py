@@ -322,3 +322,48 @@ def q_bag_set_ops_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (replicate rows via generate), so the plan is shuffle-bounded by
     distinct values, never by row count."""
     return _sql(spark, sf_dir, _BAG_SET_OPS_SQL, "orders")
+
+
+# --- ordered string aggregation: LISTAGG ... WITHIN GROUP ------------------
+
+# ANSI SQL:2016 ordered string aggregation, new to Spark in 4.0
+# (SPARK-42746). The Spark side runs real LISTAGG; the DuckDB twin is
+# its string_agg(x, sep ORDER BY ...) — same ordered-concat contract.
+# Determinism requires the WITHIN GROUP order to be TOTAL: ordering
+# by the aggregated value alone ties on duplicates, so the probe
+# orders by (priority, count) pairs that are unique per group by
+# construction.
+
+_LISTAGG_SPARK_SQL = """
+SELECT o_orderstatus,
+       listagg(pr, '|') WITHIN GROUP (ORDER BY pr) AS priorities,
+       listagg(CAST(n AS STRING), ',') WITHIN GROUP (ORDER BY pr)
+           AS counts_by_priority
+FROM (
+    SELECT o_orderstatus, o_orderpriority AS pr, count(*) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+GROUP BY o_orderstatus
+"""
+
+_LISTAGG_ORACLE = """
+SELECT o_orderstatus,
+       string_agg(pr, '|' ORDER BY pr) AS priorities,
+       string_agg(CAST(n AS VARCHAR), ',' ORDER BY pr)
+           AS counts_by_priority
+FROM (
+    SELECT o_orderstatus, o_orderpriority AS pr, count(*) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+GROUP BY o_orderstatus
+"""
+
+
+@query("listagg_ordered_probe", oracle=_LISTAGG_ORACLE)
+def q_listagg_ordered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG over the (status, priority) count grid: the
+    concatenation order is part of the hash gate, so a nondeterministic
+    collect order (the classic listagg pitfall) fails correctness, not
+    just style. Group sizes are bounded by the priority domain — the
+    only safe cardinality class for string aggregation at 100 TB."""
+    return _sql(spark, sf_dir, _LISTAGG_SPARK_SQL, "orders")
