@@ -467,3 +467,118 @@ _O_MAXRUN = """
 )
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(fan_out(load_table(spark, sf_dir, "documents"), spark))
+
+
+# --- vocabulary-growth census (Heaps' law checkpoints) -------------------------
+
+# How fast does the vocabulary grow as the corpus grows? Heaps' law
+# (V ~ K * N^beta, public corpus-statistics result) is the number that
+# sizes tokenizer vocabularies, embedding tables, and dedup sketch
+# widths before a 100 TB ingest. The census reports V (cumulative
+# distinct words) and N (cumulative tokens) at ten doc_id-ordered
+# checkpoints — exact integers only; the consumer fits beta offline
+# (engine log() ulp differences must not sit inside a hash gate).
+#
+# One-pass trick: a word's contribution to EVERY checkpoint is fully
+# determined by its FIRST occurrence doc_id, so the corpus reduces to
+# (word, first_doc) — one shuffle on word — and the ten cumulative
+# vocabularies are a 10-way threshold aggregate over that bounded
+# vocabulary frame. Token counts reduce per doc without exploding.
+
+HEAPS_CHECKPOINTS = 10
+
+
+def vocab_growth_census(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+    first = toks.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    per_doc = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("tc")
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    ks = spark.range(1, HEAPS_CHECKPOINTS + 1).select(
+        F.col("id").alias("checkpoint")
+    )
+    thr = ks.crossJoin(F.broadcast(mx)).select(
+        "checkpoint",
+        F.call_function(
+            "div",
+            F.col("m") * F.col("checkpoint"),
+            F.lit(HEAPS_CHECKPOINTS).cast("long"),
+        ).alias("threshold_doc"),
+    )
+    vocab = (
+        first.crossJoin(F.broadcast(thr))
+        .where(F.col("fd") <= F.col("threshold_doc"))
+        .groupBy("checkpoint", "threshold_doc")
+        .agg(F.count(F.lit(1)).alias("cum_vocab"))
+    )
+    tokens = (
+        per_doc.crossJoin(F.broadcast(thr))
+        .where(F.col("doc_id") <= F.col("threshold_doc"))
+        .groupBy("checkpoint", "threshold_doc")
+        .agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("cum_tokens"))
+    )
+    from mapreduce_lab_spark.functions.numeric import exact_ratio
+
+    return (
+        tokens.join(vocab, ["checkpoint", "threshold_doc"])
+        .select(
+            "checkpoint",
+            "threshold_doc",
+            "cum_tokens",
+            "cum_vocab",
+            exact_ratio(
+                F.col("cum_vocab") * 1_000_000,
+                F.greatest(F.col("cum_tokens"), F.lit(1)),
+                out_scale=1,
+            ).alias("vocab_per_million_tokens"),
+        )
+    )
+
+
+_HEAPS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest([t for t in regexp_split_to_array(text, '[^\\p{{L}}]+')
+                   if t <> '']) AS w
+    FROM documents
+), first AS (
+    SELECT w, min(doc_id) AS fd FROM toks GROUP BY w
+), per_doc AS (
+    SELECT doc_id,
+           len([t for t in regexp_split_to_array(text, '[^\\p{{L}}]+')
+                if t <> '']) AS tc
+    FROM documents
+), thr AS (
+    SELECT k AS checkpoint,
+           (SELECT max(doc_id) FROM documents) * k // {HEAPS_CHECKPOINTS}
+               AS threshold_doc
+    FROM generate_series(1, {HEAPS_CHECKPOINTS}) t(k)
+), vocab AS (
+    SELECT checkpoint, threshold_doc, count(*) AS cum_vocab
+    FROM first, thr WHERE fd <= threshold_doc
+    GROUP BY checkpoint, threshold_doc
+), tokens AS (
+    SELECT checkpoint, threshold_doc,
+           CAST(coalesce(sum(tc), 0) AS BIGINT) AS cum_tokens
+    FROM per_doc, thr WHERE doc_id <= threshold_doc
+    GROUP BY checkpoint, threshold_doc
+)
+SELECT t.checkpoint, t.threshold_doc, t.cum_tokens,
+       CAST(v.cum_vocab AS BIGINT) AS cum_vocab,
+       (floor(CAST(v.cum_vocab * 1000000 AS DOUBLE) * 1
+              / (greatest(t.cum_tokens, 1))) / 1.0)
+           AS vocab_per_million_tokens
+FROM tokens t JOIN vocab v USING (checkpoint, threshold_doc)
+"""
+
+
+@query("vocab_growth_census", oracle=_HEAPS_ORACLE)
+def q_vocab_growth_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law checkpoints: cumulative tokens, cumulative distinct
+    vocabulary, and vocab-per-million-tokens at ten doc_id-ordered
+    corpus prefixes — the vocabulary-sizing curve, exact integers
+    end to end."""
+    return vocab_growth_census(
+        fan_out(load_table(spark, sf_dir, "documents"), spark), spark
+    )

@@ -60,6 +60,9 @@ BNLJ_AUDITED = {
     "1-row collected-codebook frame every IVF assignment broadcasts",
     "conformal_keep_threshold": "1-row (n_cal, k) frame fences the rank "
     "refinement; 1-row threshold frame gates the coverage aggregate",
+    "vocab_growth_census": "10-row checkpoint-threshold frame (built from "
+    "the 1-row max-doc_id frame) crossed against the bounded "
+    "vocabulary and per-doc count frames",
     "delete_propagation_census": "three 1-row (doomed, total) count pairs "
     "fused, one per cascade table",
     "rolling_7d_distinct_users": "1-row max-active-day frame fences the "
@@ -253,6 +256,10 @@ DUP_SCAN_AUDITED = {
     "delete_propagation_census": (4, "per-table census = full count + "
                                      "cascade-filtered count per cascade "
                                      "level; key-column scans only"),
+    "vocab_growth_census": (4, "three independent reductions of the corpus "
+                               "(word first-occurrence, per-doc token "
+                               "counts, max doc id) plus the checkpoint "
+                               "fence; each is one narrow pass"),
     "scd2_incremental_refresh": (4, "delta-affected rebuild joins base "
                                     "snapshot + delta on both branches"),
     "bag_set_ops_probe": (4, "EXCEPT ALL / INTERSECT ALL operands are "
