@@ -423,6 +423,10 @@ def conformal_keep_threshold(docs: DataFrame, spark: SparkSession) -> DataFrame:
             (F.col("score") >= F.col("threshold_score")).cast("long")
         ).alias("n_pass"),
     )
+    # empty-corpus parity: a no-groupBy agg over the empty crossJoin
+    # yields one all-null row in Spark, while the oracle's GROUP BY
+    # yields zero rows — drop the null row so both engines agree.
+    cov = cov.where(F.col("n_cal").isNotNull())
     return cov.select(
         F.lit(CONF_ALPHA_PCT).alias("alpha_pct"),
         "n_cal",

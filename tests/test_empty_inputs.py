@@ -149,6 +149,30 @@ REPRESENTATIVES = [
     "multimodal_jpeg420_decode_stats",
     "pipeline_packed_corpus",
     "streaming_wav_decode_replay",
+    # round 11: the new lanes' crash-prone classes — driver-side
+    # scalar fences over empty frames (IVF init/incremental, conformal
+    # k-selection, vocab checkpoints), Python codec/tar workers over
+    # empty batches, replica writes of empty tables, and the one-row
+    # aggregate parity edges (strategy compare, CUPED, bootstrap).
+    "ivf_init_codebook",
+    "ivf_incremental_postings",
+    "ann_ivf_pinned",
+    "sequence_packing_greedy_census",
+    "sequence_packing_strategy_compare",
+    "basket_association_rules",
+    "basket_pair_census",
+    "cuped_adjusted_revenue",
+    "bootstrap_mean_ci_revenue",
+    "multimodal_gif_decode_stats",
+    "streaming_gif_decode_replay",
+    "webdataset_shard_census",
+    "webdataset_member_index",
+    "hilbert_layout_census",
+    "delete_propagation_census",
+    "conformal_keep_threshold",
+    "schema_evolution_census",
+    "vocab_growth_census",
+    "listagg_ordered_probe",
 ]
 
 
