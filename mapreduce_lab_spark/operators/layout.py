@@ -400,3 +400,98 @@ def q_hilbert_layout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     lin = _census_leg(base, "linear", F.floor(F.col("d1") / F.lit(width_d1)).cast("int"))
     zo = _census_leg(base, "zorder", F.floor(F.col("z") / F.lit(width_c)).cast("int"))
     return hil.unionByName(lin).unionByName(zo)
+
+
+# --- time-series timestamp compression estimate (Gorilla-style) ---------------
+
+# The TSDB twin of the postings estimate above: Facebook's Gorilla
+# (Pelkonen et al., VLDB 2015 — public) stores per-series timestamps
+# as delta-of-delta, exploiting that regular streams have near-
+# constant inter-arrival gaps. This census prices the events table's
+# (user_id-keyed) timestamp column three ways — raw int64, delta +
+# varint, delta-of-delta + zigzag + varint — from ONE keyed lag
+# window (no series is ever materialized as a list; stop-user streams
+# stay windowed exactly like stop words in the postings lane).
+# Zigzag ((n << 1) ^ (n >> 63) conceptually) maps signed dods to
+# unsigned varint space; spelled arithmetically as 2n / -2n-1 so both
+# engines agree without bit operators.
+
+
+def _zigzag(col) -> "F.Column":
+    return F.when(col >= 0, 2 * col).otherwise(-2 * col - 1)
+
+
+def _varint_zigzag_sql(n: str) -> str:
+    zz = f"(CASE WHEN ({n}) >= 0 THEN 2 * ({n}) ELSE -2 * ({n}) - 1 END)"
+    return _varint_bytes_sql(zz)
+
+
+def ts_compression_estimate(events: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = events.select("user_id", F.col("event_id"), us.alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = base.withColumn("delta", F.col("t") - F.lag("t").over(w))
+    dd = d.withColumn("dod", F.col("delta") - F.lag("delta").over(w))
+    # first point per series: 8 raw bytes; first delta: varint(delta);
+    # rest: varint(zigzag(dod)) — the exact Gorilla byte accounting at
+    # varint (not bit) granularity.
+    per = dd.select(
+        F.when(F.col("delta").isNull(), 8)
+        .when(F.col("dod").isNull(), _varint_bytes_spark(F.col("delta")))
+        .otherwise(_varint_bytes_spark(_zigzag(F.col("dod"))))
+        .alias("dod_bytes"),
+        F.when(F.col("delta").isNull(), 8)
+        .otherwise(_varint_bytes_spark(F.col("delta")))
+        .alias("delta_bytes"),
+    )
+    return per.agg(
+        (F.count(F.lit(1)) * 8).alias("raw_bytes"),
+        F.coalesce(F.sum("delta_bytes"), F.lit(0)).alias("delta_varint_bytes"),
+        F.coalesce(F.sum("dod_bytes"), F.lit(0)).alias("dod_varint_bytes"),
+        exact_ratio(
+            F.coalesce(F.sum("dod_bytes"), F.lit(0)),
+            F.greatest(F.count(F.lit(1)) * 8, F.lit(1)),
+        ).alias("dod_compression_ratio"),
+    )
+
+
+_TS_COMP_ORACLE = f"""
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             AS delta,
+         epoch_us(ts) AS t, event_id
+  FROM events
+), dd AS (
+  SELECT delta,
+         delta - lag(delta)
+             OVER (PARTITION BY user_id ORDER BY t, event_id) AS dod
+  FROM d
+), per AS (
+  SELECT CASE WHEN delta IS NULL THEN 8
+              WHEN dod IS NULL THEN {_varint_bytes_sql('delta')}
+              ELSE {_varint_zigzag_sql('dod')} END AS dod_bytes,
+         CASE WHEN delta IS NULL THEN 8
+              ELSE {_varint_bytes_sql('delta')} END AS delta_bytes
+  FROM dd
+)
+SELECT CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST(coalesce(sum(delta_bytes), 0) AS BIGINT) AS delta_varint_bytes,
+       CAST(coalesce(sum(dod_bytes), 0) AS BIGINT) AS dod_varint_bytes,
+       {oracle_exact_ratio(
+           "coalesce(sum(dod_bytes), 0)",
+           "greatest(count(*) * 8, 1)",
+       )} AS dod_compression_ratio
+FROM per
+"""
+
+
+@query("ts_compression_estimate", oracle=_TS_COMP_ORACLE)
+def q_ts_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the events timestamp column priced raw vs delta+varint
+    vs Gorilla delta-of-delta+zigzag+varint, from one keyed lag window
+    — the storage decision a time-series lake makes per series key."""
+    return ts_compression_estimate(load_table(spark, sf_dir, "events"))

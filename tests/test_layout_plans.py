@@ -99,3 +99,13 @@ def test_hilbert_census_orders_the_layouts(spark, sf_dir):
     assert rows["hilbert"].files_scanned <= rows["zorder"].files_scanned
     assert rows["zorder"].files_scanned <= rows["linear"].files_scanned
     assert rows["hilbert"].n_files == rows["zorder"].n_files
+
+
+def test_ts_compression_estimate_invariants(spark, sf_dir):
+    from mapreduce_lab_spark.operators.layout import q_ts_compression_estimate
+
+    r = q_ts_compression_estimate(spark, sf_dir).collect()[0]
+    assert r.raw_bytes % 8 == 0 and r.raw_bytes > 0
+    assert 0 < r.delta_varint_bytes <= r.raw_bytes, "delta coding must not inflate µs gaps"
+    assert 0 < r.dod_varint_bytes
+    assert abs(r.dod_compression_ratio - r.dod_varint_bytes / r.raw_bytes) < 1e-5
