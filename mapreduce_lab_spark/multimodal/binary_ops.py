@@ -1183,3 +1183,113 @@ def q_multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return gif_decode_stats(
         blobify_gif_images(fan_out(load_table(spark, sf_dir, "documents"), spark))
     )
+
+
+# --- G.711 mu-law companding gate (round 11) ----------------------------------
+
+# Telephony-audio ingest: 16-bit PCM samples derived from the text
+# compand to 8-bit mu-law and back with the CCITT-reference codec
+# (bit-exact with CPython's audioop across the full 16-bit domain —
+# pinned exhaustively in tests/test_mulaw.py). encode->decode is a
+# deterministic pure integer function, so the DuckDB twin replays the
+# companding CLOSED-FORM (segment CASE ladder over the 14-bit-domain
+# magnitude) and the whole path carries a rows+schema+hash gate,
+# including the quantization-error bound the codec guarantees.
+
+MULAW_STEP_MOD = 7
+
+
+def _mulaw_oracle_exprs(x: str) -> tuple[str, str]:
+    """(decoded, byte) SQL for decode(encode(x)) — the companding
+    algebra inlined per segment with literal powers of two."""
+    pcm = f"(({x}) // 4)"
+    m0 = f"(CASE WHEN {pcm} < 0 THEN -{pcm} ELSE {pcm} END)"
+    m1 = f"(least({m0}, 8159) + 33)"
+    ends = [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF]
+    mag_arms, byte_arms = [], []
+    for s, end in enumerate(ends):
+        q = f"(({m1} // {1 << (s + 1)}) % 16)"
+        mag_arms.append(
+            f"WHEN {m1} <= {end} THEN (({q} * 8 + 132) * {1 << s}) - 132"
+        )
+        byte_arms.append(f"WHEN {m1} <= {end} THEN {s * 16} + {q}")
+    mag = f"(CASE {' '.join(mag_arms)} ELSE 32124 END)"
+    core = f"(CASE {' '.join(byte_arms)} ELSE 127 END)"
+    sign = f"({pcm} < 0)"
+    decoded = f"(CASE WHEN {sign} THEN -{mag} ELSE {mag} END)"
+    byte = f"xor({core}, CASE WHEN {sign} THEN 127 ELSE 255 END)"
+    return decoded, byte
+
+
+def _mulaw_sample_sql(k: str) -> str:
+    """Text byte k (1-based) -> the 16-bit test sample (odd offsets
+    exercise the signed floor-shift rounding)."""
+    b = f"(CASE WHEN text = '' THEN 0 ELSE ascii(substr(text, {k}, 1)) END)"
+    return f"(({b} - 128) * 256 + (({k} - 1) % {MULAW_STEP_MOD}) * 31 - 93)"
+
+
+def _mulaw_oracle() -> str:
+    dec, byte = _mulaw_oracle_exprs(_mulaw_sample_sql("k"))
+    x = _mulaw_sample_sql("k")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               greatest(octet_length(encode(text)), 1) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(1, n + 1),
+                k -> {dec})) AS BIGINT) AS decoded_sum,
+           CAST(list_max(list_transform(range(1, n + 1),
+                k -> abs({dec} - {x}))) AS BIGINT) AS max_abs_err,
+           CAST(list_sum(list_transform(range(1, n + 1),
+                k -> {byte})) AS BIGINT) AS byte_sum
+    FROM base
+    """
+
+
+@query("multimodal_mulaw_roundtrip_stats", oracle=_mulaw_oracle())
+def q_multimodal_mulaw_roundtrip_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per document: mu-law companding round-trip over text-derived
+    16-bit samples — decoded sum, the max quantization error, and the
+    encoded byte sum, every value recomputed closed-form by DuckDB."""
+    _ship_codecs_by_value()
+    from mapreduce_lab_spark.multimodal import codecs
+
+    enc, dec = codecs.mulaw_encode, codecs.mulaw_decode
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_samples", "decoded_sum", "max_abs_err", "byte_sum",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                xs = [
+                    (b - 128) * 256 + (k % MULAW_STEP_MOD) * 31 - 93
+                    for k, b in enumerate(data)
+                ]
+                bs = [enc(x) for x in xs]
+                ys = [dec(b) for b in bs]
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(xs))
+                rows["decoded_sum"].append(sum(ys))
+                rows["max_abs_err"].append(
+                    max(abs(y - x) for x, y in zip(xs, ys))
+                )
+                rows["byte_sum"].append(sum(bs))
+            yield pd.DataFrame(rows)
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return docs.select("doc_id", "text").mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, n_samples long, decoded_sum long, "
+            "max_abs_err long, byte_sum long"
+        ),
+    )

@@ -1236,3 +1236,52 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[Pixel]]:
             raise ValueError("GIF index stream shorter than image")
         return w, h, [pal[i] for i in idx[: w * h]]
     raise ValueError("GIF contains no image descriptor")
+
+
+# --- G.711 mu-law companding (round 11) ----------------------------------------
+
+# The telephony codec (ITU-T G.711, public spec): 16-bit linear PCM
+# compands to 8-bit mu-law and back via closed-form INTEGER segment/
+# mantissa arithmetic — no tables needed, which is what makes the
+# decode-of-encode replayable as plain SQL in the oracle. Encoding is
+# lossy (quantization) but encode→decode is a deterministic pure
+# function of the sample, so the full path sits behind an exact hash
+# gate. Constants and algorithm follow the standard reference
+# implementation (the CCITT G.711 sample code); round-trip parity
+# with the stdlib audioop implementation is pinned in tests.
+
+_ULAW_BIAS = 0x84
+# 14-bit-domain constants (the CCITT reference implementation works on
+# pcm >> 2): clip 8159, bias 33, segment ends 0x3F..0x1FFF.
+_ULAW_CLIP14 = 8159
+_ULAW_SEG_END = [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF]
+
+
+def mulaw_encode(sample: int) -> int:
+    """16-bit signed linear PCM -> 8-bit mu-law byte (bit-exact with
+    the CCITT reference / CPython audioop: signed floor-shift to the
+    14-bit domain FIRST, then sign split — (-val) >> 2 and
+    -(val >> 2) differ on negatives and the reference does the
+    latter)."""
+    pcm = sample >> 2  # arithmetic (floor) shift
+    if pcm < 0:
+        pcm = -pcm
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    if pcm > _ULAW_CLIP14:
+        pcm = _ULAW_CLIP14
+    pcm += _ULAW_BIAS >> 2  # 33
+    for seg, end in enumerate(_ULAW_SEG_END):
+        if pcm <= end:
+            return ((seg << 4) | ((pcm >> (seg + 1)) & 0x0F)) ^ mask
+    return 0x7F ^ mask
+
+
+def mulaw_decode(byte: int) -> int:
+    """8-bit mu-law byte -> canonical 16-bit linear PCM."""
+    b = ~byte & 0xFF
+    seg = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    mag = (((mantissa << 3) + _ULAW_BIAS) << seg) - _ULAW_BIAS
+    return -mag if b & 0x80 else mag
