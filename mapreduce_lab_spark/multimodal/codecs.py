@@ -477,6 +477,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding (stuffed if it lands on 0xFF) and
+        emit the RSTn marker RAW — markers are never byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _category(v: int) -> int:
     a = abs(v)
@@ -561,6 +569,7 @@ def encode_jpeg(
     quant: int = 1,
     grayscale: bool = False,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode top-down RGB pixels as a baseline-sequential JFIF JPEG.
 
@@ -568,7 +577,12 @@ def encode_jpeg(
     "420" (2x2 luma sampling, chroma downsampled by 2x2 AVERAGING —
     the layout that dominates real-world JPEGs). ``quant`` fills both
     quantization tables with a constant — 1 = maximum fidelity.
-    Grayscale ignores subsampling (single component)."""
+    Grayscale ignores subsampling (single component).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (DC predictors reset, bit stream re-aligned)
+    — the real-world error-resilience layout, and the encoder-side
+    twin of the decoder's align_restart path so the round-trip
+    property tests can walk restart boundaries (VERDICT r11 #4)."""
     if len(pixels) != width * height:
         raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
     if subsampling not in ("444", "420"):
@@ -592,6 +606,16 @@ def encode_jpeg(
     ac_c = _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
     bw = _BitWriter()
     is420 = subsampling == "420" and not grayscale
+    ri = max(0, int(restart_interval))
+    mcu_i = 0
+
+    def _maybe_restart(preds: list[int]) -> None:
+        nonlocal mcu_i
+        if ri and mcu_i and mcu_i % ri == 0:
+            bw.restart((mcu_i // ri - 1) % 8)
+            for i in range(len(preds)):
+                preds[i] = 0
+        mcu_i += 1
     if grayscale:
         preds = [0]
         blocks = [_plane_blocks(ys, width, height)]
@@ -630,6 +654,7 @@ def encode_jpeg(
         tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
         for my in range(n_mcuy):
             for mx in range(n_mcux):
+                _maybe_restart(preds)
                 for jy in range(2):  # four luma blocks, raster order
                     for jx in range(2):
                         coef = _fdct_quant(
@@ -649,11 +674,14 @@ def encode_jpeg(
         n_mcux = (width + 7) // 8
         n_mcuy = (height + 7) // 8
         for _ in range(n_mcux * n_mcuy):
+            _maybe_restart(preds)
             for ci, gen in enumerate(blocks):
                 coef = _fdct_quant(next(gen), qt)
                 preds[ci] = _encode_block(bw, coef, preds[ci], *tabs[ci])
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0x00]) + bytes(qt[i] for i in range(64)))
+    if ri:
+        out += _seg(0xDD, struct.pack(">H", ri))  # restart interval
     ncomp = 1 if grayscale else 3
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for cid in range(1, ncomp + 1):
@@ -1095,6 +1123,17 @@ def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
         s = bytes([byte])
     if s:
         codes.append((table[s], width))
+        # The decoder adds a table entry for EVERY data code it
+        # receives (including this final one, unless a CLEAR just
+        # reset it) and grows its width when that add lands exactly
+        # on 2^width — so EOI must be written at the grown width.
+        # Decoder next_code after its terminal add == our next_code
+        # (we run one entry ahead; it catches up on the code we never
+        # follow with an add). Found by the round-11 Hypothesis
+        # round-trip test; falsifying example pinned in
+        # tests/test_gif_property.py.
+        if next_code == (1 << width) and width < 12:
+            width += 1
     codes.append((eoi, width))
     # LSB-first bit packing
     out = bytearray()
