@@ -63,11 +63,14 @@ def test_registry_prefix_samples_every_family():
     ENDGAME regime (all unseen fit in one driver prefix) the fresh
     block comes first, so the bound is |unseen| + |families|."""
     names = list(registry.queries())
-    seen, _ = registry._previously_sampled()
+    seen, _, last_bad = registry._previously_sampled()
     n_unseen = sum(1 for n in names if n not in seen)
     n_families = len(registry._BY_MODULE)
     endgame = seen and 0 < n_unseen <= registry.DRIVER_PREFIX - 5
     bound = (n_unseen + n_families) if endgame else max(49, n_families)
+    # front-loaded previously-errored queries (r12) prepend to the
+    # ordering, shifting the family head window by their count
+    bound += sum(1 for n in names if n in last_bad)
     prefix_mods = {registry._QUERIES[n].__module__ for n in names[:bound]}
     assert len(prefix_mods) == n_families, (
         f"first {bound} queries cover {len(prefix_mods)}/{n_families} families"
@@ -80,7 +83,7 @@ def test_registry_endgame_prefix_drains_unseen_tail():
     in the first DRIVER_PREFIX positions — otherwise first-time
     coverage can never close (the old full-head shape capped fresh rows
     at prefix minus seen-family count)."""
-    seen, _ = registry._previously_sampled()
+    seen, _, _ = registry._previously_sampled()
     names = list(registry.queries())
     unseen = [n for n in names if n not in seen]
     if not seen or not (0 < len(unseen) <= registry.DRIVER_PREFIX - 5):
@@ -108,7 +111,7 @@ def test_registry_order_immune_to_new_driver_artifacts(tmp_path):
     # seen — the strongest possible perturbation of the old scheme.
     import json
 
-    seen, _ = registry._previously_sampled()
+    seen, _, _ = registry._previously_sampled()
     payload = {n: {"rows_match": True} for n in before if n not in seen}
     try:
         with open(synthetic, "w") as f:
@@ -132,7 +135,7 @@ def test_registry_prefix_mixes_fresh_and_resample():
     regressions — ADVICE r3: pure unseen-first ordering means a
     verified query is never re-checked). Only meaningful once
     CORRECTNESS_r*.json artifacts exist."""
-    seen, _ = registry._previously_sampled()
+    seen, _, _ = registry._previously_sampled()
     names = list(registry.queries())[:50]
     if not seen or len(seen) >= len(registry._QUERIES):
         return  # fresh checkout or everything verified: nothing to mix
@@ -195,3 +198,24 @@ def test_describe_surfaces_lane_routing():
     assert d["near_dup_embedding_ivf_pinned"]["lane"] == "oracle-contract"
     assert d["ivf_init_codebook"]["oracle"] == "full"
     assert d["ivf_train_codebook"]["oracle"] == "rows-only"
+
+
+def test_registry_front_loads_last_bad_queries():
+    """VERDICT r11 #2: a query whose LAST official driver row was a
+    crash or gate mismatch must occupy the very front of queries()
+    ordering, so the fix (if any) gets a fresh driver row the next
+    round deterministically instead of by rotation luck. Checked both
+    against the committed snapshot and with a synthetic last_bad."""
+    seen, _, last_bad = registry._previously_sampled()
+    names = list(registry.queries())
+    # committed-snapshot behavior: every still-registered last_bad
+    # query sits in the first |last_bad| positions
+    live_bad = [n for n in names if n in last_bad]
+    assert names[: len(live_bad)] == live_bad
+    # synthetic: front-loading preserves relative order and membership
+    order = ["a", "b", "c", "d", "e"]
+    out = registry._front_load_bad(order, {"d", "b"})
+    assert out == ["b", "d", "a", "c", "e"]
+    assert registry._front_load_bad(order, set()) == order
+    # a last_bad name no longer registered must not be injected
+    assert registry._front_load_bad(order, {"zz"}) == order
