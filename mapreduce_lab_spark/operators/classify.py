@@ -413,6 +413,20 @@ def conformal_keep_threshold(docs: DataFrame, spark: SparkSession) -> DataFrame:
         .where(F.col("rnk") == F.col("k_in"))
         .select("n_cal", "k", F.col("score").alias("threshold_score"))
     )
+    # ADVICE r11: when k = ceil((n_cal+1)*(1-alpha)) > n_cal (too few
+    # calibration docs, n_cal <= 8 at alpha=0.10), no order statistic
+    # exists and the row used to vanish — indistinguishable from "no
+    # data". Emit the conventional keep-everything fallback instead:
+    # threshold = min int64, so every eval doc passes (n_pass =
+    # n_eval) and the consumer sees n_cal explicitly. Mirrored in the
+    # oracle. The fully-empty corpus still yields ZERO rows (the
+    # eval-side agg row is dropped below), preserving empty-lake
+    # parity.
+    fallback = kf.where(F.col("k") > F.col("n_cal")).select(
+        "n_cal", "k",
+        F.lit(-(1 << 63)).cast("long").alias("threshold_score"),
+    )
+    thr = thr.unionByName(fallback)
     ev = scored.where(~F.col("is_cal"))
     cov = ev.crossJoin(F.broadcast(thr)).agg(
         F.first("n_cal").alias("n_cal"),
@@ -481,6 +495,12 @@ thr AS (
         FROM scored WHERE is_cal
     ), kf
     WHERE rnk = k
+    UNION ALL
+    -- keep-everything fallback when too few calibration docs
+    -- (k > n_cal): threshold = min int64, mirrored in the Spark plan
+    SELECT n_cal, k, CAST(-9223372036854775807 - 1 AS BIGINT)
+        AS threshold_score
+    FROM kf WHERE k > n_cal
 )
 SELECT {CONF_ALPHA_PCT} AS alpha_pct,
        CAST(n_cal AS BIGINT) AS n_cal,

@@ -555,8 +555,17 @@ def bootstrap_mean_ci_revenue(events: DataFrame) -> DataFrame:
         aggs.append(F.sum(w * x).alias(f"wx{b}"))
         aggs.append(F.sum(w).alias(f"w{b}"))
     g = events.groupBy("event_type").agg(*aggs)
+    # ADVICE r11: a replicate's weight sum is 0 with probability e^-n
+    # per replicate (all Poisson draws zero on a tiny group). wx/w
+    # would then be double/0 — NULL in Spark but configurable in
+    # DuckDB (ieee_floating_point_ops builds return inf), silently
+    # nulling the whole group row either way. Guard the divisor with
+    # greatest(w, 1) IDENTICALLY in both engines: wx is exactly 0
+    # whenever w is 0, so the empty replicate contributes mean 0
+    # deterministically instead of poisoning the row.
     means = [
-        F.col(f"wx{b}").cast("double") / F.col(f"w{b}") for b in range(BOOT_B)
+        F.col(f"wx{b}").cast("double") / F.greatest(F.col(f"w{b}"), F.lit(1))
+        for b in range(BOOT_B)
     ]
     msum = means[0]
     for m in means[1:]:
@@ -589,7 +598,8 @@ def _boot_oracle() -> str:
         f" AS wx{b},\n         CAST(sum({_boot_weight_sql(b)}) AS BIGINT) AS w{b}"
         for b in range(BOOT_B)
     )
-    means = [f"(CAST(wx{b} AS DOUBLE) / w{b})" for b in range(BOOT_B)]
+    # same greatest(w,1) divisor guard as the Spark side (ADVICE r11)
+    means = [f"(CAST(wx{b} AS DOUBLE) / greatest(w{b}, 1))" for b in range(BOOT_B)]
     msum = means[0]
     for m in means[1:]:
         msum = f"({msum} + {m})"

@@ -365,10 +365,14 @@ def schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_v1,
            CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_v2,
-           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS with_source,
-           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS with_quality_band,
+           -- ADVICE r11: count the merged reader's IS NOT NULL
+           -- semantics exactly instead of assuming source/n_chars
+           -- are never NULL in the fixture — a NULL source row must
+           -- not masquerade as a mergeSchema reader bug.
+           CAST(sum(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS with_source,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 AND n_chars IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS with_quality_band,
            CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1
                     THEN n_chars % 7 END), 0) AS BIGINT) AS quality_band_sum,
            CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -142,3 +142,51 @@ def test_conformal_coverage_honors_the_guarantee(spark, sf_dir):
     assert r.k == (r.n_cal + 1) * 90 // 100 + (1 if ((r.n_cal + 1) * 90) % 100 else 0)
     assert r.n_pass <= r.n_eval
     assert r.eval_coverage >= 0.85, r
+
+
+def test_conformal_fallback_row_when_calibration_too_small(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r11: with n_cal <= 8 at alpha=0.10, k = ceil((n_cal+1)*.9)
+    exceeds n_cal, no order statistic exists, and the query used to
+    emit ZERO rows — indistinguishable from 'no data'. It must now
+    emit the keep-everything fallback row (threshold = min int64,
+    n_pass = n_eval), and the DuckDB oracle must agree exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_lab_spark import registry
+    from mapreduce_lab_spark.operators.classify import (
+        q_conformal_keep_threshold,
+    )
+    from mapreduce_lab_spark.testing import compare, duckdb_connect
+
+    d = tmp_path / "tiny_lake"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        out = src.slice(0, 7) if t == "documents" else src.schema.empty_table()
+        pq.write_table(out, str(d / f"{t}.parquet"))
+
+    res = q_conformal_keep_threshold(spark, str(d))
+    rows = res.collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert 0 <= r.n_cal <= 8 and r.k > r.n_cal, r
+    assert r.threshold_score == -(1 << 63)
+    assert r.n_pass == r.n_eval  # keep everything
+    con = duckdb_connect(str(d))
+    try:
+        diff = compare(
+            "conformal_fallback",
+            res,
+            con,
+            registry.oracles()["conformal_keep_threshold"],
+        )
+        assert diff.ok, diff.detail
+    finally:
+        con.close()

@@ -126,3 +126,59 @@ def test_bootstrap_weights_are_deterministic(spark, sf_dir):
     a = sorted(map(tuple, q_bootstrap_mean_ci_revenue(spark, sf_dir).collect()))
     b = sorted(map(tuple, q_bootstrap_mean_ci_revenue(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_bootstrap_zero_weight_replicate_guard(spark, sf_dir, tmp_path):
+    """ADVICE r11: on a tiny group, a replicate's Poisson weight sum
+    is 0 with probability e^-n — wx/w was double/0 (NULL in Spark,
+    build-configurable in DuckDB), silently nulling the whole group
+    row. With greatest(w,1) on both sides the row survives with the
+    empty replicate contributing mean 0, and the engines agree. The
+    1-event-per-type slice deterministically hits w=0 on several
+    replicates (verified against the hash CDF directly)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_lab_spark import registry
+    from mapreduce_lab_spark.operators.stats import (
+        q_bootstrap_mean_ci_revenue,
+    )
+    from mapreduce_lab_spark.testing import compare, duckdb_connect
+
+    d = tmp_path / "tiny_lake"
+    d.mkdir()
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    df = ev.to_pandas().sort_values("event_id").groupby("event_type").head(1)
+    import pyarrow as pa
+
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        if t == "events":
+            pq.write_table(
+                pa.Table.from_pandas(df, schema=ev.schema, preserve_index=False),
+                str(d / "events.parquet"),
+            )
+        else:
+            schema = pq.read_schema(os.path.join(sf_dir, f"{t}.parquet"))
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+
+    res = q_bootstrap_mean_ci_revenue(spark, str(d))
+    rows = res.collect()
+    assert len(rows) == 5
+    for r in rows:
+        # no silently-nulled group rows
+        assert r.boot_se is not None and r.ci_lo is not None, r
+    con = duckdb_connect(str(d))
+    try:
+        diff = compare(
+            "bootstrap_tiny",
+            res,
+            con,
+            registry.oracles()["bootstrap_mean_ci_revenue"],
+        )
+        assert diff.ok, diff.detail
+    finally:
+        con.close()
