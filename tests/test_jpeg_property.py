@@ -222,3 +222,81 @@ def test_rejects_noninterleaved_subsampled_single_component():
     good[sof + 11] = 0x22  # declare 2x2 sampling on the only component
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(bytes(good))
+
+
+# --- DRI/RSTn restart-interval fuzz (VERDICT r11 #4) --------------------------
+#
+# The encoder can now emit real restart markers (DRI segment + RSTn
+# every N MCUs, predictors reset, stream byte-aligned with stuffed
+# 1-padding). The strongest checkable contract: restart placement is
+# pure framing — decode(stream with restarts) must equal
+# decode(plain stream) BIT-EXACTLY in every mode, for any interval,
+# including ri=1 (marker between every MCU pair, maximal boundary
+# pressure on the bit reader's align/unstuff path) and intervals
+# dividing the MCU count exactly (no trailing partial segment).
+
+
+@settings(max_examples=60, deadline=None)
+@given(_images(), st.integers(1, 9))
+def test_restart_interval_is_pure_framing_444(img, ri):
+    w, h, px = img
+    plain = decode_jpeg(encode_jpeg(w, h, px))
+    marked = decode_jpeg(encode_jpeg(w, h, px, restart_interval=ri))
+    assert marked == plain
+
+
+@settings(max_examples=40, deadline=None)
+@given(_images(), st.integers(1, 9))
+def test_restart_interval_is_pure_framing_420(img, ri):
+    w, h, px = img
+    plain = decode_jpeg(encode_jpeg(w, h, px, subsampling="420"))
+    marked = decode_jpeg(
+        encode_jpeg(w, h, px, subsampling="420", restart_interval=ri)
+    )
+    assert marked == plain
+
+
+@settings(max_examples=40, deadline=None)
+@given(_dims, st.data(), st.integers(1, 9))
+def test_restart_grayscale_block_flat_exact(dims, data, ri):
+    """Restart markers + the exact-roundtrip class: flat 8x8 blocks
+    round-trip exactly even with predictors reset at every boundary."""
+    w, h = dims
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=bw * bh, max_size=bw * bh)
+    )
+    px = [
+        (vals[(y // 8) * bw + (x // 8)],) * 3
+        for y in range(h)
+        for x in range(w)
+    ]
+    enc = encode_jpeg(w, h, px, grayscale=True, restart_interval=ri)
+    assert decode_jpeg(enc) == (w, h, px)
+
+
+def test_restart_interval_exactly_divides_mcu_count():
+    """No trailing partial restart segment: 4x2 MCUs at ri=2 and ri=4
+    (and ri=8 == total) — the encoder must never emit a marker AFTER
+    the final MCU, and the decoder must not expect one."""
+    w, h = 32, 16  # 4x2 = 8 MCUs at 444
+    px = [((x * 7 + y * 13) % 256,) * 3 for y in range(h) for x in range(w)]
+    plain = decode_jpeg(encode_jpeg(w, h, px))
+    for ri in (1, 2, 4, 8):
+        assert decode_jpeg(encode_jpeg(w, h, px, restart_interval=ri)) == plain
+
+
+def test_restart_marker_bytes_present_and_cycling():
+    """The emitted stream must contain REAL RSTn markers cycling
+    D0..D7 and a DRI segment — not just decode by luck."""
+    w, h = 80, 8  # 10 MCUs at 444, ri=1 -> 9 markers, cycle wraps
+    px = [((x * 31 + y * 17) % 256,) * 3 for y in range(h) for x in range(w)]
+    enc = encode_jpeg(w, h, px, restart_interval=1)
+    assert b"\xff\xdd" in enc  # DRI segment
+    import re
+
+    markers = [
+        m.group(0)[1] - 0xD0 for m in re.finditer(rb"\xff[\xd0-\xd7]", enc)
+    ]
+    # 9 boundaries: n cycles 0,1,...,7,0
+    assert markers == [i % 8 for i in range(9)], markers

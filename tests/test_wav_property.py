@@ -90,3 +90,109 @@ def test_encode_validates_inputs():
         encode_wav(8000, [1, 2, 3], bits=16, channels=2)  # not a multiple
     with pytest.raises(ValueError):
         encode_wav(8000, [1], bits=12)
+
+
+# --- round-12 adversarial widening (VERDICT r11 #4) ---------------------------
+#
+# RIFF's subtle rule: chunks are WORD-aligned — an odd-sized chunk is
+# followed by one pad byte that is NOT counted in its length field. A
+# walker that forgets the pad desyncs by one byte and misreads every
+# subsequent chunk id. Fuzz arbitrary metadata chunks of odd/even
+# sizes around fmt/data, plus odd-length 8-bit mono data chunks.
+
+
+def _wav_with_chunks(rate, channels, bits, samples, pre, mid, post):
+    """RIFF/WAVE with arbitrary metadata chunks before fmt (pre),
+    between fmt and data (mid), and after data (post) — each entry is
+    (id4, body_bytes), padded per spec."""
+    import struct
+
+    def chunk(cid, body):
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) % 2 else b"")
+        )
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes(samples)
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    body = b"WAVE"
+    for cid, cb in pre:
+        body += chunk(cid, cb)
+    body += chunk(b"fmt ", fmt)
+    for cid, cb in mid:
+        body += chunk(cid, cb)
+    body += chunk(b"data", data)
+    for cid, cb in post:
+        body += chunk(cid, cb)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_chunk_ids = st.sampled_from([b"LIST", b"fact", b"cue ", b"junk", b"bext"])
+_chunks = st.lists(
+    st.tuples(_chunk_ids, st.binary(min_size=0, max_size=9)), max_size=3
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(8000, 48000),
+    st.sampled_from([8, 16]),
+    st.data(),
+)
+def test_odd_padded_metadata_chunks_never_desync_the_walk(rate, bits, data):
+    channels = data.draw(st.integers(1, 2))
+    n = data.draw(st.integers(1, 9)) * channels
+    if bits == 16:
+        samples = data.draw(
+            st.lists(st.integers(-32768, 32767), min_size=n, max_size=n)
+        )
+    else:
+        samples = data.draw(
+            st.lists(st.integers(0, 255), min_size=n, max_size=n)
+        )
+    pre = data.draw(_chunks)
+    mid = data.draw(_chunks)
+    post = data.draw(_chunks)
+    payload = _wav_with_chunks(rate, channels, bits, samples, pre, mid, post)
+    assert decode_wav(payload) == (rate, channels, bits, samples)
+
+
+def test_odd_length_8bit_data_chunk_then_trailer():
+    """Odd data length (8-bit mono, odd sample count): the pad byte
+    after data must not leak into the sample list, and the trailing
+    chunk after the pad must still parse (proving the walk stayed
+    aligned)."""
+    samples = [7, 250, 0]
+    payload = _wav_with_chunks(
+        8000, 1, 8, samples, [], [], [(b"LIST", b"INFOx")]
+    )
+    assert decode_wav(payload) == (8000, 1, 8, samples)
+    # encoder-side twin: encode_wav pads odd 8-bit data too
+    from mapreduce_lab_spark.multimodal.codecs import encode_wav
+
+    enc = encode_wav(8000, samples, bits=8, channels=1)
+    assert len(enc) % 2 == 0
+    assert decode_wav(enc) == (8000, 1, 8, samples)
+
+
+def test_odd_fmt_extension_chunk():
+    """A 17-byte fmt chunk (odd: 16 spec bytes + 1 extension byte)
+    exercises the pad rule on fmt itself; the decoder reads the first
+    16 bytes and must skip the pad to find data."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8) + b"\x05"
+    data = bytes([1, 2, 3, 4])
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav(payload) == (8000, 1, 8, [1, 2, 3, 4])
