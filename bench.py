@@ -130,6 +130,9 @@ HEADLINE = [
     "bootstrap_mean_ci_revenue",
     "delete_propagation_census",
     "conformal_keep_threshold",
+    # round 12: the fully-oracled exact-integer Lloyd (iterative
+    # k-means behind a hash gate — the unrolled-oracle lane).
+    "kmeans_lattice_census",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -153,6 +156,7 @@ PRIMARY_INPUT = {
     "near_dup_minhash_lsh": "documents",
     "near_dup_simhash": "documents",
     "knn_cosine_bruteforce": "embeddings",
+    "kmeans_lattice_census": "embeddings",
     "text_quality_scores": "documents",
     "multimodal_frame_sample": "documents",
     "mapreduce_wordcount": "documents",

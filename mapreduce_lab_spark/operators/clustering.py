@@ -165,6 +165,172 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact-integer lattice Lloyd (fully oracled iterative k-means) ----------
+#
+# The float kmeans above is the documented rows-only class: Spark's
+# avg() sums doubles in partition-nondeterministic order, so no SQL
+# twin can be hash-exact. This variant closes that gap (VERDICT r11
+# #5) by running Lloyd ENTIRELY in exact integer arithmetic: each
+# embedding coordinate is quantized once to the 2^-20 lattice
+# (q = floor(x * 2^20) + 2^21; the shift keeps every value
+# non-negative so truncating and flooring division agree across
+# engines), distances are exact int64 sums of squared diffs (64 dims
+# x diff^2 <= 2^42 --> well under 2^63), and the centroid update is
+# element-wise integer floor-division div(sum q, count) — i.e. the
+# mean snapped back onto the lattice. Every operation is
+# order-independent, so the full N_ITERS-round fixpoint carries a
+# rows+schema+hash DuckDB gate with the loop UNROLLED as one
+# MATERIALIZED CTE chain per round (the attribution/Markov trick).
+# Quantization error vs float Lloyd is 2^-20 per coordinate per
+# round — semantically irrelevant, and the price of an exact gate on
+# an iterative algorithm.
+#
+# Scale shape per round is identical to the float lane: broadcast-K
+# assignment (corpus never shuffles), posexplode + partial-agg
+# update carrying K*d partial sums.
+
+LATTICE_SCALE = 1 << 20
+LATTICE_SHIFT = 1 << 21
+
+
+def _lattice_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * LATTICE_SCALE).cast("long")
+            + F.lit(LATTICE_SHIFT).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _lattice_dist(qc: str, mc: str) -> Column:
+    diffs = F.zip_with(qc, mc, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _lattice_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    scored = pts.crossJoin(F.broadcast(cent)).withColumn(
+        "d", _lattice_dist("q", "m")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "cid", "d")
+    )
+
+
+def _lattice_update(assigned: DataFrame) -> DataFrame:
+    return (
+        assigned.select("cid", F.posexplode("q").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "cid", "pos", F.call_function("div", F.col("s"), F.col("c")).alias("mv")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("m")
+        )
+    )
+
+
+def _lattice_round_sql(r: int) -> str:
+    prev = f"c{r - 1}"
+    return f"""
+    s{r} AS MATERIALIZED (
+      SELECT e.vec_id, e.q, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+                  i -> (e.q[i] - c.m[i]) * (e.q[i] - c.m[i]))) AS BIGINT) AS d
+      FROM e, {prev} c
+    ), a{r} AS MATERIALIZED (
+      SELECT vec_id, q, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM s{r}
+      ) WHERE rn = 1
+    ), u{r} AS MATERIALIZED (
+      SELECT cid, i, CAST(sum(q[i]) AS BIGINT) // count(*) AS mv
+      FROM a{r}, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) g
+      GROUP BY cid, i
+    ), c{r} AS MATERIALIZED (
+      SELECT cid, list(mv ORDER BY i) AS m FROM u{r} GROUP BY cid
+    )"""
+
+
+def _lattice_oracle() -> str:
+    rounds = ",".join(_lattice_round_sql(r) for r in range(1, N_ITERS + 1))
+    last = N_ITERS + 1
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * {LATTICE_SCALE}) AS BIGINT)
+                      + {LATTICE_SHIFT}) AS q
+      FROM embeddings
+    ), c0 AS MATERIALIZED (
+      SELECT vec_id AS cid, q AS m FROM e WHERE vec_id < {K_CLUSTERS}
+    ),{rounds},
+    s{last} AS (
+      SELECT e.vec_id, e.cid, e.d FROM (
+        SELECT e.vec_id, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+                    i -> (e.q[i] - c.m[i]) * (e.q[i] - c.m[i]))) AS BIGINT) AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY CAST(list_sum(list_transform(
+                                      generate_series(1, len(e.q)),
+                                      i -> (e.q[i] - c.m[i])
+                                           * (e.q[i] - c.m[i]))) AS BIGINT),
+                                  c.cid) AS rn
+        FROM e, c{N_ITERS} c
+      ) e WHERE rn = 1
+    )
+    SELECT cid AS centroid_id, count(*) AS n_members,
+           CAST(sum(d) AS BIGINT) AS inertia_q
+    FROM s{last} GROUP BY cid
+    """
+
+
+@query(
+    "kmeans_lattice_census",
+    oracle=_lattice_oracle(),
+    meta={
+        "lane": "oracle-contract",
+        "routing": (
+            "Exact-integer twin of kmeans_clusters: identical Lloyd "
+            "rounds on the 2^-20 quantization lattice, hash-gated "
+            "end-to-end; the float lane stays rows-only (avg() sum "
+            "order) and serves callers needing unquantized centroids."
+        ),
+    },
+)
+def q_kmeans_lattice_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster census after N_ITERS exact-integer Lloyd rounds on the
+    2^-20 lattice: size and exact integer inertia per cluster. The
+    fully-oracled iterative-k-means contract — the DuckDB twin
+    unrolls all rounds as MATERIALIZED CTEs and every value is an
+    order-free integer, so the whole fixpoint sits behind the
+    rows+schema+hash gate (unlike the float lane, whose avg() makes
+    that impossible by construction)."""
+    pts = _lattice_points(spark, sf_dir)
+    cent = pts.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("m")
+    )
+    for _ in range(N_ITERS):
+        cent = _lattice_update(_lattice_assign(pts, cent)).localCheckpoint()
+    final = _lattice_assign(pts, cent)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d").alias("inertia_q"),
+    ).select(
+        F.col("cid").alias("centroid_id"), "n_members", "inertia_q"
+    )
+
+
 # --- product quantization + ADC --------------------------------------------
 
 PQ_M = 4          # subspaces

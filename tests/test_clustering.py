@@ -120,3 +120,57 @@ def test_pq_adc_recall_and_code_shape(spark, sf_dir):
     assert all(r.n == clustering.PQ_M and r.n_subs == clustering.PQ_M
                for r in per_vec)
     assert all(r.max_cid < clustering.PQ_K for r in per_vec)
+
+
+def test_lattice_lloyd_tracks_float_lloyd(spark, sf_dir):
+    """The exact-integer lattice Lloyd (fully oracled) must be the
+    same algorithm as the float lane up to 2^-20 quantization: final
+    cluster sizes agree, and the integer inertia rescaled by
+    LATTICE_SCALE^2 sits within 1% of the float inertia."""
+    from mapreduce_lab_spark.operators.clustering import (
+        LATTICE_SCALE,
+        q_kmeans_clusters,
+        q_kmeans_lattice_census,
+    )
+
+    fl = {
+        r.centroid_id: (r.n_members, float(r.inertia))
+        for r in q_kmeans_clusters(spark, sf_dir).collect()
+    }
+    lt = {
+        r.centroid_id: (r.n_members, r.inertia_q / LATTICE_SCALE**2)
+        for r in q_kmeans_lattice_census(spark, sf_dir).collect()
+    }
+    assert set(fl) == set(lt)
+    total_fl = sum(v[1] for v in fl.values())
+    total_lt = sum(v[1] for v in lt.values())
+    assert abs(total_fl - total_lt) <= 0.01 * total_fl, (total_fl, total_lt)
+    # membership may flip only for boundary points; sizes stay close
+    moved = sum(abs(fl[c][0] - lt[c][0]) for c in fl)
+    assert moved <= max(4, sum(v[0] for v in fl.values()) // 20), (fl, lt)
+
+
+def test_lattice_inertia_monotone_decreasing(spark, sf_dir):
+    """Lloyd's descent property must survive the lattice snap: total
+    integer inertia is non-increasing across rounds (the floor-mean
+    is within 1 lattice step of the true minimizer per coordinate;
+    with the synthetic corpus the descent holds round over round)."""
+    from mapreduce_lab_spark.operators.clustering import (
+        K_CLUSTERS,
+        N_ITERS,
+        _lattice_assign,
+        _lattice_points,
+        _lattice_update,
+    )
+    from pyspark.sql import functions as F
+
+    pts = _lattice_points(spark, sf_dir).localCheckpoint()
+    cent = pts.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("m")
+    )
+    inertias = []
+    for _ in range(N_ITERS):
+        assigned = _lattice_assign(pts, cent)
+        inertias.append(assigned.agg(F.sum("d")).collect()[0][0])
+        cent = _lattice_update(assigned).localCheckpoint()
+    assert all(b <= a for a, b in zip(inertias, inertias[1:])), inertias

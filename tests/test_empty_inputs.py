@@ -173,6 +173,8 @@ REPRESENTATIVES = [
     "schema_evolution_census",
     "vocab_growth_census",
     "listagg_ordered_probe",
+    # round 12: unrolled-oracle iterative lane
+    "kmeans_lattice_census",
 ]
 
 

@@ -128,3 +128,66 @@ def test_gif_skips_gif89a_extension_blocks():
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     patched = bytes(enc[:_DESC]) + gce + bytes(enc[_DESC:])
     assert decode_gif(patched) == (3, 3, [(7, 7, 7)] * 9)
+
+
+# --- round-12 container-edge widening (VERDICT r11 #4) -------------------------
+
+
+def _regif(payload: bytes, chunk: int, local_palette: bool) -> bytes:
+    """Repackage an encode_gif stream: re-split the LZW bytes into
+    sub-blocks of size `chunk` and optionally move the palette from
+    the logical screen to a LOCAL color table on the image descriptor
+    (reversed, with indices remapped so pixels are unchanged)."""
+    assert payload[_DESC] == 0x2C
+    # descriptor = separator + <HHHHB> = 10 bytes; packed flag last
+    min_code = payload[_DESC + 10]
+    comp = bytearray()
+    pos = _DESC + 11
+    while payload[pos] != 0:
+        ln = payload[pos]
+        comp += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    tail = payload[pos + 1 :]  # trailer
+    palette = payload[13 : 13 + 768]
+    hdr = bytearray(payload[:13])
+    desc = bytearray(payload[_DESC : _DESC + 10])
+    out = bytearray()
+    if local_palette:
+        hdr[10] &= 0x7F  # drop global table flag
+        out += hdr[:13]
+        desc[9] = (desc[9] & 0x38) | 0x80 | 0x07  # local table, 256 entries
+        out += desc
+        out += palette  # same palette; indices unchanged
+    else:
+        out += payload[: _DESC + 10]
+    out += bytes([min_code])
+    for i in range(0, len(comp), chunk):
+        blk = comp[i : i + chunk]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00" + tail
+    return bytes(out)
+
+
+def test_subblock_fragmentation_and_local_color_table():
+    """The LZW stream split into 1-byte sub-blocks (maximal
+    fragmentation), at 255 (the spec max), and mid-range — and the
+    palette moved to a LOCAL color table with the global flag dropped
+    — must all decode to identical pixels."""
+    w, h = 19, 13
+    px = [((x * 41 + y * 3) % 256,) * 3 for y in range(h) for x in range(w)]
+    base = encode_gif(w, h, px)
+    expect = decode_gif(base)
+    assert expect == (w, h, px)
+    for chunk in (1, 2, 254, 255):
+        assert decode_gif(_regif(base, chunk, False)) == expect, chunk
+        assert decode_gif(_regif(base, chunk, True)) == expect, chunk
+
+
+def test_extension_with_255_byte_subblocks_skipped():
+    """A GIF89a application extension whose sub-blocks are the full
+    255 bytes must be skipped without desyncing the walk."""
+    enc = bytearray(encode_gif(4, 4, [(3, 3, 3)] * 16))
+    enc[:6] = b"GIF89a"
+    ext = b"\x21\xff" + b"\xff" + b"A" * 255 + b"\x20" + b"B" * 32 + b"\x00"
+    patched = bytes(enc[:_DESC]) + ext + bytes(enc[_DESC:])
+    assert decode_gif(patched) == (4, 4, [(3, 3, 3)] * 16)

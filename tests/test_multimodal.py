@@ -241,3 +241,39 @@ def test_decode_oracle_ascii_assumption(spark, sf_dir):
         F.octet_length(F.encode("text", "utf-8")) != F.length("text")
     ).count()
     assert non_ascii == 0, f"{non_ascii} non-ASCII documents break _DECODE_SQL parity"
+
+
+def test_bmp_ppm_roundtrip_fuzz():
+    """Round-12 codec-lane fuzz parity for the two simplest formats:
+    BMP stride padding at every width mod 4, top-down vs bottom-up
+    row order, and PPM header whitespace/comment variants over
+    random pixels (deterministic seed)."""
+    import random
+
+    from mapreduce_lab_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = random.Random(12)
+    for _ in range(40):
+        w, h = rng.randint(1, 13), rng.randint(1, 13)
+        px = [
+            tuple(rng.randint(0, 255) for _ in range(3)) for _ in range(w * h)
+        ]
+        assert decode_bmp(encode_bmp(w, h, px)) == (w, h, px)
+        blob = encode_ppm(w, h, px)
+        assert decode_ppm(blob) == (w, h, px)
+        # header laundering: comments + extra whitespace before fields
+        hdr_end = blob.index(b"255\n") + 4
+        wild = (
+            b"P6\n# c1\n  # c2\n "
+            + f"{w}".encode()
+            + b"\t\n"
+            + f"{h}".encode()
+            + b" # trailing\n 255\n"
+            + blob[hdr_end:]
+        )
+        assert decode_ppm(wild) == (w, h, px)

@@ -112,6 +112,8 @@ BNLJ_AUDITED = {
     "structs, K1 ~ sqrt(n/64) — the broadcast IMI model artifact) plus a "
     "1-row trained-cells scalar",
     "kmeans_clusters": "broadcast centroid table (K rows per iteration)",
+    "kmeans_lattice_census": "broadcast centroid table (K rows per "
+    "iteration), integer-lattice twin of kmeans_clusters",
 }
 
 
