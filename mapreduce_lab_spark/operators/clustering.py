@@ -51,12 +51,23 @@ def assign_nearest(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     pts: (vec_id, v); centroids: (centroid_id, cv).
     Returns (vec_id, v, centroid_id, d).
     """
+    # Argmin as a partial-aggregable min(struct): (d, centroid_id) is
+    # unique per candidate, so lexicographic struct-min reproduces the
+    # (asc d, asc id) tie-break of a rank window EXACTLY — but the
+    # map side collapses the K candidate rows to one per vec_id
+    # before the exchange (n rows shuffled, not K*n) and no
+    # per-partition sort is needed. Same pattern as the IVF lane's
+    # broadcast argmin (semantic_ivf.py); round-12 plan upgrade, the
+    # shuffle term that dominated this lane at 100 TB.
     scored = pts.crossJoin(F.broadcast(centroids)).withColumn("d", _sq_dist("v", "cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id", "d")
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d", "centroid_id", "v")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.v").alias("v"),
+        F.col("b.centroid_id").alias("centroid_id"),
+        F.col("b.d").alias("d"),
     )
 
 
@@ -211,14 +222,20 @@ def _lattice_dist(qc: str, mc: str) -> Column:
 
 
 def _lattice_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    # same broadcast-argmin shape as assign_nearest: exact-integer
+    # (d, cid) struct-min == (asc d, asc cid) rank, with map-side
+    # combine and no window sort
     scored = pts.crossJoin(F.broadcast(cent)).withColumn(
         "d", _lattice_dist("q", "m")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cid", "d")
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d", "cid", "q")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.q").alias("q"),
+        F.col("b.cid").alias("cid"),
+        F.col("b.d").alias("d"),
     )
 
 
@@ -353,14 +370,16 @@ def pq_assign(subvecs: DataFrame, cent: DataFrame) -> DataFrame:
     training round AND the final encode, so a tie-break or distance
     change can never diverge between them. Returns
     (vec_id, sub, cid, sv)."""
+    # broadcast argmin (see assign_nearest): struct-min == rank
+    # tie-break, K candidate rows collapse map-side
     scored = subvecs.join(F.broadcast(cent), "sub").withColumn(
         "d", _sq_dist("sv", "cv")
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "cid", "sv")
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("d", "cid", "sv")).alias("b")
+    )
+    return best.select(
+        "vec_id", "sub", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv")
     )
 
 

@@ -14,6 +14,13 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# Soak knob (VERDICT r11 #4): CODEC_FUZZ_SCALE multiplies every
+# max_examples below (default 1 = CI budget). The round-12 soak ran
+# at scale 25; census in docs/NOTES.md.
+import os as _os
+
+_FUZZ = max(1, int(_os.environ.get("CODEC_FUZZ_SCALE", "1")))
+
 import pytest
 
 from mapreduce_lab_spark.multimodal.codecs import decode_jpeg, encode_jpeg
@@ -38,7 +45,7 @@ def _images(draw):
     return w, h, px
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25 * _FUZZ, deadline=None)
 @given(_images())
 def test_roundtrip_dims_exact_and_pixels_within_tolerance(img):
     w, h, px = img
@@ -50,7 +57,7 @@ def test_roundtrip_dims_exact_and_pixels_within_tolerance(img):
     )
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25 * _FUZZ, deadline=None)
 @given(_dims, st.integers(0, 255))
 def test_flat_grayscale_roundtrips_exactly(dims, v):
     w, h = dims
@@ -58,7 +65,7 @@ def test_flat_grayscale_roundtrips_exactly(dims, v):
     assert decode_jpeg(encode_jpeg(w, h, px)) == (w, h, px)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25 * _FUZZ, deadline=None)
 @given(_dims, st.data())
 def test_block_flat_grayscale_roundtrips_exactly(dims, data):
     """The exactness contract the oracled JPEG query relies on: one
@@ -77,7 +84,7 @@ def test_block_flat_grayscale_roundtrips_exactly(dims, data):
     assert decode_jpeg(encode_jpeg(w, h, px)) == (w, h, px)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15 * _FUZZ, deadline=None)
 @given(_images())
 def test_grayscale_single_component_mode(img):
     w, h, px = img
@@ -91,7 +98,7 @@ def test_grayscale_single_component_mode(img):
     assert all(p[0] == p[1] == p[2] for p in out)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10 * _FUZZ, deadline=None)
 @given(_images(), st.integers(2, 16))
 def test_coarser_quantization_still_decodes_with_exact_dims(img, q):
     w, h, px = img
@@ -140,7 +147,7 @@ def test_byte_stuffing_roundtrip():
         )
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=20 * _FUZZ, deadline=None)
 @given(_dims, st.data())
 def test_420_block_flat_grayscale_roundtrips_exactly(dims, data):
     """4:2:0 keeps the block-flat exactness contract: flat 8x8 luma
@@ -161,7 +168,7 @@ def test_420_block_flat_grayscale_roundtrips_exactly(dims, data):
     assert decode_jpeg(encode_jpeg(w, h, px, subsampling="420")) == (w, h, px)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15 * _FUZZ, deadline=None)
 @given(_images())
 def test_420_grayscale_within_tolerance_and_dims_exact(img):
     w, h, px = img
@@ -174,7 +181,7 @@ def test_420_grayscale_within_tolerance_and_dims_exact(img):
     )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10 * _FUZZ, deadline=None)
 @given(_images())
 def test_420_color_decodes_with_exact_dims(img):
     """Chroma subsampling is lossy for saturated per-pixel color noise
@@ -236,7 +243,7 @@ def test_rejects_noninterleaved_subsampled_single_component():
 # dividing the MCU count exactly (no trailing partial segment).
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ, deadline=None)
 @given(_images(), st.integers(1, 9))
 def test_restart_interval_is_pure_framing_444(img, ri):
     w, h, px = img
@@ -245,7 +252,7 @@ def test_restart_interval_is_pure_framing_444(img, ri):
     assert marked == plain
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FUZZ, deadline=None)
 @given(_images(), st.integers(1, 9))
 def test_restart_interval_is_pure_framing_420(img, ri):
     w, h, px = img
@@ -256,7 +263,7 @@ def test_restart_interval_is_pure_framing_420(img, ri):
     assert marked == plain
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FUZZ, deadline=None)
 @given(_dims, st.data(), st.integers(1, 9))
 def test_restart_grayscale_block_flat_exact(dims, data, ri):
     """Restart markers + the exact-roundtrip class: flat 8x8 blocks

@@ -8,6 +8,13 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# Soak knob (VERDICT r11 #4): CODEC_FUZZ_SCALE multiplies every
+# max_examples below (default 1 = CI budget). The round-12 soak ran
+# at scale 25; census in docs/NOTES.md.
+import os as _os
+
+_FUZZ = max(1, int(_os.environ.get("CODEC_FUZZ_SCALE", "1")))
+
 from mapreduce_lab_spark.multimodal.codecs import decode_png, encode_png
 from tests.test_multimodal import _png_with_filters
 
@@ -27,14 +34,14 @@ def _images(draw):
     return w, h, px
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FUZZ, deadline=None)
 @given(_images())
 def test_encode_decode_roundtrip(img):
     w, h, px = img
     assert decode_png(encode_png(w, h, px)) == (w, h, px)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FUZZ, deadline=None)
 @given(_images(), st.data())
 def test_unfilter_inverts_every_filter_choice(img, data):
     w, h, px = img
@@ -108,7 +115,7 @@ def _png_any(w, h, channels, raw_samples, ftypes, idat_split=None, extra=None):
     return bytes(payload)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120 * _FUZZ, deadline=None)
 @given(st.data())
 def test_unfilter_inverts_across_color_types_and_widths(data):
     w = data.draw(st.integers(1, 6))
@@ -128,7 +135,7 @@ def test_unfilter_inverts_across_color_types_and_widths(data):
     assert px == exp
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ, deadline=None)
 @given(st.data())
 def test_idat_split_anywhere_and_ancillary_chunks_skipped(data):
     w, h = 5, 4

@@ -10,12 +10,19 @@ import struct
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# Soak knob (VERDICT r11 #4): CODEC_FUZZ_SCALE multiplies every
+# max_examples below (default 1 = CI budget). The round-12 soak ran
+# at scale 25; census in docs/NOTES.md.
+import os as _os
+
+_FUZZ = max(1, int(_os.environ.get("CODEC_FUZZ_SCALE", "1")))
+
 import pytest
 
 from mapreduce_lab_spark.multimodal.codecs import decode_wav, encode_wav
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FUZZ, deadline=None)
 @given(
     st.integers(1, 192000),
     st.integers(1, 4),
@@ -31,7 +38,7 @@ def test_pcm16_roundtrip_exact(rate, channels, frames):
     )
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FUZZ, deadline=None)
 @given(
     st.integers(1, 192000),
     st.integers(1, 4),
@@ -139,7 +146,7 @@ _chunks = st.lists(
 )
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FUZZ, deadline=None)
 @given(
     st.integers(8000, 48000),
     st.sampled_from([8, 16]),
