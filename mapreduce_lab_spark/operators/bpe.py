@@ -23,10 +23,13 @@ algorithm) in its scalable form:
 - ``localCheckpoint`` per round truncates the K-deep lineage
   (same discipline as k-means / PageRank / connected components).
 
-Registered rows-only (iterative argmax fixpoints are the documented
-non-SQL-expressible class); the ALGORITHM is pinned instead by
-``tests/test_bpe.py``, which compares the learned merge sequence
-against an independent pure-Python reference BPE on the same corpus.
+Fully ORACLED since round 12: the round-12 delimiter-prefix
+replace() encoding makes each greedy merge round plain SQL, so the
+whole trainer (and the train→encode pipeline) unrolls as MATERIALIZED
+CTE rounds in DuckDB — see the oracle commentary below. The ALGORITHM
+is additionally pinned by ``tests/test_bpe.py`` against an
+independent pure-Python reference BPE on the same corpus (three
+implementations agreeing, not two).
 """
 
 from __future__ import annotations
@@ -172,21 +175,130 @@ def bpe_encode_token_lengths(
     )
 
 
-@query("bpe_train_merges")  # rows-only: iterative argmax fixpoint
+# --- round-12: the unrolled DuckDB twin ----------------------------------------
+#
+# BPE training WAS the documented rows-only iterative-argmax class —
+# until the round-12 observation that a merge round is expressible as
+# plain string replace() under a DELIMITER-PREFIX encoding. Encode a
+# word's symbol sequence as chr(31)||sym per symbol (no trailing
+# delimiter); then replacing chr(31)||l||chr(31)||r with
+# chr(31)||l||r is EXACTLY greedy leftmost non-overlapping pair
+# merging: the pattern consumes no trailing delimiter, so "a a a a"
+# under pair (a,a) becomes "aa aa" (scan resumes after the
+# replacement — the overlap case every naive space-delimited replace
+# gets wrong), and "a a a" becomes "aa a" — byte-for-byte the
+# Spark-side fold's semantics. With that, the whole trainer unrolls
+# as BPE_ROUNDS MATERIALIZED CTE rounds (pair census from the split
+# string -> (count desc, left, right) argmax -> replace rewrite),
+# the same trick as the PageRank/Markov/lattice-Lloyd oracles.
+# Symbols are corpus letters + '</w>' so chr(31) can never occur
+# inside one. The early-stop contract (pair_count < 2) is WHERE
+# c >= 2 on each argmax; rounds after a stop propagate empty merge
+# rows through LEFT-JOIN pass-through rewrites, so the union output
+# matches the break exactly (and the empty lake yields zero rows on
+# both engines). Verified bit-exact vs the Spark trainer at
+# sf0.001/0.01 before registration; the pure-Python reference pin in
+# tests/test_bpe.py stays as the third implementation.
+
+_D = "chr(31)"
+
+
+def _bpe_syms_sql(word: str) -> str:
+    """Delimiter-prefixed symbol string for a word column: one chr(31)
+    before every code point, then the end-of-word marker."""
+    return (
+        f"{_D} || array_to_string(string_split({word}, ''), {_D})"
+        f" || {_D} || '{END_OF_WORD}'"
+    )
+
+
+def _bpe_round_sql(r: int) -> str:
+    return f"""
+    p{r} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(n) AS BIGINT) AS c
+      FROM (SELECT n, list_slice(string_split(s, {_D}), 2, 1000000) AS syms
+            FROM w{r - 1}),
+           LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+      GROUP BY 1, 2
+    ), m{r} AS MATERIALIZED (
+      SELECT {r - 1} AS round, l, r, c FROM p{r}
+      WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+    ), w{r} AS MATERIALIZED (
+      SELECT n, CASE WHEN m.l IS NULL THEN s
+                ELSE replace(s, {_D} || m.l || {_D} || m.r,
+                             {_D} || m.l || m.r) END AS s
+      FROM w{r - 1} LEFT JOIN m{r} m ON TRUE
+    )"""
+
+
+def _bpe_train_prefix(rounds: int) -> str:
+    """Shared CTE chain: tokenize -> capped word dict -> w0 -> rounds."""
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS word
+      FROM documents
+    ), wc AS MATERIALIZED (
+      SELECT word, count(*) AS n FROM toks WHERE word <> ''
+      GROUP BY word ORDER BY n DESC, word LIMIT {BPE_VOCAB_CAP}
+    ), w0 AS MATERIALIZED (
+      SELECT n, {_bpe_syms_sql("word")} AS s FROM wc
+    ),{",".join(_bpe_round_sql(r) for r in range(1, rounds + 1))}"""
+
+
+def _bpe_train_oracle() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST(round AS INT) AS round, l AS left, r AS right,"
+        f" c AS pair_count FROM m{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return _bpe_train_prefix(BPE_ROUNDS) + "\n" + unions
+
+
+def _bpe_encode_oracle(rounds: int = 6) -> str:
+    enc = []
+    for r in range(1, rounds + 1):
+        enc.append(f"""
+    enc{r} AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN m.l IS NULL THEN s
+                     ELSE replace(s, {_D} || m.l || {_D} || m.r,
+                                  {_D} || m.l || m.r) END AS s
+      FROM enc{r - 1} LEFT JOIN m{r} m ON TRUE
+    )""")
+    return (
+        _bpe_train_prefix(rounds)
+        + f""",
+    dwords AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{{L}}]+'))
+                 AS word
+      FROM documents
+    ), enc0 AS MATERIALIZED (
+      SELECT doc_id, {_bpe_syms_sql("word")} AS s
+      FROM dwords WHERE word <> ''
+    ),{",".join(enc)}
+    SELECT doc_id,
+           CAST(sum(len(string_split(s, {_D})) - 1) AS BIGINT) AS n_tokens,
+           count(*) AS n_words
+    FROM enc{rounds} GROUP BY doc_id"""
+    )
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first BPE_ROUNDS merge rules learned from the documents
-    corpus (algorithm pinned against a pure-Python reference BPE in
-    tests/test_bpe.py)."""
+    corpus — fully oracled since round 12 via the delimiter-prefix
+    replace() unroll (see module commentary above); additionally
+    pinned against a pure-Python reference BPE in tests/test_bpe.py."""
     return bpe_train_merges(load_table(spark, sf_dir, "documents"))
 
 
-@query("bpe_token_counts")  # rows-only: consumes the iterative trainer
+@query("bpe_token_counts", oracle=_bpe_encode_oracle())
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts under a tokenizer trained on the
     corpus itself (6 merge rounds) — the train→encode round trip as
-    one registered pipeline. Deterministic end to end; the merge list
-    is tiny driver state (the learned rules), broadcast into the
-    encode folds."""
+    one registered pipeline, fully oracled since round 12 (the DuckDB
+    twin replays train AND encode with the same unrolled chain).
+    Deterministic end to end; the merge list is tiny driver state
+    (the learned rules), broadcast into the encode folds."""
     docs = load_table(spark, sf_dir, "documents")
     merges = [
         (m["left"], m["right"])
