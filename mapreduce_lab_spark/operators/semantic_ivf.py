@@ -490,6 +490,53 @@ def q_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the fold by ulps at the threshold, which floors tolerate and a
 # hash gate must not).
 
+_CC_ROUNDS = 12  # label distance doubles per round: covers diameter 4096
+
+
+def _cc_label_chain(rounds: int = _CC_ROUNDS) -> str:
+    """SQL CTE chain: min-label connected components over an `edges`
+    (src, dst) CTE (symmetric), as `rounds` unrolled hook+jump
+    label-doubling steps plus an exact recursive finish on the
+    contracted residual. Emits CTEs l0..l{rounds}, ce, creach, clab;
+    the caller's `labels` CTE joins l{rounds} with clab."""
+    steps = ["""
+    l0 AS MATERIALIZED (
+      SELECT src AS v, least(src, min(dst)) AS l FROM edges GROUP BY src
+    ),"""]
+    for k in range(1, rounds + 1):
+        steps.append(f"""
+    l{k} AS MATERIALIZED (
+      SELECT v, min(l) AS l FROM (
+        SELECT v, l FROM l{k - 1}
+        UNION ALL
+        SELECT a.v, b.l FROM l{k - 1} a JOIN l{k - 1} b ON b.v = a.l
+        UNION ALL
+        SELECT e.src AS v, b.l FROM edges e JOIN l{k - 1} b ON b.v = e.dst
+      ) GROUP BY v
+    ),""")
+    steps.append(f"""
+    ce AS MATERIALIZED (
+      SELECT DISTINCT a.l AS s, b.l AS d
+      FROM edges e
+      JOIN l{rounds} a ON a.v = e.src
+      JOIN l{rounds} b ON b.v = e.dst
+      WHERE a.l <> b.l
+    ), creach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT s, d FROM ce
+        UNION
+        SELECT r.src, e2.d FROM r JOIN ce e2 ON r.dst = e2.s
+      )
+      SELECT * FROM r
+    ), clab AS (
+      SELECT src AS cv, least(src, min(dst)) AS cl
+      FROM creach GROUP BY src
+    ),""")
+    return "".join(steps)
+
+
+_CC_LABEL_CHAIN = _cc_label_chain()
+
 _IVF_PINNED_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -545,11 +592,11 @@ _IVF_PINNED_ORACLE = f"""
         JOIN (SELECT * FROM topk WHERE sub = 1 AND rn <= {IMI_PROBE_RANK}) b
           USING (vec_id)
       ) WHERE rn <= {IVF_NPROBE}
-    ), cand AS (
+    ), cand AS MATERIALIZED (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       FROM probed x JOIN probed y
         ON x.c1 = y.c1 AND x.c2 = y.c2 AND x.vec_id < y.vec_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT vec_a, vec_b
       FROM cand
       JOIN reps a ON a.vec_id = cand.vec_a
@@ -557,19 +604,31 @@ _IVF_PINNED_ORACLE = f"""
       LATERAL (SELECT {_O_DOT} AS dot
                FROM (SELECT a.v AS ea, b.v AS eb)) sub
       WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
+      -- MATERIALIZED (like cand/pairs above) is load-bearing: the
+      -- label-doubling rounds below each reference edges, and an
+      -- inlined edges would re-run the interpreted-dot pairs chain
+      -- once per round
       SELECT vec_a AS src, vec_b AS dst FROM pairs
       UNION SELECT vec_b, vec_a FROM pairs
-    ), reach AS (
-      WITH RECURSIVE r(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e2.dst FROM r JOIN edges e2 ON r.dst = e2.src
-      )
-      SELECT * FROM r
-    ), labels AS (
-      SELECT src AS rep, least(src, min(dst)) AS cluster_id
-      FROM reach GROUP BY src
+    ),
+    -- Connected components WITHOUT a transitive-closure recursion
+    -- (round 12): the closure CTE iterated once per path step, and
+    -- sf0.1's duplicate chains gave it thousands of recursion rounds
+    -- at fixed per-round overhead — 274 s of the oracle's 307 s for
+    -- an 11k-row closure. Instead: 12 unrolled hook+jump label-
+    -- doubling rounds (each node keeps the min of: its label, its
+    -- label's label [pointer jump], its neighbors' labels [hook]) —
+    -- label distance doubles per round, so 12 rounds cover any
+    -- diameter <= 4096 — then an exact recursive FINISH over the
+    -- CONTRACTED residual graph (empty when the doubling already
+    -- converged, tiny otherwise), so the result is exact CC for ANY
+    -- input, not just ones the unroll happens to cover.
+    {_CC_LABEL_CHAIN}
+    labels AS (
+      SELECT l.v AS rep,
+             coalesce(cl.cl, l.l) AS cluster_id
+      FROM l{_CC_ROUNDS} l LEFT JOIN clab cl ON cl.cv = l.l
     ), fam AS (
       SELECT v, min(vec_id) AS rep, count(*) AS fn FROM e GROUP BY v
     )
