@@ -1113,7 +1113,7 @@ def embedding_lsh_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "near_dup_embedding_clusters",
     oracle=f"""
-    WITH {_RP_CAND_CTE}, pairs AS (
+    WITH {_RP_CAND_CTE}, pairs AS MATERIALIZED (
       SELECT vec_a, vec_b
       FROM cand
       JOIN n a ON a.vec_id = cand.vec_a
@@ -1121,7 +1121,11 @@ def embedding_lsh_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       LATERAL (SELECT {_O_DOT} AS dot
                FROM (SELECT a.v AS ea, b.v AS eb)) sub
       WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: the recursive closure below
+      -- scans edges once per iteration, and an inlined edges would
+      -- re-run the interpreted-dot pairs chain each time (the same
+      -- find as the pinned-IVF twin, round 12)
       SELECT vec_a AS src, vec_b AS dst FROM pairs
       UNION SELECT vec_b, vec_a FROM pairs
     ), reach AS (
@@ -1168,7 +1172,7 @@ def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "embedding_lsh_recall_eval",
     oracle=f"""
-    WITH {_RP_CAND_CTE}, lshp AS (
+    WITH {_RP_CAND_CTE}, lshp AS MATERIALIZED (
       SELECT vec_a, vec_b
       FROM cand
       JOIN n a ON a.vec_id = cand.vec_a
@@ -1176,7 +1180,9 @@ def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
       LATERAL (SELECT {_O_DOT} AS dot
                FROM (SELECT a.v AS ea, b.v AS eb)) sub
       WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
-    ), exactp AS (
+    ), exactp AS MATERIALIZED (
+      -- MATERIALIZED: four subselects below read these; inlined, the
+      -- O(n^2) interpreted-dot baseline would run once per subselect
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM n a, n b,
            LATERAL (SELECT {_O_DOT} AS dot
