@@ -79,8 +79,11 @@ def main():
         assert not missing, f"SIM_ONLY names not registered: {sorted(missing)}"
         qs = {n: f for n, f in qs.items() if n in only}
     fails, rows_only = [], []
+    slow = []  # (seconds, name, phase) for anything over SLOW_S
+    SLOW_S = float(os.environ.get("SIM_SLOW_S", "20"))
     t_start = time.time()
     for i, (name, fn) in enumerate(qs.items()):
+        t_q = time.time()
         try:
             sp = fn(spark, SF).toPandas()
         except Exception as ex:
@@ -96,8 +99,12 @@ def main():
         # driver scale (sf0.01) but explode at larger SIM_SF. Interrupt
         # rather than hang; a timeout at >driver scale is recorded as
         # skipped, not failed (the driver never runs oracles there).
+        t_sp = time.time() - t_q
+        if t_sp > SLOW_S:
+            slow.append((t_sp, name, "spark"))
         timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
         timer.start()
+        t_or = time.time()
         try:
             du = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
@@ -110,6 +117,9 @@ def main():
             continue
         finally:
             timer.cancel()
+        t_du = time.time() - t_or
+        if t_du > SLOW_S:
+            slow.append((t_du, name, "oracle"))
         if sorted(sp.columns) != sorted(du.columns):
             fails.append((name, f"schema {sorted(sp.columns)} vs {sorted(du.columns)}"))
             print(f"[{i+1}/{len(qs)}] {name}: SCHEMA MISMATCH")
@@ -127,6 +137,13 @@ def main():
           f"{len(rows_only)} rows-only; {len(fails)} failures")
     for name, why in fails:
         print(f"FAIL {name}: {why}")
+    if slow:
+        # Cost outliers, worst first — the round-12 profiling that
+        # found the pinned-IVF closure and the re-inlined dedup CTEs,
+        # kept as a standing report so regressions surface per run.
+        print(f"slowest (> {SLOW_S:.0f}s):")
+        for dt, name, phase in sorted(slow, reverse=True)[:10]:
+            print(f"  {dt:7.1f}s {phase:6s} {name}")
     spark.stop()
     sys.exit(1 if fails else 0)
 
