@@ -131,8 +131,10 @@ HEADLINE = [
     "delete_propagation_census",
     "conformal_keep_threshold",
     # round 12: the fully-oracled exact-integer Lloyd (iterative
-    # k-means behind a hash gate — the unrolled-oracle lane).
+    # k-means behind a hash gate — the unrolled-oracle lane) and its
+    # product-quantization sibling.
     "kmeans_lattice_census",
+    "pq_lattice_census",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -157,6 +159,7 @@ PRIMARY_INPUT = {
     "near_dup_simhash": "documents",
     "knn_cosine_bruteforce": "embeddings",
     "kmeans_lattice_census": "embeddings",
+    "pq_lattice_census": "embeddings",
     "text_quality_scores": "documents",
     "multimodal_frame_sample": "documents",
     "mapreduce_wordcount": "documents",

@@ -610,3 +610,157 @@ def q_ann_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine")
         )
     )
+
+
+# --- lattice PQ census (fully oracled per-subspace Lloyd) -------------------
+#
+# The PQ twin of kmeans_lattice_census: all PQ_M per-subspace
+# codebooks trained jointly for PQ_ITERS rounds in EXACT integer
+# arithmetic on the same 2^-20 lattice, so the product-quantization
+# trainer — the float version of which is the rows-only ann_pq_adc
+# class — carries a full rows+schema+hash DuckDB gate. Rounds are
+# keyed by (sub, cid); assignment is the broadcast argmin
+# (hash-join on sub + partial min(struct)); the update is the
+# element-wise integer floor-mean. The DuckDB twin unrolls the
+# rounds exactly like the lattice-Lloyd/BPE/Markov oracles.
+
+
+def _pq_lattice_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _lattice_points(spark, sf_dir)
+    first = pts.select(F.size("q").alias("d")).first()
+    dim = int(first["d"]) if first is not None else PQ_M
+    width = max(1, dim // PQ_M)
+    slices = F.array(*[F.slice("q", s * width + 1, width) for s in range(PQ_M)])
+    return pts.select("vec_id", F.posexplode(slices).alias("sub", "sq"))
+
+
+def _pq_lattice_assign(subv: DataFrame, cent: DataFrame) -> DataFrame:
+    scored = subv.join(F.broadcast(cent), "sub").withColumn(
+        "d", _lattice_dist("sq", "m")
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("d", "cid", "sq")).alias("b")
+    )
+    return best.select(
+        "vec_id", "sub",
+        F.col("b.sq").alias("sq"),
+        F.col("b.cid").alias("cid"),
+        F.col("b.d").alias("d"),
+    )
+
+
+def _pq_lattice_update(assigned: DataFrame) -> DataFrame:
+    return (
+        assigned.select("sub", "cid", F.posexplode("sq").alias("pos", "x"))
+        .groupBy("sub", "cid", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "sub", "cid", "pos",
+            F.call_function("div", F.col("s"), F.col("c")).alias("mv"),
+        )
+        .groupBy("sub", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("m")
+        )
+    )
+
+
+def _pq_lattice_round_sql(r: int) -> str:
+    return f"""
+    ps{r} AS MATERIALIZED (
+      SELECT v.vec_id, v.sub, v.sq, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, len(v.sq)),
+                  i -> (v.sq[i] - c.m[i]) * (v.sq[i] - c.m[i]))) AS BIGINT)
+                 AS d
+      FROM subv v JOIN pc{r - 1} c ON c.sub = v.sub
+    ), pa{r} AS MATERIALIZED (
+      SELECT vec_id, sub, sq, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, cid) AS rn
+        FROM ps{r}
+      ) WHERE rn = 1
+    ), pu{r} AS MATERIALIZED (
+      SELECT sub, cid, i, CAST(sum(sq[i]) AS BIGINT) // count(*) AS mv
+      FROM pa{r}, LATERAL (SELECT unnest(generate_series(1, len(sq))) AS i) g
+      GROUP BY sub, cid, i
+    ), pc{r} AS MATERIALIZED (
+      SELECT sub, cid, list(mv ORDER BY i) AS m FROM pu{r} GROUP BY sub, cid
+    )"""
+
+
+def _pq_lattice_oracle() -> str:
+    rounds = ",".join(_pq_lattice_round_sql(r) for r in range(1, PQ_ITERS + 1))
+    last = PQ_ITERS + 1
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * {LATTICE_SCALE}) AS BIGINT)
+                      + {LATTICE_SHIFT}) AS q
+      FROM embeddings
+    ), params AS (
+      SELECT greatest(1, max(len(q)) // {PQ_M}) AS w FROM e
+    ), subv AS MATERIALIZED (
+      SELECT vec_id, CAST(s.sub AS INT) AS sub,
+             list_slice(q, s.sub * w + 1, s.sub * w + w) AS sq
+      FROM e, params,
+           (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s
+    ), pc0 AS MATERIALIZED (
+      SELECT sub, vec_id AS cid, sq AS m FROM subv WHERE vec_id < {PQ_K}
+    ),{rounds},
+    pfin AS (
+      SELECT vec_id, sub, cid, d FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, len(v.sq)),
+                    i -> (v.sq[i] - c.m[i]) * (v.sq[i] - c.m[i])))
+                   AS BIGINT) AS d,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY CAST(list_sum(list_transform(
+                                      generate_series(1, len(v.sq)),
+                                      i -> (v.sq[i] - c.m[i])
+                                           * (v.sq[i] - c.m[i])))
+                                      AS BIGINT), c.cid) AS rn
+        FROM subv v JOIN pc{PQ_ITERS} c ON c.sub = v.sub
+      ) WHERE rn = 1
+    )
+    SELECT sub, cid, count(*) AS n_members,
+           CAST(sum(d) AS BIGINT) AS inertia_q
+    FROM pfin GROUP BY sub, cid
+    """
+
+
+@query(
+    "pq_lattice_census",
+    oracle=_pq_lattice_oracle(),
+    meta={
+        "lane": "oracle-contract",
+        "routing": (
+            "Exact-integer twin of the ann_pq_adc trainer: identical "
+            "per-subspace Lloyd rounds on the 2^-20 lattice, "
+            "hash-gated end-to-end; the float PQ lane stays rows-only "
+            "(avg() sum order) and serves ADC search."
+        ),
+    },
+)
+def q_pq_lattice_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(subspace, centroid) census after PQ_ITERS exact-integer
+    Lloyd rounds on the 2^-20 lattice: cluster size and exact integer
+    inertia — the fully-oracled product-quantization trainer
+    contract (the float trainer behind ann_pq_adc is the rows-only
+    avg() class). Driver scalar: one first() reading the
+    dimensionality, the same bounded-metadata class as the IVF
+    builders."""
+    subv = _pq_lattice_frames(spark, sf_dir)
+    cent = subv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sq").alias("m")
+    )
+    for _ in range(PQ_ITERS):
+        cent = _pq_lattice_update(_pq_lattice_assign(subv, cent)).localCheckpoint()
+    final = _pq_lattice_assign(subv, cent)
+    return final.groupBy("sub", "cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d").alias("inertia_q"),
+    )

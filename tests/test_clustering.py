@@ -174,3 +174,41 @@ def test_lattice_inertia_monotone_decreasing(spark, sf_dir):
         inertias.append(assigned.agg(F.sum("d")).collect()[0][0])
         cent = _lattice_update(assigned).localCheckpoint()
     assert all(b <= a for a, b in zip(inertias, inertias[1:])), inertias
+
+
+def test_pq_lattice_tracks_float_pq_and_descends(spark, sf_dir):
+    """The lattice PQ census must be the float PQ trainer up to
+    quantization: same (sub, cid) key space, every subvector assigned
+    exactly once per subspace, and total integer inertia non-increasing
+    across rounds."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_lab_spark.operators.clustering import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        _pq_lattice_assign,
+        _pq_lattice_frames,
+        _pq_lattice_update,
+        q_pq_lattice_census,
+    )
+
+    rows = q_pq_lattice_census(spark, sf_dir).collect()
+    assert {r.sub for r in rows} == set(range(PQ_M))
+    assert all(0 <= r.cid < PQ_K for r in rows)
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    per_sub = {}
+    for r in rows:
+        per_sub[r.sub] = per_sub.get(r.sub, 0) + r.n_members
+    assert all(v == n_vecs for v in per_sub.values()), per_sub
+
+    subv = _pq_lattice_frames(spark, sf_dir).localCheckpoint()
+    cent = subv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sq").alias("m")
+    )
+    inertias = []
+    for _ in range(PQ_ITERS):
+        assigned = _pq_lattice_assign(subv, cent)
+        inertias.append(assigned.agg(F.sum("d")).collect()[0][0])
+        cent = _pq_lattice_update(assigned).localCheckpoint()
+    assert all(b <= a for a, b in zip(inertias, inertias[1:])), inertias

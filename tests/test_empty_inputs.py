@@ -173,8 +173,9 @@ REPRESENTATIVES = [
     "schema_evolution_census",
     "vocab_growth_census",
     "listagg_ordered_probe",
-    # round 12: unrolled-oracle iterative lane
+    # round 12: unrolled-oracle iterative lanes
     "kmeans_lattice_census",
+    "pq_lattice_census",
 ]
 
 
