@@ -23,10 +23,11 @@ algorithm) in its scalable form:
 - ``localCheckpoint`` per round truncates the K-deep lineage
   (same discipline as k-means / PageRank / connected components).
 
-Fully ORACLED since round 12: the round-12 delimiter-prefix
-replace() encoding makes each greedy merge round plain SQL, so the
-whole trainer (and the train→encode pipeline) unrolls as MATERIALIZED
-CTE rounds in DuckDB — see the oracle commentary below. The ALGORITHM
+Fully ORACLED since round 12: the delimiter-prefix encoding plus a
+list_reduce greedy fold (round 13; the round-12 replace() rewrite had
+a prefix hazard — see the oracle commentary below) makes each merge
+round plain SQL, so the whole trainer (and the train→encode pipeline)
+unrolls as MATERIALIZED CTE rounds in DuckDB. The ALGORITHM
 is additionally pinned by ``tests/test_bpe.py`` against an
 independent pure-Python reference BPE on the same corpus (three
 implementations agreeing, not two).
@@ -175,32 +176,59 @@ def bpe_encode_token_lengths(
     )
 
 
-# --- round-12: the unrolled DuckDB twin ----------------------------------------
+# --- round-12/13: the unrolled DuckDB twin --------------------------------------
 #
 # BPE training WAS the documented rows-only iterative-argmax class —
-# until the round-12 observation that a merge round is expressible as
-# plain string replace() under a DELIMITER-PREFIX encoding. Encode a
-# word's symbol sequence as chr(31)||sym per symbol (no trailing
-# delimiter); then replacing chr(31)||l||chr(31)||r with
-# chr(31)||l||r is EXACTLY greedy leftmost non-overlapping pair
-# merging: the pattern consumes no trailing delimiter, so "a a a a"
-# under pair (a,a) becomes "aa aa" (scan resumes after the
-# replacement — the overlap case every naive space-delimited replace
-# gets wrong), and "a a a" becomes "aa a" — byte-for-byte the
-# Spark-side fold's semantics. With that, the whole trainer unrolls
-# as BPE_ROUNDS MATERIALIZED CTE rounds (pair census from the split
-# string -> (count desc, left, right) argmax -> replace rewrite),
-# the same trick as the PageRank/Markov/lattice-Lloyd oracles.
-# Symbols are corpus letters + '</w>' so chr(31) can never occur
-# inside one. The early-stop contract (pair_count < 2) is WHERE
-# c >= 2 on each argmax; rounds after a stop propagate empty merge
-# rows through LEFT-JOIN pass-through rewrites, so the union output
-# matches the break exactly (and the empty lake yields zero rows on
-# both engines). Verified bit-exact vs the Spark trainer at
-# sf0.001/0.01 before registration; the pure-Python reference pin in
-# tests/test_bpe.py stays as the third implementation.
+# until the round-12 observation that a merge round is expressible in
+# plain SQL under a DELIMITER-PREFIX encoding: a word's symbol
+# sequence is stored as chr(31)||sym per symbol (no trailing
+# delimiter; symbols are corpus letters + '</w>' so chr(31) can never
+# occur inside one). With that, the whole trainer unrolls as
+# BPE_ROUNDS MATERIALIZED CTE rounds (pair census from the split
+# string -> (count desc, left, right) argmax -> greedy rewrite), the
+# same trick as the PageRank/Markov/lattice-Lloyd oracles.
+#
+# The REWRITE is a list_reduce greedy fold, not a replace().
+# Round 12 shipped replace(s, chr(31)||l||chr(31)||r, chr(31)||l||r),
+# which is WRONG: with no trailing boundary the pattern also fires
+# when the right symbol is a proper PREFIX of the following symbol —
+# on corpus {ab x10, xab x2, xac/xad/xae/xaf} the round-3 merge (x,a)
+# corrupted (x)(ab</w>) into the single symbol (xab</w>), diverging
+# from the Spark trainer (ADVICE r12, pinned as the prefix-hazard
+# regression in tests/test_bpe.py). RE2 has no lookahead, so the fix
+# is the same greedy left-to-right fold the Spark side runs:
+# string_split(s, chr(31)) yields ['', sym1, sym2, ...] — the leading
+# '' seeds list_reduce's accumulator — and each step either merges
+# (acc || x) when the accumulator's LAST symbol is exactly l and x is
+# exactly r, or appends (acc || chr(31) || x). ends_with(acc,
+# chr(31)||l) is an EXACT last-symbol test because chr(31) cannot
+# occur inside a symbol; a just-merged symbol l||r can never re-match
+# as l (r is non-empty), so non-overlapping leftmost scan semantics
+# fall out: "a a a a" -> "aa aa", "a a a" -> "aa a", and (x)(ab</w>)
+# under (x,a) stays unmerged — byte-for-byte the Spark fold.
+#
+# The early-stop contract (pair_count < 2) is WHERE c >= 2 on each
+# argmax; rounds after a stop propagate empty merge rows through
+# LEFT-JOIN pass-through rewrites, so the union output matches the
+# break exactly (and the empty lake yields zero rows on both
+# engines). The pure-Python reference pin in tests/test_bpe.py stays
+# as the third implementation.
 
 _D = "chr(31)"
+
+
+def _fold_rewrite_sql(src: str) -> str:
+    """One greedy merge round over a delimiter-prefixed symbol string,
+    as a DuckDB list_reduce fold (see module commentary: replace() is
+    NOT equivalent — prefix hazard). NULL-pair rounds pass through."""
+    return (
+        f"CASE WHEN m.l IS NULL THEN {src}\n"
+        f"                ELSE list_reduce(string_split({src}, {_D}),\n"
+        f"                       (acc, x) -> CASE WHEN ends_with(acc, {_D} || m.l)"
+        f" AND x = m.r\n"
+        f"                                   THEN acc || x\n"
+        f"                                   ELSE acc || {_D} || x END) END"
+    )
 
 
 def _bpe_syms_sql(word: str) -> str:
@@ -224,9 +252,7 @@ def _bpe_round_sql(r: int) -> str:
       SELECT {r - 1} AS round, l, r, c FROM p{r}
       WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
     ), w{r} AS MATERIALIZED (
-      SELECT n, CASE WHEN m.l IS NULL THEN s
-                ELSE replace(s, {_D} || m.l || {_D} || m.r,
-                             {_D} || m.l || m.r) END AS s
+      SELECT n, {_fold_rewrite_sql("s")} AS s
       FROM w{r - 1} LEFT JOIN m{r} m ON TRUE
     )"""
 
@@ -259,9 +285,7 @@ def _bpe_encode_oracle(rounds: int = 6) -> str:
     for r in range(1, rounds + 1):
         enc.append(f"""
     enc{r} AS MATERIALIZED (
-      SELECT doc_id, CASE WHEN m.l IS NULL THEN s
-                     ELSE replace(s, {_D} || m.l || {_D} || m.r,
-                                  {_D} || m.l || m.r) END AS s
+      SELECT doc_id, {_fold_rewrite_sql("s")} AS s
       FROM enc{r - 1} LEFT JOIN m{r} m ON TRUE
     )""")
     return (

@@ -111,6 +111,66 @@ def test_empty_corpus_yields_empty_merge_table(spark):
     assert [f.name for f in out.schema] == ["round", "left", "right", "pair_count"]
 
 
+# ADVICE r12 falsifier: after rounds (a,b) then (ab,</w>), the words
+# xab contain the symbol sequence (x)(ab</w>); the round-3 merge (x,a)
+# — won by the four xac/xad/xae/xaf words — must NOT touch them. The
+# round-12 replace()-based oracle rewrite (no trailing boundary)
+# corrupted (x)(ab</w>) into the single symbol (xab</w>) here; the
+# list_reduce greedy fold may not.
+HAZARD_CORPUS = ["ab"] * 10 + ["xab"] * 2 + ["xac", "xad", "xae", "xaf"]
+
+
+def test_train_oracle_greedy_fold_on_prefix_hazard_corpus(spark):
+    import duckdb
+
+    from mapreduce_lab_spark.operators.bpe import _bpe_train_oracle
+
+    text = " ".join(HAZARD_CORPUS)
+    docs = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(docs).orderBy("round").collect()
+    ]
+    # Spark vs independent pure-Python reference.
+    assert got == _py_bpe([text], 12)
+    # The merge the hazard is about: round 2 (0-based) is (x, a) and
+    # its count must be 4 (the xac/xad/xae/xaf words only), not 6.
+    assert got[2] == (2, "x", "a", 4), got
+    # DuckDB oracle vs Spark, same corpus.
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (0, ?)", [text])
+    want = sorted(tuple(r) for r in con.execute(_bpe_train_oracle()).fetchall())
+    con.close()
+    assert sorted(got) == want
+
+
+def test_encode_oracle_greedy_fold_on_prefix_hazard_corpus(spark):
+    import duckdb
+
+    from mapreduce_lab_spark.operators.bpe import _bpe_encode_oracle
+
+    # Split the hazard corpus over three docs so per-doc counts differ.
+    texts = [" ".join(HAZARD_CORPUS[:7]), " ".join(HAZARD_CORPUS[7:12]),
+             " ".join(HAZARD_CORPUS[12:])]
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges = [
+        (m["left"], m["right"])
+        for m in bpe_train_merges(docs, rounds=6).orderBy("round").collect()
+    ]
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_words"])
+        for r in bpe_encode_token_lengths(docs, merges).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(_bpe_encode_oracle()).fetchall())
+    con.close()
+    assert got == want
+
+
 def test_char_syms_keeps_astral_plane_code_points_whole(spark):
     """Supplementary-plane letters (two UTF-16 code units) must become
     ONE symbol, not two lone-surrogate halves: the split position is
