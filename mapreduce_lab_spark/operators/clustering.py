@@ -438,8 +438,10 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_clustering.py.
     """
     pts = _points(spark, sf_dir).localCheckpoint()
-    first = pts.select(F.size("v").alias("d")).first()
-    dim = int(first["d"]) if first is not None else PQ_M
+    # max(size) not an arbitrary first() row: order-independent under
+    # non-uniform dimensionality, same rationale as _pq_lattice_frames.
+    dmax = pts.agg(F.max(F.size("v")).alias("d")).first()["d"]
+    dim = int(dmax) if dmax is not None else PQ_M
     subvecs = _subvectors(pts, dim).localCheckpoint()
     cent = pq_train(subvecs)
 
@@ -627,8 +629,12 @@ def q_ann_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_lattice_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _lattice_points(spark, sf_dir)
-    first = pts.select(F.size("q").alias("d")).first()
-    dim = int(first["d"]) if first is not None else PQ_M
+    # Order-independent width, matching the oracle's
+    # greatest(1, max(len(q)) // PQ_M): an arbitrary first() row is
+    # partition-order dependent and diverges from the oracle if
+    # embedding dimensionality is ever non-uniform (ADVICE r12).
+    dmax = pts.agg(F.max(F.size("q")).alias("d")).first()["d"]
+    dim = int(dmax) if dmax is not None else PQ_M
     width = max(1, dim // PQ_M)
     slices = F.array(*[F.slice("q", s * width + 1, width) for s in range(PQ_M)])
     return pts.select("vec_id", F.posexplode(slices).alias("sub", "sq"))
