@@ -12,6 +12,7 @@ operator module so the registry is complete.
 
 from __future__ import annotations
 
+import hashlib
 import importlib
 import json
 import os
@@ -120,6 +121,55 @@ def load_all() -> None:
         importlib.import_module(mod)
 
 
+def oracle_signatures() -> dict[str, str]:
+    """md5 of each registered oracle SQL string (whitespace-insensitive
+    so a pure reformat doesn't read as a semantic change). The snapshot
+    records, per query, this signature as of its LAST official driver
+    sample; a live mismatch means the oracle was rewritten since the
+    driver last looked, and the query needs a fresh row (VERDICT r12
+    #1 — last-bad front-loading alone never resamples an
+    oracle-UPGRADED query whose old rows were all green)."""
+    load_all()
+    return {
+        n: hashlib.md5(" ".join(sql.split()).encode()).hexdigest()
+        for n, sql in _ORACLES.items()
+    }
+
+
+def _load_snapshot() -> dict:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_seen.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _stale_oracle_queries(snapshot: dict | None = None) -> set[str]:
+    """Registered queries whose CURRENT oracle differs from the one
+    their last official driver row was checked under — by class
+    (rows-only vs oracled) or by SQL signature — plus the snapshot's
+    explicit ``stale_seed`` (one-time migration entries written by
+    scripts/update_seen.py for rewrites that predate signature
+    tracking). These get the same position-0 treatment as last-bad:
+    an upgraded gate is invisible until the driver resamples it."""
+    snap = _load_snapshot() if snapshot is None else snapshot
+    if not snap:
+        return set()
+    live_sig = oracle_signatures()
+    stale: set[str] = {n for n in snap.get("stale_seed", []) if n in _QUERIES}
+    last_class: dict[str, str] = snap.get("last_class", {})
+    last_sig: dict[str, str] = snap.get("oracle_sig", {})
+    for n in _QUERIES:
+        cls = "oracled" if n in live_sig else "rows_only"
+        if n in last_class and last_class[n] != cls:
+            stale.add(n)
+        elif n in last_sig and n in live_sig and last_sig[n] != live_sig[n]:
+            stale.add(n)
+    return stale
+
+
 def _previously_sampled() -> tuple[set[str], int, set[str]]:
     """(query names with a driver correctness row, number of committed
     rounds), read from the PINNED snapshot ``driver_seen.json`` next
@@ -146,14 +196,7 @@ def _previously_sampled() -> tuple[set[str], int, set[str]]:
     waiting on round-count luck (``ivf_train_codebook`` sat fixed but
     officially red for a full round at rotation position 65).
     """
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_seen.json")
-    try:
-        with open(path) as f:
-            data = json.load(f)
-    except (OSError, ValueError):
-        return set(), 0, set()
-    if not isinstance(data, dict):
-        return set(), 0, set()
+    data = _load_snapshot()
     return (
         set(data.get("seen", [])),
         int(data.get("rounds", 0)),
@@ -229,7 +272,9 @@ def _interleaved_names() -> list[str]:
         if resample:
             k = (n_rounds * max(1, len(resample) // 4)) % len(resample)
             resample = resample[k:] + resample[:k]
-        return _front_load_bad(fresh_all + cover + resample, last_bad)
+        return _front_load_bad(
+            fresh_all + cover + resample, last_bad | _stale_oracle_queries()
+        )
 
     # EARLY regime: family head, then 3:1 fresh:re-check weave.
     head: list[str] = []
@@ -256,17 +301,20 @@ def _interleaved_names() -> list[str]:
         if ri < len(resample):
             out.append(resample[ri])
             ri += 1
-    return _front_load_bad(out, last_bad)
+    return _front_load_bad(out, last_bad | _stale_oracle_queries())
 
 
 def _front_load_bad(order: list[str], last_bad: set[str]) -> list[str]:
-    """Move queries whose LAST official driver row was a crash or a
-    gate mismatch to the very front of the ordering (relative order
-    preserved). A fix is invisible until the driver resamples the
-    query; position 0 makes that deterministic on the next round
-    rather than round-count luck (VERDICT r11 #2: the
-    ``ivf_train_codebook`` fix landed in r11 but sat at rotation
-    position 65, outside the 50-query driver prefix)."""
+    """Move urgent queries to the very front of the ordering (relative
+    order preserved): those whose LAST official driver row was a crash
+    or gate mismatch (VERDICT r11 #2: the ``ivf_train_codebook`` fix
+    landed in r11 but sat at rotation position 65, outside the
+    50-query driver prefix), plus — since round 13 — those whose
+    oracle was upgraded/rewritten after their last sample
+    (``_stale_oracle_queries``; VERDICT r12 #1). A fix or a new gate
+    is invisible until the driver resamples the query; position 0
+    makes that deterministic on the next round rather than
+    round-count luck."""
     urgent = [n for n in order if n in last_bad]
     if not urgent:
         return order

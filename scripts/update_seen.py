@@ -2,24 +2,47 @@
 
 Reads every ``CORRECTNESS_r*.json`` driver artifact at the repo root
 and writes ``mapreduce_lab_spark/driver_seen.json`` with the union of
-query names that have a driver row, the round count, and — since
-round 12 — each query's LAST driver status. The builder runs this
-once at round start and COMMITS the result; the registry reads only
-the snapshot (never the artifacts), so ``queries()`` ordering cannot
-change when the driver drops a new artifact mid-round.
+query names that have a driver row, the round count, each query's
+LAST driver status, and — since round 13 — each query's oracle CLASS
+and oracle-SQL SIGNATURE as of its last driver sample. The builder
+runs this once at round start (BEFORE editing anything, so the live
+registry still equals the tree the driver last ran) and COMMITS the
+result; the registry reads only the snapshot (never the artifacts),
+so ``queries()`` ordering cannot change when the driver drops a new
+artifact mid-round.
 
-Last-status semantics (VERDICT r11 #2): the resample rotation was
-round-count luck, so a query whose only driver row was an ERROR
-(e.g. ``ivf_train_codebook``'s r10 canonicalizer crash, fixed in r11
-but never resampled) could stay officially red for many rounds. The
-snapshot now records per-query last status so the registry can
-front-load previously-errored queries into the driver prefix:
+Last-status semantics (VERDICT r11 #2): per-query last status so the
+registry can front-load previously-errored queries into the driver
+prefix:
 
 - ``err``  — the most recent driver row has a non-null ``err``
 - ``fail`` — no error, but rows/schema/hash mismatch on the most
   recent row (a wrong-answer signal is as urgent as a crash)
 - everything else (ok / rows-only-clean) is omitted from the
   ``last_bad`` list; only the bad set matters for ordering.
+
+Oracle-signature semantics (VERDICT r12 #1): last-bad front-loading
+never resamples a query whose oracle was UPGRADED (rows-only -> full)
+or REWRITTEN after an all-green history — ``bpe_train_merges``
+graduated in r12 yet its whole driver record stayed rows-only-era.
+The snapshot therefore records, per sampled query:
+
+- ``last_class[name]``   — 'oracled' | 'rows_only', inferred from the
+  query's most recent driver row (``err == "no_oracle"`` is the
+  documented rows-only marker; a crashed row carries the previous
+  snapshot's class forward, else the live class).
+- ``oracle_sig[name]``   — ``registry.oracle_signatures()[name]`` at
+  the time that query's newest artifact was folded. Refreshed ONLY
+  when a NEW artifact contains the query (round start == the tree the
+  driver ran, so live == last-sampled); otherwise carried verbatim
+  from the previous snapshot, so a mid-round oracle edit shows up as
+  a live-vs-snapshot mismatch and the registry front-loads it.
+- ``sig_artifact[name]`` — which artifact the signature was taken at
+  (the refresh key).
+- ``stale_seed``         — one-time migration list: rewrites that
+  predate signature tracking and whose last sample is older than the
+  rewrite, so no signature can witness the change. Seed entries drop
+  out automatically once a newer artifact samples the query.
 
 Usage: python scripts/update_seen.py
 """
@@ -29,8 +52,23 @@ from __future__ import annotations
 import glob
 import json
 import os
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# Oracles rewritten before signature tracking existed, after their
+# last official sample (VERDICT r12 #1 names them): the two r12
+# advice rewrites last sampled green in r11 under their OLD SQL, and
+# bpe_token_counts, sampled green in r12 under the replace() rewrite
+# that the r13 list_reduce fold replaced. Applied only when migrating
+# a signature-less snapshot; dropped as soon as a newer artifact
+# samples each query.
+_BOOTSTRAP_STALE = [
+    "bootstrap_mean_ci_revenue",
+    "schema_evolution_census",
+    "bpe_token_counts",
+]
 
 
 def _row_is_bad(row: object) -> bool:
@@ -48,10 +86,42 @@ def _row_is_bad(row: object) -> bool:
     return any(row.get(k) is False for k in ("rows_match", "schema_match", "hash_match"))
 
 
+def _row_class(row: object) -> str | None:
+    """'oracled' | 'rows_only' | None (crash — class unobservable)."""
+    if not isinstance(row, dict):
+        return None
+    err = row.get("err")
+    if err == "no_oracle":
+        return "rows_only"
+    if err is None:
+        return "oracled"
+    return None
+
+
 def main() -> None:
+    from mapreduce_lab_spark import registry
+
+    live_sig = registry.oracle_signatures()
+
+    dest = os.path.join(ROOT, "mapreduce_lab_spark", "driver_seen.json")
+    try:
+        with open(dest) as f:
+            prev = json.load(f)
+        if not isinstance(prev, dict):
+            prev = {}
+    except (OSError, ValueError):
+        prev = {}
+    prev_sig: dict[str, str] = prev.get("oracle_sig", {})
+    prev_sig_art: dict[str, str] = prev.get("sig_artifact", {})
+    prev_class: dict[str, str] = prev.get("last_class", {})
+    migrating = "oracle_sig" not in prev
+    prev_artifacts = set(prev.get("source_artifacts", []))
+
     seen: set[str] = set()
     rounds: list[str] = []
     last_status: dict[str, bool] = {}  # name -> bad? (latest artifact wins)
+    last_row: dict[str, object] = {}
+    last_art: dict[str, str] = {}  # name -> newest artifact containing it
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -60,22 +130,58 @@ def main() -> None:
             continue
         if isinstance(data, dict):
             seen.update(data.keys())
-            rounds.append(os.path.basename(path))
+            base = os.path.basename(path)
+            rounds.append(base)
             for name, row in data.items():
                 last_status[name] = _row_is_bad(row)
+                last_row[name] = row
+                last_art[name] = base
+
+    oracle_sig: dict[str, str] = {}
+    sig_artifact: dict[str, str] = {}
+    last_class: dict[str, str] = {}
+    for name in sorted(seen):
+        cls = _row_class(last_row.get(name))
+        if cls is None:  # crashed last row: carry forward, else live
+            cls = prev_class.get(
+                name, "oracled" if name in live_sig else "rows_only"
+            )
+        last_class[name] = cls
+        if prev_sig_art.get(name) == last_art[name] and name in prev_sig:
+            # No new sample since the signature was taken: carry it so
+            # later oracle edits stay visible as live-vs-snapshot skew.
+            oracle_sig[name] = prev_sig[name]
+            sig_artifact[name] = prev_sig_art[name]
+        elif name in live_sig:
+            oracle_sig[name] = live_sig[name]
+            sig_artifact[name] = last_art[name]
+
+    if migrating:
+        stale_seed = [n for n in _BOOTSTRAP_STALE if n in seen]
+    else:
+        new_artifacts = set(rounds) - prev_artifacts
+        stale_seed = [
+            n
+            for n in prev.get("stale_seed", [])
+            if last_art.get(n) not in new_artifacts
+        ]
+
     out = {
         "rounds": len(rounds),
         "source_artifacts": rounds,
         "seen": sorted(seen),
         "last_bad": sorted(n for n, bad in last_status.items() if bad),
+        "last_class": last_class,
+        "oracle_sig": oracle_sig,
+        "sig_artifact": sig_artifact,
+        "stale_seed": stale_seed,
     }
-    dest = os.path.join(ROOT, "mapreduce_lab_spark", "driver_seen.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(
         f"wrote {dest}: {len(seen)} seen queries over {len(rounds)} rounds; "
-        f"last_bad={out['last_bad']}"
+        f"last_bad={out['last_bad']} stale_seed={stale_seed}"
     )
 
 

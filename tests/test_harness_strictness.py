@@ -68,9 +68,11 @@ def test_registry_prefix_samples_every_family():
     n_families = len(registry._BY_MODULE)
     endgame = seen and 0 < n_unseen <= registry.DRIVER_PREFIX - 5
     bound = (n_unseen + n_families) if endgame else max(49, n_families)
-    # front-loaded previously-errored queries (r12) prepend to the
-    # ordering, shifting the family head window by their count
-    bound += sum(1 for n in names if n in last_bad)
+    # front-loaded urgent queries (last-bad since r12, stale-oracle
+    # since r13) prepend to the ordering, shifting the family head
+    # window by their count
+    urgent = last_bad | registry._stale_oracle_queries()
+    bound += sum(1 for n in names if n in urgent)
     prefix_mods = {registry._QUERIES[n].__module__ for n in names[:bound]}
     assert len(prefix_mods) == n_families, (
         f"first {bound} queries cover {len(prefix_mods)}/{n_families} families"
@@ -208,10 +210,11 @@ def test_registry_front_loads_last_bad_queries():
     against the committed snapshot and with a synthetic last_bad."""
     seen, _, last_bad = registry._previously_sampled()
     names = list(registry.queries())
-    # committed-snapshot behavior: every still-registered last_bad
-    # query sits in the first |last_bad| positions
-    live_bad = [n for n in names if n in last_bad]
-    assert names[: len(live_bad)] == live_bad
+    # committed-snapshot behavior: every still-registered urgent query
+    # (last-bad or stale-oracle) sits in the front block
+    urgent = last_bad | registry._stale_oracle_queries()
+    live_urgent = [n for n in names if n in urgent]
+    assert names[: len(live_urgent)] == live_urgent
     # synthetic: front-loading preserves relative order and membership
     order = ["a", "b", "c", "d", "e"]
     out = registry._front_load_bad(order, {"d", "b"})
@@ -219,3 +222,57 @@ def test_registry_front_loads_last_bad_queries():
     assert registry._front_load_bad(order, set()) == order
     # a last_bad name no longer registered must not be injected
     assert registry._front_load_bad(order, {"zz"}) == order
+
+
+def test_registry_front_loads_oracle_upgraded_queries():
+    """VERDICT r12 #1: last-bad front-loading is blind to oracle
+    UPGRADES — a query whose driver history is all green (or
+    rows-only-clean) but whose oracle class or SQL changed since its
+    last sample must also reach position 0, or the new gate never
+    gets an official row. The snapshot records class + signature at
+    last sample; the registry compares against the live registry."""
+    sigs = registry.oracle_signatures()
+    # synthetic snapshots against the LIVE registry
+    some_oracled = "wordcount"
+    some_rows_only = "ivf_train_codebook"
+    assert some_oracled in sigs and some_rows_only not in sigs
+
+    # class upgrade: last sampled rows-only, now oracled
+    snap = {"last_class": {some_oracled: "rows_only"}, "oracle_sig": {}}
+    assert some_oracled in registry._stale_oracle_queries(snap)
+    # class downgrade: last sampled oracled, now rows-only
+    snap = {"last_class": {some_rows_only: "oracled"}, "oracle_sig": {}}
+    assert some_rows_only in registry._stale_oracle_queries(snap)
+    # signature drift: same class, rewritten SQL
+    snap = {
+        "last_class": {some_oracled: "oracled"},
+        "oracle_sig": {some_oracled: "0" * 32},
+    }
+    assert some_oracled in registry._stale_oracle_queries(snap)
+    # agreement: nothing stale
+    snap = {
+        "last_class": {some_oracled: "oracled", some_rows_only: "rows_only"},
+        "oracle_sig": {some_oracled: sigs[some_oracled]},
+    }
+    assert registry._stale_oracle_queries(snap) == set()
+    # stale_seed is honored but never injects unregistered names
+    snap = {"stale_seed": [some_oracled, "zz"], "last_class": {}, "oracle_sig": {}}
+    assert registry._stale_oracle_queries(snap) == {some_oracled}
+    # empty snapshot (fresh checkout): no stale set
+    assert registry._stale_oracle_queries({}) == set()
+
+    # signature is whitespace-insensitive: a reformat is not a rewrite
+    import hashlib
+
+    sql = registry._ORACLES[some_oracled]
+    reformatted = "\n   ".join(sql.split())
+    assert (
+        hashlib.md5(" ".join(reformatted.split()).encode()).hexdigest()
+        == sigs[some_oracled]
+    )
+
+    # committed-snapshot behavior this round: the r12-rewritten /
+    # r13-fold-fixed oracles are live-stale until officially resampled
+    live = registry._stale_oracle_queries()
+    committed_seed = registry._load_snapshot().get("stale_seed", [])
+    assert set(committed_seed) <= live
