@@ -135,6 +135,11 @@ HEADLINE = [
     # product-quantization sibling.
     "kmeans_lattice_census",
     "pq_lattice_census",
+    # round 13: the two inferred-filter-through-exchange postmortem
+    # queries (docs/SCALE.md r13) — in the headline so the fix stays
+    # measured: 41.4->2.1 s and 8.1->1.5 s warm at sf0.1.
+    "decontaminate_benchmark_overlap",
+    "bigram_pmi_top",
 ]
 
 # Primary input table per headline query, for input-rows/s throughput.
@@ -160,6 +165,8 @@ PRIMARY_INPUT = {
     "knn_cosine_bruteforce": "embeddings",
     "kmeans_lattice_census": "embeddings",
     "pq_lattice_census": "embeddings",
+    "decontaminate_benchmark_overlap": "documents",
+    "bigram_pmi_top": "documents",
     "text_quality_scores": "documents",
     "multimodal_frame_sample": "documents",
     "mapreduce_wordcount": "documents",

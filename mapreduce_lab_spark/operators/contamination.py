@@ -99,12 +99,27 @@ def benchmark_overlap(docs: DataFrame) -> DataFrame:
     side is a narrow explode→broadcast-hash-join→partial-agg count.
     At 100 TB the corpus never shuffles to discover contamination;
     the only exchange is the per-doc count (map-side combined).
+
+    explode_OUTER, deliberately (r13, the "parity tax" postmortem):
+    a plain explode lets InferFiltersFromGenerate synthesize
+    ``size(ng) > 0`` and push the ENTIRE 8-gram construction below
+    the fan_out exchange onto the parquet scan — where it runs once
+    per branch at the scan's own (single-split) parallelism before
+    the real gram build runs again post-exchange. That, not the md5,
+    was the whole 72 s sim entry: 41.4 s -> 3.9 s warm at
+    sf0.1/local[32] from this one-word change. The outer explode
+    emits a NULL gram for sub-8-token docs; md5(NULL) is NULL and the
+    inner hash-join drops it, so the result is unchanged (the
+    benchmark side's distinct may carry one NULL key that can never
+    equi-match). At 100 TB the inferred filter is equally wasteful —
+    nearly every document has >= 8 tokens, so it filters nothing and
+    doubles the most expensive expression in the plan.
     """
     with_grams = docs.select(
         "doc_id", _bench_gate().alias("is_bench"), ngrams8(F.col("text")).alias("ng")
     )
     hashed = with_grams.select(
-        "doc_id", "is_bench", F.explode("ng").alias("g")
+        "doc_id", "is_bench", F.explode_outer("ng").alias("g")
     ).select("doc_id", "is_bench", hex8_int(F.col("g")).alias("h"))
     bench = hashed.filter("is_bench").select("h").distinct()
     corpus = hashed.filter(~F.col("is_bench")).select("doc_id", "h")

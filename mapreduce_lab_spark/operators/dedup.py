@@ -701,8 +701,13 @@ def simhash(docs: DataFrame) -> DataFrame:
               (s, j) -> if(s > 0, shiftleft(1L, cast(j as int)), 0L)),
               0L, (a, x) -> a + x)"""
     return (
-        docs.select("doc_id", tokenize(F.col("text")).alias("_toks"))
-        .where(F.size("_toks") > 0)
+        # rlike on raw text, not size(tokenize(..)) > 0: the latter
+        # inlines the whole tokenize into a scan-pushed predicate
+        # (evaluated again downstream); "has at least one letter" is
+        # the same condition and is a cheap find-first regex that
+        # SHOULD sit on the scan.
+        docs.where(F.col("text").rlike(r"\p{L}"))
+        .select("doc_id", tokenize(F.col("text")).alias("_toks"))
         .select("doc_id", F.transform(F.col("_toks"), hex8_int).alias("_hashes"))
         .select("doc_id", F.expr(bit_votes).alias("_bits"))
         .select("doc_id", F.expr(to_sig).alias("simhash"))

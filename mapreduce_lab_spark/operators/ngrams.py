@@ -46,9 +46,12 @@ def _bigrams() -> F.Column:
 
 
 def bigram_counts(docs: DataFrame) -> DataFrame:
+    # explode_outer + post-Generate null filter: see bigram_pmi_top —
+    # a size() pre-filter (or plain explode's inferred one) sinks the
+    # bigram construction below the fan_out exchange onto the scan.
     counts = (
-        docs.where(F.size(_bigrams()) > 0)
-        .select(F.explode(_bigrams()).alias("bigram"))
+        docs.select(F.explode_outer(_bigrams()).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .withColumn("w1", F.split("bigram", " ").getItem(0))
@@ -119,9 +122,14 @@ def rare_bigram_rate(docs: DataFrame) -> DataFrame:
     """
     from mapreduce_lab_spark.functions.hashing import hex8_int
 
-    pos = docs.select(
-        "doc_id", F.explode(_bigrams()).alias("bg")
-    ).select("doc_id", hex8_int(F.col("bg")).alias("g"))
+    # explode_outer: a plain explode's inferred size()>0 filter sinks
+    # the bigram construction below the fan_out exchange (see
+    # bigram_pmi_top); with two consumers of `pos` the waste doubles.
+    pos = (
+        docs.select("doc_id", F.explode_outer(_bigrams()).alias("bg"))
+        .where(F.col("bg").isNotNull())
+        .select("doc_id", hex8_int(F.col("bg")).alias("g"))
+    )
     counts = pos.groupBy("g").agg(F.count("*").alias("n_g"))
     return (
         pos.join(counts, "g")
@@ -194,19 +202,25 @@ def bigram_pmi_top(docs: DataFrame) -> DataFrame:
     int64 envelope: c(w1 w2) * n_tokens must fit 2^63 (fine to ~1e9
     bigram count x 1e9 tokens; past that, the DECIMAL(38,0) wide path).
     """
+    # explode_OUTER + post-Generate null filter, not plain explode or
+    # a size()>0 pre-filter: either of those puts the full array
+    # construction into a pushable predicate that Catalyst sinks below
+    # the fan_out exchange, re-evaluating tokenization at the scan's
+    # own (single-split) parallelism (see benchmark_overlap — the same
+    # fix took this query 8.1 s -> 1.5 s warm at sf0.1/local[32]).
     toks = docs.select(
-        F.explode(
+        F.explode_outer(
             F.filter(
                 F.split(F.lower(F.col("text")), r"[^\p{L}]+"),
                 lambda t: t != F.lit(""),
             )
         ).alias("word")
-    )
+    ).where(F.col("word").isNotNull())
     uni = toks.groupBy("word").agg(F.count("*").alias("c_w"))
     total = toks.agg(F.count("*").alias("_n_tokens"))
     bi = (
-        docs.where(F.size(_bigrams()) > 0)
-        .select(F.explode(_bigrams()).alias("bigram"))
+        docs.select(F.explode_outer(_bigrams()).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= PMI_MIN_COUNT)

@@ -66,7 +66,11 @@ def q_pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFram
     # the scoring subtree — the join form re-ran the tokenize/score
     # scan per branch; scripts/audit_scans.py, round 4).
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    scored = docs.join(quality_scores(docs), "doc_id").withColumn(
+    # keep=, not a docs-side self-join on doc_id: the join re-scanned
+    # the table for the raw columns (duplicate lineage the scan audit
+    # bounds); keep= threads lang/text through the single scoring
+    # projection.
+    scored = quality_scores(docs, keep=("lang", "text")).withColumn(
         "h", F.md5("text")
     ).withColumn("n_tokens", F.size(tokenize(F.col("text"))))
     kept = scored.filter(F.col("quality_score") >= QUALITY_THRESHOLD).select(

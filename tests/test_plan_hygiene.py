@@ -188,7 +188,12 @@ def test_audit_lists_name_only_registered_queries():
     registered = set(registry._QUERIES)
     ghosts = [
         n
-        for n in (*BNLJ_AUDITED, *DUP_SCAN_AUDITED, *ROW_PYTHON_AUDITED)
+        for n in (
+            *BNLJ_AUDITED,
+            *DUP_SCAN_AUDITED,
+            *ROW_PYTHON_AUDITED,
+            *HEAVY_FILTER_AUDITED,
+        )
         if n not in registered
     ]
     assert ghosts == [], f"audited names no longer registered: {ghosts}"
@@ -293,6 +298,85 @@ def test_dup_scan_audit_list_not_stale(scan_counts):
         if max(scan_counts[name].values(), default=0) < 4:
             stale.append(name)
     assert stale == [], f"DUP_SCAN_AUDITED entries below 4 live scans now: {stale}"
+
+
+# 5. **No heavyweight array-construction predicates below an
+# exchange.** Catalyst pushes deterministic filters through
+# exchanges, and InferFiltersFromGenerate synthesizes a
+# ``size(arr) > 0`` predicate from every non-outer explode of a
+# computed array — inlining the ENTIRE array construction
+# (tokenize → transform → concat_ws chains) into a Filter that then
+# sinks below the fan_out round-robin exchange onto the scan. The
+# construction then runs at the scan's own parallelism (ONE split on
+# the local fixtures; the round-13 postmortem measured
+# decontaminate_benchmark_overlap at 41.4 s -> 2.1 s warm from this
+# alone) and runs AGAIN post-exchange. The fix pattern is
+# explode_outer + a post-Generate isNotNull filter (or an equivalent
+# cheap predicate on the raw column, e.g. rlike '\\p{L}' instead of
+# size(tokenize(..)) > 0). This sweep walks every plan's tree text
+# and flags Filter nodes BELOW an Exchange whose condition carries a
+# lambdafunction and is large enough to be a construction, not a
+# test. docs/SCALE.md round 13 has the full postmortem.
+HEAVY_FILTER_MIN_LEN = 600
+
+# name -> why the below-exchange heavy predicate is accepted.
+HEAVY_FILTER_AUDITED = {
+    "pipeline_quality_dedup_stats": "the quality threshold IS the "
+    "pipeline's first stage and must precede dedup; its predicate is "
+    "the scoring expression itself, so scan-level eval is a second "
+    "scoring pass at scan parallelism — acceptable (2.1 s warm at "
+    "sf0.1), and at 100 TB fan_out is a no-op so no exchange exists "
+    "to sink below",
+}
+
+
+def _heavy_filters_below_exchange(plan: str) -> list[str]:
+    import re
+
+    info = []
+    for ln in plan.splitlines():
+        m = re.match(r"^([ :+\-*()0-9]*)(.*)$", ln)
+        info.append((len(m.group(1)), m.group(2)))
+    hits = []
+    for i, (d, body) in enumerate(info):
+        if not body.startswith("Exchange"):
+            continue
+        for j in range(i + 1, len(info)):
+            dj, bj = info[j]
+            if dj <= d:
+                break
+            if (
+                bj.startswith("Filter")
+                and "lambdafunction" in bj
+                and len(bj) > HEAVY_FILTER_MIN_LEN
+            ):
+                hits.append(bj[:100])
+    return hits
+
+
+def test_no_heavy_construction_filters_below_exchanges(plans):
+    offenders = {
+        n: hits
+        for n, p in plans.items()
+        if n not in HEAVY_FILTER_AUDITED
+        for hits in [_heavy_filters_below_exchange(p)]
+        if hits
+    }
+    assert offenders == {}, (
+        f"array-construction predicates pushed below an exchange in "
+        f"{sorted(offenders)}; use explode_outer + post-Generate "
+        "isNotNull (or a cheap raw-column predicate) per docs/SCALE.md "
+        "round 13, or audit here with a reason"
+    )
+
+
+def test_heavy_filter_audit_list_not_stale(plans):
+    stale = [
+        n
+        for n in HEAVY_FILTER_AUDITED
+        if n in plans and not _heavy_filters_below_exchange(plans[n])
+    ]
+    assert stale == [], f"HEAVY_FILTER_AUDITED entries no longer needed: {stale}"
 
 
 def test_scan_counts_immune_to_leftover_caches(spark, sf_dir):
