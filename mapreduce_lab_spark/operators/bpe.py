@@ -271,13 +271,13 @@ def _bpe_train_prefix(rounds: int) -> str:
     ),{",".join(_bpe_round_sql(r) for r in range(1, rounds + 1))}"""
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST(round AS INT) AS round, l AS left, r AS right,"
         f" c AS pair_count FROM m{r}"
-        for r in range(1, BPE_ROUNDS + 1)
+        for r in range(1, rounds + 1)
     )
-    return _bpe_train_prefix(BPE_ROUNDS) + "\n" + unions
+    return _bpe_train_prefix(rounds) + "\n" + unions
 
 
 def _bpe_encode_oracle(rounds: int = 6) -> str:
