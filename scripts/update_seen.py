@@ -44,6 +44,10 @@ The snapshot therefore records, per sampled query:
   rewrite, so no signature can witness the change. Seed entries drop
   out automatically once a newer artifact samples the query.
 
+The snapshot construction is the pure function ``build_snapshot``
+(unit-tested in tests/test_harness_strictness.py); ``main`` only
+feeds it the glob, the previous snapshot, and the live registry.
+
 Usage: python scripts/update_seen.py
 """
 
@@ -98,19 +102,16 @@ def _row_class(row: object) -> str | None:
     return None
 
 
-def main() -> None:
-    from mapreduce_lab_spark import registry
-
-    live_sig = registry.oracle_signatures()
-
-    dest = os.path.join(ROOT, "mapreduce_lab_spark", "driver_seen.json")
-    try:
-        with open(dest) as f:
-            prev = json.load(f)
-        if not isinstance(prev, dict):
-            prev = {}
-    except (OSError, ValueError):
-        prev = {}
+def build_snapshot(
+    artifacts: list[tuple[str, dict]],
+    prev: dict,
+    live_sig: dict[str, str],
+    bootstrap_stale: list[str] = _BOOTSTRAP_STALE,
+) -> dict:
+    """Pure snapshot construction. ``artifacts`` is the ordered list of
+    (basename, rows) driver artifacts, oldest first; ``prev`` is the
+    previously committed snapshot (possibly empty / pre-signature);
+    ``live_sig`` is the live registry's oracle_signatures()."""
     prev_sig: dict[str, str] = prev.get("oracle_sig", {})
     prev_sig_art: dict[str, str] = prev.get("sig_artifact", {})
     prev_class: dict[str, str] = prev.get("last_class", {})
@@ -122,20 +123,15 @@ def main() -> None:
     last_status: dict[str, bool] = {}  # name -> bad? (latest artifact wins)
     last_row: dict[str, object] = {}
     last_art: dict[str, str] = {}  # name -> newest artifact containing it
-    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
+    for base, data in artifacts:
+        if not isinstance(data, dict):
             continue
-        if isinstance(data, dict):
-            seen.update(data.keys())
-            base = os.path.basename(path)
-            rounds.append(base)
-            for name, row in data.items():
-                last_status[name] = _row_is_bad(row)
-                last_row[name] = row
-                last_art[name] = base
+        seen.update(data.keys())
+        rounds.append(base)
+        for name, row in data.items():
+            last_status[name] = _row_is_bad(row)
+            last_row[name] = row
+            last_art[name] = base
 
     oracle_sig: dict[str, str] = {}
     sig_artifact: dict[str, str] = {}
@@ -157,7 +153,7 @@ def main() -> None:
             sig_artifact[name] = last_art[name]
 
     if migrating:
-        stale_seed = [n for n in _BOOTSTRAP_STALE if n in seen]
+        stale_seed = [n for n in bootstrap_stale if n in seen]
     else:
         new_artifacts = set(rounds) - prev_artifacts
         stale_seed = [
@@ -166,7 +162,7 @@ def main() -> None:
             if last_art.get(n) not in new_artifacts
         ]
 
-    out = {
+    return {
         "rounds": len(rounds),
         "source_artifacts": rounds,
         "seen": sorted(seen),
@@ -176,12 +172,38 @@ def main() -> None:
         "sig_artifact": sig_artifact,
         "stale_seed": stale_seed,
     }
+
+
+def main() -> None:
+    from mapreduce_lab_spark import registry
+
+    live_sig = registry.oracle_signatures()
+
+    dest = os.path.join(ROOT, "mapreduce_lab_spark", "driver_seen.json")
+    try:
+        with open(dest) as f:
+            prev = json.load(f)
+        if not isinstance(prev, dict):
+            prev = {}
+    except (OSError, ValueError):
+        prev = {}
+
+    artifacts: list[tuple[str, dict]] = []
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                artifacts.append((os.path.basename(path), json.load(f)))
+        except (OSError, ValueError):
+            continue
+
+    out = build_snapshot(artifacts, prev, live_sig)
     with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(
-        f"wrote {dest}: {len(seen)} seen queries over {len(rounds)} rounds; "
-        f"last_bad={out['last_bad']} stale_seed={stale_seed}"
+        f"wrote {dest}: {len(out['seen'])} seen queries over "
+        f"{out['rounds']} rounds; last_bad={out['last_bad']} "
+        f"stale_seed={out['stale_seed']}"
     )
 
 

@@ -276,3 +276,67 @@ def test_registry_front_loads_oracle_upgraded_queries():
     live = registry._stale_oracle_queries()
     committed_seed = registry._load_snapshot().get("stale_seed", [])
     assert set(committed_seed) <= live
+
+
+def test_update_seen_snapshot_rules():
+    """The producer side of the stale-oracle mechanism
+    (scripts/update_seen.py::build_snapshot): signatures refresh ONLY
+    when a NEW artifact samples the query; seed entries drop once
+    resampled; classes come from the last row with crash carry-over."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from update_seen import build_snapshot
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    ro = {"rows_match": None, "schema_match": None, "hash_match": None,
+          "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
+    crash = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": None, "oracle_rows": None, "err": "boom"}
+
+    live = {"a": "sigA2", "b": "sigB1", "c": "sigC1"}
+
+    # Migration from a signature-less snapshot: sigs bootstrap to live,
+    # seed = bootstrap list ∩ seen, rows-only class recorded from row.
+    snap1 = build_snapshot(
+        [("r1.json", {"a": ok, "b": ro})],
+        prev={"seen": ["a", "b"], "rounds": 1},
+        live_sig=live,
+        bootstrap_stale=["a", "zz"],
+    )
+    assert snap1["stale_seed"] == ["a"]
+    assert snap1["last_class"] == {"a": "oracled", "b": "rows_only"}
+    assert snap1["oracle_sig"] == {"a": "sigA2", "b": "sigB1"}
+    assert snap1["sig_artifact"] == {"a": "r1.json", "b": "r1.json"}
+    assert snap1["last_bad"] == []
+
+    # No new artifact: signatures and seed carry verbatim, even though
+    # the live registry has moved (that skew IS the front-load signal).
+    snap2 = build_snapshot(
+        [("r1.json", {"a": ok, "b": ro})],
+        prev={**snap1, "oracle_sig": {"a": "sigA1", "b": "sigB1"}},
+        live_sig=live,
+    )
+    assert snap2["oracle_sig"]["a"] == "sigA1"  # NOT refreshed to sigA2
+    assert snap2["stale_seed"] == ["a"]
+
+    # New artifact samples a and c: a's sig refreshes to live and its
+    # seed entry drops; b (unsampled) carries; c bootstraps; a crash
+    # row keeps the previous class and flags last_bad.
+    snap3 = build_snapshot(
+        [("r1.json", {"a": ok, "b": ro}), ("r2.json", {"a": crash, "c": ok})],
+        prev={**snap2, "oracle_sig": {"a": "sigA1", "b": "sigB1"}},
+        live_sig=live,
+    )
+    assert snap3["oracle_sig"]["a"] == "sigA2"  # refreshed (new artifact)
+    assert snap3["sig_artifact"]["a"] == "r2.json"
+    assert snap3["stale_seed"] == []  # a was resampled -> seed drops
+    assert snap3["oracle_sig"]["b"] == "sigB1"
+    assert snap3["last_class"] == {
+        "a": "oracled",  # crash row -> carried from snap2
+        "b": "rows_only",
+        "c": "oracled",
+    }
+    assert snap3["last_bad"] == ["a"]
