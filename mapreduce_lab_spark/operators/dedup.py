@@ -867,25 +867,35 @@ def cosine(va: Column, vb: Column) -> Column:
     return dot / F.sqrt(F.col("norm_a") * F.col("norm_b"))
 
 
-_O_DOT = "list_reduce([ea[i] * eb[i] for i in range(1, len(ea) + 1)], (x, y) -> x + y)"
-_O_NORM = "list_reduce([{e}[i] * {e}[i] for i in range(1, len({e}) + 1)], (x, y) -> x + y)"
+# Native list_dot_product, not the round-5 LATERAL-wrapped
+# list_reduce([..*..]) comprehension fold: on this DuckDB build the
+# two are BIT-IDENTICAL (sequential scalar accumulation — verified
+# exact-equal over every sf0.1 embedding pair and pinned in
+# tests/test_cross_engine_primitives.py), and the LATERAL-per-pair
+# plan plus the lambda-evaluated list materialization were the whole
+# cost of the quadratic recall-baseline oracle: 29 s -> 0.2 s at
+# sf0.1 after the rewrite (the r13 slow report's one >20 s entry).
+# The Spark side keeps its F.aggregate left fold; equality at full
+# double precision is what the pin guards. _O_DOT assumes the pair
+# sides are aliased a/b with vector column v, the convention of every
+# consumer below.
+_O_DOT = "list_dot_product(a.v, b.v)"
+_O_NORM = "list_dot_product({e}, {e})"
 
 
 @query(
     "near_dup_embedding_cosine",
     oracle=f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), n AS (
+    ), n AS MATERIALIZED (
       SELECT vec_id, v, {_O_NORM.format(e='v')} AS norm FROM e
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(sub.dot / sqrt(a.norm * b.norm), 6) AS cosine
-    FROM n a, n b,
-         LATERAL (SELECT {_O_DOT} AS dot
-                  FROM (SELECT a.v AS ea, b.v AS eb)) sub
+           round({_O_DOT} / sqrt(a.norm * b.norm), 6) AS cosine
+    FROM n a, n b
     WHERE a.vec_id < b.vec_id
-      AND sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+      AND {_O_DOT} / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
     """,
 )
 def q_near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,9 +992,9 @@ def _oracle_rp_bands() -> str:
 
 # Shared CTE prefix for the random-hyperplane LSH oracles: banded
 # sign-bit signatures -> candidate pairs (no cosine verify yet).
-_RP_CAND_CTE = f"""e AS (
+_RP_CAND_CTE = f"""e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), n AS (
+    ), n AS MATERIALIZED (
       SELECT vec_id, v, {_O_NORM.format(e='v')} AS norm FROM e
     ), bands AS (
       {_oracle_rp_bands()}
@@ -1011,13 +1021,11 @@ _RP_CAND_CTE = f"""e AS (
     oracle=f"""
     WITH {_RP_CAND_CTE}
     SELECT vec_a, vec_b,
-           round(sub.dot / sqrt(a.norm * b.norm), 6) AS cosine
+           round({_O_DOT} / sqrt(a.norm * b.norm), 6) AS cosine
     FROM cand
     JOIN n a ON a.vec_id = cand.vec_a
-    JOIN n b ON b.vec_id = cand.vec_b,
-    LATERAL (SELECT {_O_DOT} AS dot
-             FROM (SELECT a.v AS ea, b.v AS eb)) sub
-    WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+    JOIN n b ON b.vec_id = cand.vec_b
+    WHERE {_O_DOT} / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
     """,
 )
 def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,10 +1130,8 @@ def embedding_lsh_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_a, vec_b
       FROM cand
       JOIN n a ON a.vec_id = cand.vec_a
-      JOIN n b ON b.vec_id = cand.vec_b,
-      LATERAL (SELECT {_O_DOT} AS dot
-               FROM (SELECT a.v AS ea, b.v AS eb)) sub
-      WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+      JOIN n b ON b.vec_id = cand.vec_b
+      WHERE {_O_DOT} / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
     ), edges AS MATERIALIZED (
       -- MATERIALIZED is load-bearing: the recursive closure below
       -- scans edges once per iteration, and an inlined edges would
@@ -1181,19 +1187,15 @@ def q_near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT vec_a, vec_b
       FROM cand
       JOIN n a ON a.vec_id = cand.vec_a
-      JOIN n b ON b.vec_id = cand.vec_b,
-      LATERAL (SELECT {_O_DOT} AS dot
-               FROM (SELECT a.v AS ea, b.v AS eb)) sub
-      WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+      JOIN n b ON b.vec_id = cand.vec_b
+      WHERE {_O_DOT} / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
     ), exactp AS MATERIALIZED (
       -- MATERIALIZED: four subselects below read these; inlined, the
-      -- O(n^2) interpreted-dot baseline would run once per subselect
+      -- O(n^2) baseline would run once per subselect
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM n a, n b,
-           LATERAL (SELECT {_O_DOT} AS dot
-                    FROM (SELECT a.v AS ea, b.v AS eb)) sub
+      FROM n a, n b
       WHERE a.vec_id < b.vec_id
-        AND sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+        AND {_O_DOT} / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
     )
     SELECT (SELECT count(*) FROM exactp) AS n_exact,
            (SELECT count(*) FROM lshp) AS n_lsh,

@@ -600,10 +600,8 @@ _IVF_PINNED_ORACLE = f"""
       SELECT vec_a, vec_b
       FROM cand
       JOIN reps a ON a.vec_id = cand.vec_a
-      JOIN reps b ON b.vec_id = cand.vec_b,
-      LATERAL (SELECT {_O_DOT} AS dot
-               FROM (SELECT a.v AS ea, b.v AS eb)) sub
-      WHERE sub.dot / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
+      JOIN reps b ON b.vec_id = cand.vec_b
+      WHERE {_O_DOT} / sqrt(a.norm * b.norm) >= {COSINE_THRESHOLD}
     ), edges AS MATERIALIZED (
       -- MATERIALIZED (like cand/pairs above) is load-bearing: the
       -- label-doubling rounds below each reference edges, and an

@@ -149,3 +149,83 @@ def test_units_and_ratio_parity_fuzz(spark, rows):
     finally:
         con.close()
     assert got == [tuple(r) for r in exp]
+
+
+# --- dot-product twins (round 13) ------------------------------------------
+#
+# The embedding oracles replaced their LATERAL-wrapped list_reduce
+# comprehension fold with DuckDB's native list_dot_product (29 s ->
+# 0.2 s on the quadratic recall baseline at sf0.1). That swap is only
+# sound if the native kernel accumulates in the SAME sequential
+# left-to-right order as both the old fold and the Spark side's
+# F.aggregate — an engine upgrade that vectorizes with a different
+# association order would silently break hash parity at full double
+# precision. These pins fail first.
+
+
+def _py_fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e3, 1e3, allow_nan=False, width=64),
+            st.floats(-1e3, 1e3, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=96,
+    )
+)
+def test_duckdb_list_dot_product_is_sequential_fold(vec):
+    """list_dot_product == the list_reduce fold == a Python left fold,
+    EXACTLY (no rounding), on random doubles — catastrophic
+    cancellation included, which is where association order shows."""
+    a = [x for x, _ in vec]
+    b = [y for _, y in vec]
+    con = duckdb.connect()
+    try:
+        con.register("t", pd.DataFrame({"a": [a], "b": [b]}))
+        native, fold = con.execute(
+            "SELECT list_dot_product(a, b),"
+            " list_reduce([a[i] * b[i] for i in range(1, len(a) + 1)],"
+            "             (x, y) -> x + y) FROM t"
+        ).fetchone()
+    finally:
+        con.close()
+    assert native == fold == _py_fold_dot(a, b)
+
+
+def test_spark_fold_matches_duckdb_native_dot_on_fixtures(spark, sf_dir):
+    """The Spark F.aggregate left fold (the engine side of every
+    cosine) vs DuckDB list_dot_product on the REAL embeddings table:
+    self-dot (norm) of every vector, exact equality."""
+    from mapreduce_lab_spark.operators.dedup import _dvec, _fold_sum
+    from mapreduce_lab_spark.sources.tables import load_table
+    from mapreduce_lab_spark.testing import duckdb_connect
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    got = {
+        r["vec_id"]: r["norm"]
+        for r in e.select(
+            "vec_id",
+            _fold_sum(F.zip_with("v", "v", lambda x, y: x * y)).alias("norm"),
+        ).collect()
+    }
+    con = duckdb_connect(sf_dir)
+    try:
+        exp = dict(
+            con.execute(
+                "SELECT vec_id, list_dot_product(embedding::DOUBLE[],"
+                " embedding::DOUBLE[]) FROM embeddings"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == exp
