@@ -39,7 +39,12 @@ LSH_BITS = 4  # 16 buckets
 # query set multiplies it back toward quadratic.
 KNN_BRUTEFORCE_MAX_COMPARISONS = 1_000_000_000
 
-_O_FOLD = "list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], (x, y) -> x + y)"
+# Native list_dot_product: bit-identical to the list_reduce
+# comprehension fold on this DuckDB build (sequential scalar
+# accumulation — pinned in tests/test_cross_engine_primitives.py,
+# same rationale as operators/dedup.py's _O_DOT) and much faster
+# than per-pair lambda-list materialization.
+_O_FOLD = "list_dot_product({a}, {b})"
 
 
 def _with_norm(e: DataFrame) -> DataFrame:
