@@ -72,7 +72,8 @@ rows per the r10 driver-canonicalizer postmortem).
 
 Driver-side actions in index construction — all scalar/metadata, the
 same class as ``connected_components``' convergence signature: one
-count() (sizes K1), one first() (reads the dimensionality).
+count() (sizes K1), one max(size) aggregate (reads the
+dimensionality order-independently; ADVICE r12).
 """
 
 from __future__ import annotations
@@ -242,8 +243,10 @@ def build_ivf_index(
         return hit
     reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
     n = reps.count()  # scalar: sizes the codebook
-    first = reps.select(F.size("v").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 2
+    # max(size), not an arbitrary first() row: order-independent under
+    # non-uniform dimensionality (ADVICE r12, same fix as clustering).
+    dmax = reps.agg(F.max(F.size("v"))).first()[0]
+    dim = int(dmax) if dmax is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / target_cell)))
     cent = train_codebooks(reps, n, k1, dim)
     _IVF_INDEX_CACHE[key] = (reps, cent, dim)
@@ -659,8 +662,10 @@ def ivf_pinned_pair_table(
         return hit
     reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
     n = reps.count()  # scalar: sizes the codebook
-    first = reps.select(F.size("v").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 2
+    # max(size), not an arbitrary first() row: order-independent under
+    # non-uniform dimensionality (ADVICE r12, same fix as clustering).
+    dmax = reps.agg(F.max(F.size("v"))).first()[0]
+    dim = int(dmax) if dmax is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
     cent = init_codebooks(_half_subvectors(_train_sample(reps, n, k1), dim), k1)
     # Candidate dedup BEFORE the fold verify (the opposite of the GEMM
@@ -829,8 +834,10 @@ def q_ivf_init_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     reps = collapse_identical_vectors(spark, sf_dir)
     n = reps.count()  # scalar: sizes the codebook
-    first = reps.select(F.size("v").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 2
+    # max(size), not an arbitrary first() row: order-independent under
+    # non-uniform dimensionality (ADVICE r12, same fix as clustering).
+    dmax = reps.agg(F.max(F.size("v"))).first()[0]
+    dim = int(dmax) if dmax is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
     cent = init_codebooks(_half_subvectors(_train_sample(reps, n, k1), dim), k1)
     return cent.select("sub", "cid", F.posexplode("cv").alias("dim_idx", "value"))
@@ -964,8 +971,9 @@ def q_ivf_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n = base.count()  # scalar: sizes the frozen codebook
-    first = base.select(F.size("v").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 2
+    # max(size), not first(): see the codebook sites above.
+    dmax = base.agg(F.max(F.size("v"))).first()[0]
+    dim = int(dmax) if dmax is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
     cent = init_codebooks(_half_subvectors(_train_sample(base, n, k1), dim), k1)
     # Frozen-codebook assignment is a pure per-row function of the
