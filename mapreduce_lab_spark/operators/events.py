@@ -305,7 +305,22 @@ def asof_join_cogroup(events: DataFrame) -> DataFrame:
     the union+running-last composition for that — but the right one
     when the per-key logic is genuinely imperative.
     """
-    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    # Fresh attribute ids on the view side (alias-project + subquery
+    # alias), because both cogroup children derive from ONE events
+    # scan: with shared expression ids, Catalyst's self-cogroup
+    # attribute deduplication interacts with column pruning so that
+    # any consumer that references none of the output columns (a bare
+    # count(), a cached count, a subset write) prunes the RIGHT
+    # child's non-grouping columns — the UDF then receives a views
+    # frame containing only user_id and crashes on pdf_v["ts"].
+    # Column-referencing consumers (collect, the parity harness, the
+    # driver compare) never trip it, which is how the defect stayed
+    # latent through twelve rounds; tests/test_cogroup_pruning.py pins
+    # the count() path now. Re-aliasing breaks the id sharing, so the
+    # dedup never fires and the cogroup's child references survive.
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("ts")
+    ).alias("asof_view_side")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
