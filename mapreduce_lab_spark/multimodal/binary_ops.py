@@ -1229,23 +1229,32 @@ def _mulaw_sample_sql(k: str) -> str:
 
 
 def _mulaw_oracle() -> str:
-    dec, byte = _mulaw_oracle_exprs(_mulaw_sample_sql("k"))
-    x = _mulaw_sample_sql("k")
+    # Unnest k to rows, STAGE the 16-bit sample as a column, and
+    # aggregate with plain vectorized CASE expressions. The round-5
+    # form ran three list_transform lambdas per document, each
+    # re-deriving the sample (ascii(substr(..))) inside every arm of
+    # the companding CASE chain — ~dozens of substr calls per sample,
+    # 17 s at sf0.1 and the r13 slow report's #2 entry. Staging x
+    # once per row leaves only integer CASE arithmetic in the
+    # aggregates (~2 s). Expressions are value-identical; the
+    # aggregates are order-free integer sum/max, so results are exact.
+    dec, byte = _mulaw_oracle_exprs("x")
     return f"""
-    WITH base AS (
+    WITH base AS MATERIALIZED (
         SELECT doc_id, text,
                greatest(octet_length(encode(text)), 1) AS n
         FROM documents
+    ), ks AS (
+        SELECT doc_id, {_mulaw_sample_sql("k")} AS x
+        FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS k FROM base)
     )
     SELECT doc_id,
-           CAST(n AS BIGINT) AS n_samples,
-           CAST(list_sum(list_transform(range(1, n + 1),
-                k -> {dec})) AS BIGINT) AS decoded_sum,
-           CAST(list_max(list_transform(range(1, n + 1),
-                k -> abs({dec} - {x}))) AS BIGINT) AS max_abs_err,
-           CAST(list_sum(list_transform(range(1, n + 1),
-                k -> {byte})) AS BIGINT) AS byte_sum
-    FROM base
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum({dec}) AS BIGINT) AS decoded_sum,
+           CAST(max(abs({dec} - x)) AS BIGINT) AS max_abs_err,
+           CAST(sum({byte}) AS BIGINT) AS byte_sum
+    FROM ks
+    GROUP BY doc_id
     """
 
 
