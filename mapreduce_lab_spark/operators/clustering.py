@@ -40,7 +40,7 @@ K_CLUSTERS = 8
 N_ITERS = 4
 
 
-def _sq_dist(va: str, vb: str) -> Column:
+def _sq_dist(va: str | Column, vb: str | Column) -> Column:
     d = F.zip_with(va, vb, lambda x, y: (x - y) * (x - y))
     return F.aggregate(d, F.lit(0.0), lambda a, x: a + x)
 
@@ -51,23 +51,41 @@ def assign_nearest(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     pts: (vec_id, v); centroids: (centroid_id, cv).
     Returns (vec_id, v, centroid_id, d).
     """
-    # Argmin as a partial-aggregable min(struct): (d, centroid_id) is
-    # unique per candidate, so lexicographic struct-min reproduces the
-    # (asc d, asc id) tie-break of a rank window EXACTLY — but the
-    # map side collapses the K candidate rows to one per vec_id
-    # before the exchange (n rows shuffled, not K*n) and no
-    # per-partition sort is needed. Same pattern as the IVF lane's
-    # broadcast argmin (semantic_ivf.py); round-12 plan upgrade, the
-    # shuffle term that dominated this lane at 100 TB.
-    scored = pts.crossJoin(F.broadcast(centroids)).withColumn("d", _sq_dist("v", "cv"))
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("d", "centroid_id", "v")).alias("b")
+    # Collected-codebook argmin (round-13, guide §2.4): the K
+    # centroids collapse to ONE row (collect_list of structs)
+    # broadcast against the corpus; per-row argmin is an array_sort
+    # over the K (d, centroid_id) structs — the same (asc d, asc id)
+    # order as the previous min(struct) groupBy, but with NO exchange
+    # at all: assignment is pure scan-side work. The round-12 shape
+    # (crossJoin to K rows + min(struct) groupBy) still paid a
+    # full-corpus Sort + SortAggregate + Exchange(vec_id) per round
+    # because struct-min cannot hash-aggregate. Same pattern as
+    # semantic_ivf.ivf_postings' broadcast model artifact.
+    cb = centroids.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cb"))
+    best = F.get(
+        F.array_sort(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    _sq_dist(F.col("v"), c.getField("cv")).alias("d"),
+                    c.getField("centroid_id").alias("centroid_id"),
+                ),
+            )
+        ),
+        0,
     )
-    return best.select(
-        "vec_id",
-        F.col("b.v").alias("v"),
-        F.col("b.centroid_id").alias("centroid_id"),
-        F.col("b.d").alias("d"),
+    return (
+        pts.crossJoin(F.broadcast(cb))
+        .withColumn("b", best)
+        # Empty-codebook guard: an empty cb gives NULL b; the old
+        # crossJoin against a 0-row centroid frame emitted no rows.
+        .where(F.col("b").isNotNull())
+        .select(
+            "vec_id",
+            "v",
+            F.col("b.centroid_id").alias("centroid_id"),
+            F.col("b.d").alias("d"),
+        )
     )
 
 
@@ -216,44 +234,69 @@ def _lattice_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lattice_dist(qc: str, mc: str) -> Column:
+def _lattice_dist(qc: str | Column, mc: str | Column) -> Column:
     diffs = F.zip_with(qc, mc, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def _lattice_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
-    # same broadcast-argmin shape as assign_nearest: exact-integer
-    # (d, cid) struct-min == (asc d, asc cid) rank, with map-side
-    # combine and no window sort
-    scored = pts.crossJoin(F.broadcast(cent)).withColumn(
-        "d", _lattice_dist("q", "m")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("d", "cid", "q")).alias("b")
-    )
-    return best.select(
-        "vec_id",
-        F.col("b.q").alias("q"),
-        F.col("b.cid").alias("cid"),
-        F.col("b.d").alias("d"),
-    )
-
-
-def _lattice_update(assigned: DataFrame) -> DataFrame:
-    return (
-        assigned.select("cid", F.posexplode("q").alias("pos", "x"))
-        .groupBy("cid", "pos")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
-        .select(
-            "cid", "pos", F.call_function("div", F.col("s"), F.col("c")).alias("mv")
-        )
-        .groupBy("cid")
-        .agg(
+    # Collected-codebook argmin (see assign_nearest): exact-integer
+    # (asc d, asc cid) order via array_sort over the K candidate
+    # structs, zero exchanges — the round-12 min(struct) groupBy shape
+    # paid a full-corpus Sort + SortAggregate + Exchange per round.
+    cb = cent.agg(F.collect_list(F.struct("cid", "m")).alias("cb"))
+    best = F.get(
+        F.array_sort(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s["mv"],
-            ).alias("m")
+                F.col("cb"),
+                lambda c: F.struct(
+                    _lattice_dist(F.col("q"), c.getField("m")).alias("d"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ),
+        0,
+    )
+    return (
+        pts.crossJoin(F.broadcast(cb))
+        .withColumn("b", best)
+        # empty-codebook guard (matches the old 0-row crossJoin)
+        .where(F.col("b").isNotNull())
+        .select(
+            "vec_id", "q", F.col("b.cid").alias("cid"), F.col("b.d").alias("d")
         )
+    )
+
+
+def _lattice_update(assigned: DataFrame, dim: int) -> DataFrame:
+    # Per-index partial sums (round-13): one hash aggregation keyed by
+    # cid carrying 2·dim map-side-combinable sums/counts replaces the
+    # posexplode (a dim-fold row blowup), its (cid, pos) exchange, AND
+    # the second collect_list groupBy — one K-row exchange per round
+    # instead of two, no row multiplication. F.get is null-safe for
+    # positions beyond a row's length, and F.count skips those nulls,
+    # so per-position sums/counts match the old posexplode exactly;
+    # the null-position filter mirrors "no (cid, pos) row" for
+    # positions absent from an entire cluster. Integer floor-division
+    # per position is unchanged — results are byte-identical (the
+    # DuckDB unrolled twin re-verified green).
+    aggs: list[Column] = []
+    for i in range(dim):
+        x = F.get("q", i)
+        aggs.append(F.sum(x).alias(f"s{i}"))
+        # count POSITION EXISTENCE (i < len), not non-null values:
+        # posexplode emitted a row for an in-range null element too
+        aggs.append(F.count(F.when(F.size("q") > i, 1)).alias(f"c{i}"))
+    mv = F.array(
+        *[
+            F.call_function("div", F.col(f"s{i}"), F.col(f"c{i}"))
+            for i in range(dim)
+        ]
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(*aggs)
+        .select("cid", F.filter(mv, lambda x: x.isNotNull()).alias("m"))
     )
 
 
@@ -334,11 +377,16 @@ def q_kmeans_lattice_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows+schema+hash gate (unlike the float lane, whose avg() makes
     that impossible by construction)."""
     pts = _lattice_points(spark, sf_dir)
+    # one bounded-scalar job: the per-index update aggregation needs
+    # the (max) dimensionality up front (order-independent, same
+    # max(size) discipline as the PQ/IVF builders)
+    dmax = pts.agg(F.max(F.size("q"))).first()[0]
+    dim = int(dmax) if dmax else 1
     cent = pts.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("m")
     )
     for _ in range(N_ITERS):
-        cent = _lattice_update(_lattice_assign(pts, cent)).localCheckpoint()
+        cent = _lattice_update(_lattice_assign(pts, cent), dim).localCheckpoint()
     final = _lattice_assign(pts, cent)
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -627,7 +675,7 @@ def q_ann_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds exactly like the lattice-Lloyd/BPE/Markov oracles.
 
 
-def _pq_lattice_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_lattice_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     pts = _lattice_points(spark, sf_dir)
     # Order-independent width, matching the oracle's
     # greatest(1, max(len(q)) // PQ_M): an arbitrary first() row is
@@ -637,40 +685,62 @@ def _pq_lattice_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = int(dmax) if dmax is not None else PQ_M
     width = max(1, dim // PQ_M)
     slices = F.array(*[F.slice("q", s * width + 1, width) for s in range(PQ_M)])
-    return pts.select("vec_id", F.posexplode(slices).alias("sub", "sq"))
+    return pts.select("vec_id", F.posexplode(slices).alias("sub", "sq")), width
 
 
 def _pq_lattice_assign(subv: DataFrame, cent: DataFrame) -> DataFrame:
-    scored = subv.join(F.broadcast(cent), "sub").withColumn(
-        "d", _lattice_dist("sq", "m")
-    )
-    best = scored.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("d", "cid", "sq")).alias("b")
-    )
-    return best.select(
-        "vec_id", "sub",
-        F.col("b.sq").alias("sq"),
-        F.col("b.cid").alias("cid"),
-        F.col("b.d").alias("d"),
-    )
-
-
-def _pq_lattice_update(assigned: DataFrame) -> DataFrame:
-    return (
-        assigned.select("sub", "cid", F.posexplode("sq").alias("pos", "x"))
-        .groupBy("sub", "cid", "pos")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
-        .select(
-            "sub", "cid", "pos",
-            F.call_function("div", F.col("s"), F.col("c")).alias("mv"),
-        )
-        .groupBy("sub", "cid")
-        .agg(
+    # Collected-codebook argmin, per-subspace: the whole (sub, cid, m)
+    # codebook collapses to one broadcast row; each row filters its
+    # own subspace's entries out of the array and argmins over them —
+    # zero exchanges, where the round-12 broadcast join + min(struct)
+    # groupBy still paid a Sort + SortAggregate + Exchange(vec_id,
+    # sub) of the full subvector frame per round.
+    cb = cent.agg(F.collect_list(F.struct("sub", "cid", "m")).alias("cb"))
+    best = F.get(
+        F.array_sort(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s["mv"],
-            ).alias("m")
+                F.filter(
+                    F.col("cb"), lambda c: c.getField("sub") == F.col("sub")
+                ),
+                lambda c: F.struct(
+                    _lattice_dist(F.col("sq"), c.getField("m")).alias("d"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ),
+        0,
+    )
+    return (
+        subv.crossJoin(F.broadcast(cb))
+        .withColumn("b", best)
+        # empty-subspace guard (matches the old inner join's drop)
+        .where(F.col("b").isNotNull())
+        .select(
+            "vec_id", "sub", "sq",
+            F.col("b.cid").alias("cid"),
+            F.col("b.d").alias("d"),
         )
+    )
+
+
+def _pq_lattice_update(assigned: DataFrame, width: int) -> DataFrame:
+    # Per-index partial sums keyed by (sub, cid) — see _lattice_update
+    # for the exact-equivalence argument; width = the subvector length.
+    aggs: list[Column] = []
+    for i in range(width):
+        x = F.get("sq", i)
+        aggs.append(F.sum(x).alias(f"s{i}"))
+        aggs.append(F.count(F.when(F.size("sq") > i, 1)).alias(f"c{i}"))
+    mv = F.array(
+        *[
+            F.call_function("div", F.col(f"s{i}"), F.col(f"c{i}"))
+            for i in range(width)
+        ]
+    )
+    return (
+        assigned.groupBy("sub", "cid")
+        .agg(*aggs)
+        .select("sub", "cid", F.filter(mv, lambda x: x.isNotNull()).alias("m"))
     )
 
 
@@ -759,12 +829,14 @@ def q_pq_lattice_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg() class). Driver scalar: one first() reading the
     dimensionality, the same bounded-metadata class as the IVF
     builders."""
-    subv = _pq_lattice_frames(spark, sf_dir)
+    subv, width = _pq_lattice_frames(spark, sf_dir)
     cent = subv.filter(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").alias("cid"), F.col("sq").alias("m")
     )
     for _ in range(PQ_ITERS):
-        cent = _pq_lattice_update(_pq_lattice_assign(subv, cent)).localCheckpoint()
+        cent = _pq_lattice_update(
+            _pq_lattice_assign(subv, cent), width
+        ).localCheckpoint()
     final = _pq_lattice_assign(subv, cent)
     return final.groupBy("sub", "cid").agg(
         F.count(F.lit(1)).alias("n_members"),
