@@ -53,33 +53,45 @@ def assign_nearest(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     """
     # Collected-codebook argmin (round-13, guide §2.4): the K
     # centroids collapse to ONE row (collect_list of structs)
-    # broadcast against the corpus; per-row argmin is an array_sort
-    # over the K (d, centroid_id) structs — the same (asc d, asc id)
-    # order as the previous min(struct) groupBy, but with NO exchange
-    # at all: assignment is pure scan-side work. The round-12 shape
-    # (crossJoin to K rows + min(struct) groupBy) still paid a
-    # full-corpus Sort + SortAggregate + Exchange(vec_id) per round
-    # because struct-min cannot hash-aggregate. Same pattern as
-    # semantic_ivf.ivf_postings' broadcast model artifact.
+    # broadcast against the corpus; per-row argmin is a transform
+    # (each distance computed exactly once) followed by a running-min
+    # fold over the K (d, centroid_id) structs — the same (asc d,
+    # asc id) tie-break as the previous min(struct) groupBy, but with
+    # NO exchange at all: assignment is pure scan-side work. The
+    # round-12 shape (crossJoin to K rows + min(struct) groupBy) paid
+    # a full-corpus Sort + SortAggregate + Exchange(vec_id) per round
+    # because struct-min cannot hash-aggregate. A fold, not
+    # array_sort: the measured sf0.1 sweep (docs/SCALE.md r13) has
+    # the O(K) fold beating the O(K log K) sort-of-structs per row.
+    # Same pattern as semantic_ivf.ivf_postings' broadcast artifact.
     cb = centroids.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cb"))
-    best = F.get(
-        F.array_sort(
-            F.transform(
-                F.col("cb"),
-                lambda c: F.struct(
-                    _sq_dist(F.col("v"), c.getField("cv")).alias("d"),
-                    c.getField("centroid_id").alias("centroid_id"),
-                ),
-            )
+    scored = F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
+            _sq_dist(F.col("v"), c.getField("cv")).alias("d"),
+            c.getField("centroid_id").alias("centroid_id"),
         ),
-        0,
+    )
+    best = F.aggregate(
+        scored,
+        F.lit(None).cast("struct<d:double,centroid_id:bigint>"),
+        lambda acc, s: F.when(
+            acc.isNull()
+            | (s.getField("d") < acc.getField("d"))
+            | (
+                (s.getField("d") == acc.getField("d"))
+                & (s.getField("centroid_id") < acc.getField("centroid_id"))
+            ),
+            s,
+        ).otherwise(acc),
     )
     return (
         pts.crossJoin(F.broadcast(cb))
+        # Empty-codebook guard: matches the old crossJoin against a
+        # 0-row centroid frame, which emitted no rows. Checked on the
+        # broadcast array, so no argmin work runs for the empty case.
+        .where(F.size("cb") > 0)
         .withColumn("b", best)
-        # Empty-codebook guard: an empty cb gives NULL b; the old
-        # crossJoin against a 0-row centroid frame emitted no rows.
-        .where(F.col("b").isNotNull())
         .select(
             "vec_id",
             "v",
@@ -241,62 +253,63 @@ def _lattice_dist(qc: str | Column, mc: str | Column) -> Column:
 
 def _lattice_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
     # Collected-codebook argmin (see assign_nearest): exact-integer
-    # (asc d, asc cid) order via array_sort over the K candidate
-    # structs, zero exchanges — the round-12 min(struct) groupBy shape
-    # paid a full-corpus Sort + SortAggregate + Exchange per round.
+    # (asc d, asc cid) running-min fold over the K scored structs,
+    # zero exchanges — the round-12 min(struct) groupBy shape paid a
+    # full-corpus Sort + SortAggregate + Exchange per round.
     cb = cent.agg(F.collect_list(F.struct("cid", "m")).alias("cb"))
-    best = F.get(
-        F.array_sort(
-            F.transform(
-                F.col("cb"),
-                lambda c: F.struct(
-                    _lattice_dist(F.col("q"), c.getField("m")).alias("d"),
-                    c.getField("cid").alias("cid"),
-                ),
-            )
+    scored = F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
+            _lattice_dist(F.col("q"), c.getField("m")).alias("d"),
+            c.getField("cid").alias("cid"),
         ),
-        0,
+    )
+    best = F.aggregate(
+        scored,
+        F.lit(None).cast("struct<d:bigint,cid:bigint>"),
+        lambda acc, s: F.when(
+            acc.isNull()
+            | (s.getField("d") < acc.getField("d"))
+            | (
+                (s.getField("d") == acc.getField("d"))
+                & (s.getField("cid") < acc.getField("cid"))
+            ),
+            s,
+        ).otherwise(acc),
     )
     return (
         pts.crossJoin(F.broadcast(cb))
-        .withColumn("b", best)
         # empty-codebook guard (matches the old 0-row crossJoin)
-        .where(F.col("b").isNotNull())
+        .where(F.size("cb") > 0)
+        .withColumn("b", best)
         .select(
             "vec_id", "q", F.col("b.cid").alias("cid"), F.col("b.d").alias("d")
         )
     )
 
 
-def _lattice_update(assigned: DataFrame, dim: int) -> DataFrame:
-    # Per-index partial sums (round-13): one hash aggregation keyed by
-    # cid carrying 2·dim map-side-combinable sums/counts replaces the
-    # posexplode (a dim-fold row blowup), its (cid, pos) exchange, AND
-    # the second collect_list groupBy — one K-row exchange per round
-    # instead of two, no row multiplication. F.get is null-safe for
-    # positions beyond a row's length, and F.count skips those nulls,
-    # so per-position sums/counts match the old posexplode exactly;
-    # the null-position filter mirrors "no (cid, pos) row" for
-    # positions absent from an entire cluster. Integer floor-division
-    # per position is unchanged — results are byte-identical (the
-    # DuckDB unrolled twin re-verified green).
-    aggs: list[Column] = []
-    for i in range(dim):
-        x = F.get("q", i)
-        aggs.append(F.sum(x).alias(f"s{i}"))
-        # count POSITION EXISTENCE (i < len), not non-null values:
-        # posexplode emitted a row for an in-range null element too
-        aggs.append(F.count(F.when(F.size("q") > i, 1)).alias(f"c{i}"))
-    mv = F.array(
-        *[
-            F.call_function("div", F.col(f"s{i}"), F.col(f"c{i}"))
-            for i in range(dim)
-        ]
-    )
+def _lattice_update(assigned: DataFrame) -> DataFrame:
+    # posexplode + (cid, pos) partial sums: the dim-fold row blowup is
+    # collapsed map-side by the hash aggregation (K*dim rows reach the
+    # exchange, not n*dim). A round-13 experiment replaced this with
+    # 2*dim per-index aggregate columns keyed by cid alone (one K-row
+    # exchange instead of two) — measured SLOWER at sf0.1/dim=64
+    # (+2.3 s per query: 128 wide aggregation buffers defeat codegen),
+    # so the exploded shape stays; docs/SCALE.md r13.
     return (
-        assigned.groupBy("cid")
-        .agg(*aggs)
-        .select("cid", F.filter(mv, lambda x: x.isNotNull()).alias("m"))
+        assigned.select("cid", F.posexplode("q").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "cid", "pos", F.call_function("div", F.col("s"), F.col("c")).alias("mv")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("m")
+        )
     )
 
 
@@ -377,16 +390,11 @@ def q_kmeans_lattice_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows+schema+hash gate (unlike the float lane, whose avg() makes
     that impossible by construction)."""
     pts = _lattice_points(spark, sf_dir)
-    # one bounded-scalar job: the per-index update aggregation needs
-    # the (max) dimensionality up front (order-independent, same
-    # max(size) discipline as the PQ/IVF builders)
-    dmax = pts.agg(F.max(F.size("q"))).first()[0]
-    dim = int(dmax) if dmax else 1
     cent = pts.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("m")
     )
     for _ in range(N_ITERS):
-        cent = _lattice_update(_lattice_assign(pts, cent), dim).localCheckpoint()
+        cent = _lattice_update(_lattice_assign(pts, cent)).localCheckpoint()
     final = _lattice_assign(pts, cent)
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -675,7 +683,7 @@ def q_ann_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds exactly like the lattice-Lloyd/BPE/Markov oracles.
 
 
-def _pq_lattice_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+def _pq_lattice_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _lattice_points(spark, sf_dir)
     # Order-independent width, matching the oracle's
     # greatest(1, max(len(q)) // PQ_M): an arbitrary first() row is
@@ -685,36 +693,45 @@ def _pq_lattice_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int
     dim = int(dmax) if dmax is not None else PQ_M
     width = max(1, dim // PQ_M)
     slices = F.array(*[F.slice("q", s * width + 1, width) for s in range(PQ_M)])
-    return pts.select("vec_id", F.posexplode(slices).alias("sub", "sq")), width
+    return pts.select("vec_id", F.posexplode(slices).alias("sub", "sq"))
 
 
 def _pq_lattice_assign(subv: DataFrame, cent: DataFrame) -> DataFrame:
     # Collected-codebook argmin, per-subspace: the whole (sub, cid, m)
     # codebook collapses to one broadcast row; each row filters its
-    # own subspace's entries out of the array and argmins over them —
-    # zero exchanges, where the round-12 broadcast join + min(struct)
-    # groupBy still paid a Sort + SortAggregate + Exchange(vec_id,
-    # sub) of the full subvector frame per round.
+    # own subspace's entries out of the array and running-min folds
+    # over them — zero exchanges, where the round-12 broadcast join +
+    # min(struct) groupBy still paid a Sort + SortAggregate +
+    # Exchange(vec_id, sub) of the full subvector frame per round.
     cb = cent.agg(F.collect_list(F.struct("sub", "cid", "m")).alias("cb"))
-    best = F.get(
-        F.array_sort(
-            F.transform(
-                F.filter(
-                    F.col("cb"), lambda c: c.getField("sub") == F.col("sub")
-                ),
-                lambda c: F.struct(
-                    _lattice_dist(F.col("sq"), c.getField("m")).alias("d"),
-                    c.getField("cid").alias("cid"),
-                ),
-            )
+    scored = F.transform(
+        F.filter(F.col("cb"), lambda c: c.getField("sub") == F.col("sub")),
+        lambda c: F.struct(
+            _lattice_dist(F.col("sq"), c.getField("m")).alias("d"),
+            c.getField("cid").alias("cid"),
         ),
-        0,
+    )
+    best = F.aggregate(
+        scored,
+        F.lit(None).cast("struct<d:bigint,cid:bigint>"),
+        lambda acc, s: F.when(
+            acc.isNull()
+            | (s.getField("d") < acc.getField("d"))
+            | (
+                (s.getField("d") == acc.getField("d"))
+                & (s.getField("cid") < acc.getField("cid"))
+            ),
+            s,
+        ).otherwise(acc),
     )
     return (
         subv.crossJoin(F.broadcast(cb))
+        # empty-subspace guard (matches the old inner join's drop):
+        # checked on the broadcast array before any distance work
+        .where(
+            F.exists(F.col("cb"), lambda c: c.getField("sub") == F.col("sub"))
+        )
         .withColumn("b", best)
-        # empty-subspace guard (matches the old inner join's drop)
-        .where(F.col("b").isNotNull())
         .select(
             "vec_id", "sub", "sq",
             F.col("b.cid").alias("cid"),
@@ -723,24 +740,24 @@ def _pq_lattice_assign(subv: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _pq_lattice_update(assigned: DataFrame, width: int) -> DataFrame:
-    # Per-index partial sums keyed by (sub, cid) — see _lattice_update
-    # for the exact-equivalence argument; width = the subvector length.
-    aggs: list[Column] = []
-    for i in range(width):
-        x = F.get("sq", i)
-        aggs.append(F.sum(x).alias(f"s{i}"))
-        aggs.append(F.count(F.when(F.size("sq") > i, 1)).alias(f"c{i}"))
-    mv = F.array(
-        *[
-            F.call_function("div", F.col(f"s{i}"), F.col(f"c{i}"))
-            for i in range(width)
-        ]
-    )
+def _pq_lattice_update(assigned: DataFrame) -> DataFrame:
+    # posexplode + (sub, cid, pos) partial sums — see _lattice_update
+    # for why the exploded shape beats per-index aggregate columns.
     return (
-        assigned.groupBy("sub", "cid")
-        .agg(*aggs)
-        .select("sub", "cid", F.filter(mv, lambda x: x.isNotNull()).alias("m"))
+        assigned.select("sub", "cid", F.posexplode("sq").alias("pos", "x"))
+        .groupBy("sub", "cid", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "sub", "cid", "pos",
+            F.call_function("div", F.col("s"), F.col("c")).alias("mv"),
+        )
+        .groupBy("sub", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("m")
+        )
     )
 
 
@@ -829,14 +846,12 @@ def q_pq_lattice_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg() class). Driver scalar: one first() reading the
     dimensionality, the same bounded-metadata class as the IVF
     builders."""
-    subv, width = _pq_lattice_frames(spark, sf_dir)
+    subv = _pq_lattice_frames(spark, sf_dir)
     cent = subv.filter(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").alias("cid"), F.col("sq").alias("m")
     )
     for _ in range(PQ_ITERS):
-        cent = _pq_lattice_update(
-            _pq_lattice_assign(subv, cent), width
-        ).localCheckpoint()
+        cent = _pq_lattice_update(_pq_lattice_assign(subv, cent)).localCheckpoint()
     final = _pq_lattice_assign(subv, cent)
     return final.groupBy("sub", "cid").agg(
         F.count(F.lit(1)).alias("n_members"),

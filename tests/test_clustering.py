@@ -165,7 +165,6 @@ def test_lattice_inertia_monotone_decreasing(spark, sf_dir):
     from pyspark.sql import functions as F
 
     pts = _lattice_points(spark, sf_dir).localCheckpoint()
-    dim = int(pts.agg(F.max(F.size("q"))).collect()[0][0])
     cent = pts.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("m")
     )
@@ -173,7 +172,7 @@ def test_lattice_inertia_monotone_decreasing(spark, sf_dir):
     for _ in range(N_ITERS):
         assigned = _lattice_assign(pts, cent)
         inertias.append(assigned.agg(F.sum("d")).collect()[0][0])
-        cent = _lattice_update(assigned, dim).localCheckpoint()
+        cent = _lattice_update(assigned).localCheckpoint()
     assert all(b <= a for a, b in zip(inertias, inertias[1:])), inertias
 
 
@@ -203,8 +202,7 @@ def test_pq_lattice_tracks_float_pq_and_descends(spark, sf_dir):
         per_sub[r.sub] = per_sub.get(r.sub, 0) + r.n_members
     assert all(v == n_vecs for v in per_sub.values()), per_sub
 
-    subv, width = _pq_lattice_frames(spark, sf_dir)
-    subv = subv.localCheckpoint()
+    subv = _pq_lattice_frames(spark, sf_dir).localCheckpoint()
     cent = subv.filter(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").alias("cid"), F.col("sq").alias("m")
     )
@@ -212,5 +210,5 @@ def test_pq_lattice_tracks_float_pq_and_descends(spark, sf_dir):
     for _ in range(PQ_ITERS):
         assigned = _pq_lattice_assign(subv, cent)
         inertias.append(assigned.agg(F.sum("d")).collect()[0][0])
-        cent = _pq_lattice_update(assigned, width).localCheckpoint()
+        cent = _pq_lattice_update(assigned).localCheckpoint()
     assert all(b <= a for a, b in zip(inertias, inertias[1:])), inertias
