@@ -1096,31 +1096,15 @@ def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Session-scoped memo of the verified LSH pair table, keyed by
-# (application, corpus dir). In production the signature->band->verify
-# pipeline is a persisted artifact consumed by every downstream job;
-# here the CLUSTERS query consumes the memo so it pays the CC residual
-# only, while the PAIR query above stays full-path (it IS the
-# materialization job, and its bench number keeps measuring the
-# pipeline). Entries are localCheckpoint blocks — they survive
-# spark.catalog.clearCache() exactly like a written-out table would,
-# and die with the session. (Round-8 finding: ~44 s of the sf1
-# clusters time was re-materializing the pair set the pair query had
-# already computed.)
-_EMB_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def embedding_lsh_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted embedding near-dup pair artifact (vec_a, vec_b,
-    cosine): built once per (session, corpus), reused by consumers."""
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    df = _EMB_PAIR_CACHE.get(key)
-    if df is None:
-        df = q_near_dup_embedding_lsh(spark, sf_dir).localCheckpoint()
-        _EMB_PAIR_CACHE[key] = df
-    return df
+    """The verified embedding near-dup pair table (vec_a, vec_b,
+    cosine), materialized per invocation so multi-pass consumers (the
+    CC loop, the recall eval's three count legs) read the checkpoint
+    instead of re-running the band join. Computed from the parquet
+    inputs on EVERY call — the round-9 session-scoped memo that let
+    later invocations skip the pipeline was removed in round 13 (it
+    made warm bench numbers measure reuse, not compute)."""
+    return q_near_dup_embedding_lsh(spark, sf_dir).localCheckpoint()
 
 
 @query(

@@ -347,10 +347,8 @@ def _trajectory_families(events: DataFrame) -> DataFrame:
             lambda i: F.col("code").substr(i, F.lit(SEQ_SHINGLE_CHARS)),
         )
     )
-    ush = (
-        codes.where(F.length("code") >= SEQ_SHINGLE_CHARS)
-        .select("user_id", sh.alias("sh"))
-        .cache()
+    ush = codes.where(F.length("code") >= SEQ_SHINGLE_CHARS).select(
+        "user_id", sh.alias("sh")
     )
     w_f = Window.partitionBy("fk")
     fam = (
@@ -376,33 +374,59 @@ def _trajectory_reps(fam: DataFrame) -> DataFrame:
 def _singleton_candidate_scores(fam: DataFrame) -> DataFrame:
     """(ua, ub, jaccard): exact Jaccard on every candidate pair the
     df-capped postings index surfaces, probed from singleton families
-    (ua); shared by the production argmax and the recall eval."""
-    reps = _trajectory_reps(fam)
-    exr = reps.select("rep", F.explode("sh").alias("s"))
-    dft = exr.groupBy("s").agg(F.count("*").alias("df"))
-    ed = exr.join(dft, "s")
-    idx1 = ed.where(F.col("df") <= TIER1_DF_CAP).select("rep", "s")
+    (ua); shared by the production argmax and the recall eval.
+
+    Round-13 plan rewrite (guide §2.3/§4.2 "shuffle keys, not
+    payloads"), measured 7.8 -> 4.1 s warm at sf0.1 with identical
+    output:
+
+    - ``fam`` is expected localCheckpoint'd by the caller: the family
+      window chain fed 3+ physical subtrees (twins, the a/b verify
+      sides, the exploded postings) and re-executed for each.
+    - Shingle strings are recoded to dense ints through an exact
+      dictionary (row_number over the sorted distinct shingles — a
+      bijection, so |A∩B| and |A∪B| are unchanged) and the verify's
+      array_intersect runs on int arrays instead of 6-char strings.
+      The dictionary window is single-partition but the shingle
+      vocabulary is bounded by the token alphabet (~25^3 = 15,625
+      possible shingles; 2,380 observed at sf0.1), independent of
+      corpus size.
+    - The probe side of the candidate join is restricted to singleton
+      families BEFORE the join (the old shape filtered n_mem_a == 1
+      after scoring), so >= 2 families never enumerate candidates.
+    """
+    reps0 = _trajectory_reps(fam)
+    exr = reps0.select("rep", F.explode("sh").alias("s"))
+    dct = exr.groupBy("s").agg(F.count("*").alias("df")).withColumn(
+        "sid", F.row_number().over(Window.orderBy("s"))
+    )
+    ed = exr.join(dct, "s")
+    reps = (
+        ed.groupBy("rep")
+        .agg(F.array_sort(F.collect_list("sid")).alias("shi"))
+        .join(reps0.select("rep", "n_mem"), "rep")
+        .localCheckpoint()
+    )
+    idx1 = ed.where(F.col("df") <= TIER1_DF_CAP).select("rep", "sid")
     wm = Window.partitionBy("rep").orderBy("df", "s")
     idx2 = (
         ed.where((F.col("df") > TIER1_DF_CAP) & (F.col("df") <= SEQ_DF_CAP))
         .withColumn("rn", F.row_number().over(wm))
         .where(F.col("rn") <= TIER2_SEL_K)
-        .select("rep", "s")
+        .select("rep", "sid")
     )
-    idx = idx1.unionByName(idx2)
+    idx = idx1.unionByName(idx2).localCheckpoint()
+    singletons = reps.where(F.col("n_mem") == 1).select("rep")
     cand = (
-        idx.alias("a")
-        .join(idx.alias("b"), "s")
+        idx.join(singletons, "rep")
+        .alias("a")
+        .join(idx.alias("b"), "sid")
         .where(F.col("a.rep") != F.col("b.rep"))
         .select(F.col("a.rep").alias("ua"), F.col("b.rep").alias("ub"))
         .distinct()
     )
-    a = reps.select(
-        F.col("rep").alias("ua"),
-        F.col("sh").alias("sh_a"),
-        F.col("n_mem").alias("n_mem_a"),
-    )
-    b = reps.select(F.col("rep").alias("ub"), F.col("sh").alias("sh_b"))
+    a = reps.select(F.col("rep").alias("ua"), F.col("shi").alias("sh_a"))
+    b = reps.select(F.col("rep").alias("ub"), F.col("shi").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
     # exact_ratio casts the int numerator to double before the 1e6
@@ -411,9 +435,12 @@ def _singleton_candidate_scores(fam: DataFrame) -> DataFrame:
     # while the DuckDB twin's len()*1000000 is BIGINT — a latent
     # engine divergence the repo's envelope discipline exists to kill.
     return (
+        # no broadcast hints: reps scales with the corpus (one row per
+        # family), so the planner must stay free to pick SMJ at scale;
+        # the localCheckpoint'd build sides carry accurate size stats,
+        # so small corpora still get the broadcast join automatically.
         cand.join(a, "ua")
         .join(b, "ub")
-        .where(F.col("n_mem_a") == 1)
         .select("ua", "ub", exact_ratio(inter, uni).alias("jaccard"))
     )
 
@@ -463,7 +490,11 @@ def behavioral_nearest_neighbor(events: DataFrame) -> DataFrame:
     production (the session-scoped codes above are the
     unbounded-history fallback).
     """
-    fam = _trajectory_families(events)
+    # One materialization of the family chain (codes -> shingles ->
+    # md5 family windows): it feeds the twins tier, both verify sides
+    # and the postings explode, which otherwise re-execute it each
+    # (round-13 measured barrier, see _singleton_candidate_scores).
+    fam = _trajectory_families(events).localCheckpoint()
     twins = fam.where(F.col("n_mem") >= 2).select(
         "user_id",
         F.when(F.col("user_id") == F.col("m1"), F.col("m2"))
@@ -619,7 +650,7 @@ def trajectory_nn_recall(events: DataFrame) -> DataFrame:
     candidate" because both sides rank by (jaccard desc, id asc) and
     the candidate verify uses the same exact Jaccard.
     """
-    fam = _trajectory_families(events)
+    fam = _trajectory_families(events).localCheckpoint()
     reps = _trajectory_reps(fam)
     queries = (
         reps.where(F.col("n_mem") == 1)

@@ -213,34 +213,20 @@ def train_codebooks(reps: DataFrame, n: int, k1: int, dim: int) -> DataFrame:
     return cent
 
 
-# Session-scoped memo of the trained index, keyed by (application,
-# corpus dir) — the same artifact discipline as dedup.py's
-# embedding_lsh_pair_table: a real deployment trains the codebook
-# once and SHIPS it (the FAISS-index-file role); per-query retraining
-# is a bench artifact, not the production shape. Entries are
-# localCheckpoint blocks (survive clearCache, die with the session).
-_IVF_INDEX_CACHE: dict[
-    tuple[str, str, int], tuple[DataFrame, DataFrame, int]
-] = {}
-
-
 def build_ivf_index(
     spark: SparkSession, sf_dir: str, target_cell: int = IMI_TARGET_CELL
 ) -> tuple[DataFrame, DataFrame, int]:
     """(reps, codebooks, dim): the collapsed corpus and its trained
-    product-cell codebooks, memoized per (session, corpus, C). reps is
-    localCheckpoint'd once — every consumer (training sample,
-    assignment, pair verify, member expansion) reads the materialized
-    4-column frame, not the scan. ``target_cell`` sizes K1 =
-    ceil(sqrt(n/C)): the registered loose-threshold queries use the
-    default C=64; the tight-threshold operating point (pinned in
-    tests/test_semantic_ivf.py) uses C=32."""
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), target_cell)
-    hit = _IVF_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
+    product-cell codebooks. reps is localCheckpoint'd once per
+    invocation — every consumer (training sample, assignment, pair
+    verify, member expansion) reads the materialized 4-column frame,
+    not the scan. Trained from the parquet inputs on EVERY call — the
+    session-scoped memo that let later invocations skip training was
+    removed in round 13 (warm bench numbers must measure compute, not
+    reuse). ``target_cell`` sizes K1 = ceil(sqrt(n/C)): the registered
+    loose-threshold queries use the default C=64; the tight-threshold
+    operating point (pinned in tests/test_semantic_ivf.py) uses
+    C=32."""
     reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
     n = reps.count()  # scalar: sizes the codebook
     # max(size), not an arbitrary first() row: order-independent under
@@ -249,7 +235,6 @@ def build_ivf_index(
     dim = int(dmax) if dmax is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / target_cell)))
     cent = train_codebooks(reps, n, k1, dim)
-    _IVF_INDEX_CACHE[key] = (reps, cent, dim)
     return reps, cent, dim
 
 
@@ -641,25 +626,15 @@ _IVF_PINNED_ORACLE = f"""
 """
 
 
-# Session-scoped memo of (reps, verified pairs) for the pinned-init
-# contract — the same persisted-artifact discipline as dedup.py's
-# embedding_lsh_pair_table and the trained-IVF index cache: a
-# production deployment materializes the verified pair table once and
-# every consumer pays only its own residual (here: CC + expansion).
-_PINNED_PAIR_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
-
-
 def ivf_pinned_pair_table(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(reps, verified pairs) for the pinned-init inverted multi-index,
-    memoized per (session, corpus); both localCheckpoint blocks."""
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    hit = _PINNED_PAIR_CACHE.get(key)
-    if hit is not None:
-        return hit
+    both localCheckpoint blocks (multi-pass consumers: the CC loop and
+    member expansion read the checkpoints, not the scan). Computed
+    from the parquet inputs on EVERY call — the session-scoped memo
+    was removed in round 13 (warm bench numbers must measure compute,
+    not reuse)."""
     reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
     n = reps.count()  # scalar: sizes the codebook
     # max(size), not an arbitrary first() row: order-independent under
@@ -702,7 +677,6 @@ def ivf_pinned_pair_table(
         .select("src", "dst")
         .localCheckpoint()
     )
-    _PINNED_PAIR_CACHE[key] = (reps, pairs)
     return reps, pairs
 
 
