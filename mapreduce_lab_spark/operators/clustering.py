@@ -426,16 +426,42 @@ def pq_assign(subvecs: DataFrame, cent: DataFrame) -> DataFrame:
     training round AND the final encode, so a tie-break or distance
     change can never diverge between them. Returns
     (vec_id, sub, cid, sv)."""
-    # broadcast argmin (see assign_nearest): struct-min == rank
-    # tie-break, K candidate rows collapse map-side
-    scored = subvecs.join(F.broadcast(cent), "sub").withColumn(
-        "d", _sq_dist("sv", "cv")
+    # Collected-codebook argmin (see assign_nearest / _pq_lattice_
+    # assign): the whole (sub, cid, cv) codebook collapses to one
+    # broadcast row; each row filters its own subspace's entries and
+    # running-min folds over them — zero exchanges, same (asc d, asc
+    # cid) tie-break as the round-12 min(struct) groupBy, which paid a
+    # Sort + SortAggregate + Exchange(vec_id, sub) of the subvector
+    # frame per call.
+    cb = cent.agg(F.collect_list(F.struct("sub", "cid", "cv")).alias("cb"))
+    scored = F.transform(
+        F.filter(F.col("cb"), lambda c: c.getField("sub") == F.col("sub")),
+        lambda c: F.struct(
+            _sq_dist(F.col("sv"), c.getField("cv")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
     )
-    best = scored.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("d", "cid", "sv")).alias("b")
+    best = F.aggregate(
+        scored,
+        F.lit(None).cast("struct<d:double,cid:bigint>"),
+        lambda acc, s: F.when(
+            acc.isNull()
+            | (s.getField("d") < acc.getField("d"))
+            | (
+                (s.getField("d") == acc.getField("d"))
+                & (s.getField("cid") < acc.getField("cid"))
+            ),
+            s,
+        ).otherwise(acc),
     )
-    return best.select(
-        "vec_id", "sub", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv")
+    return (
+        subvecs.crossJoin(F.broadcast(cb))
+        # empty-subspace guard (matches the old inner join's drop)
+        .where(
+            F.exists(F.col("cb"), lambda c: c.getField("sub") == F.col("sub"))
+        )
+        .withColumn("b", best)
+        .select("vec_id", "sub", F.col("b.cid").alias("cid"), "sv")
     )
 
 

@@ -470,13 +470,15 @@ def q_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flagship runs except the avg-update loop now sits behind the
 # rows+schema+hash gate (VERDICT r9 task #1).
 #
-# The verify here is the in-join left-fold cosine (the dedup lane's
-# `cosine`) rather than the GEMM kernel: the fold's IEEE addition
-# sequence is what the oracle can replay bit-for-bit. The GEMM
-# kernel's semantics stay pinned by tests/test_semantic_ivf.py's
-# subset-of-exact + recall floors (BLAS accumulation order may differ
-# from the fold by ulps at the threshold, which floors tolerate and a
-# hash gate must not).
+# The DECIDING verify here is the in-join left-fold cosine (the dedup
+# lane's `cosine`) rather than the GEMM kernel: the fold's IEEE
+# addition sequence is what the oracle can replay bit-for-bit. The
+# GEMM kernel runs first only as a margin PREFILTER (threshold - 1e-6,
+# round 13): BLAS and the fold agree to ~1e-12 relative, so the margin
+# admits every pair the fold could accept and the fold then decides
+# membership exactly — bit-identical output, ~1000x fewer interpreted
+# fold evaluations. The GEMM kernel's own semantics stay pinned by
+# tests/test_semantic_ivf.py's subset-of-exact + recall floors.
 
 _CC_ROUNDS = 12  # label distance doubles per round: covers diameter 4096
 
@@ -643,24 +645,24 @@ def ivf_pinned_pair_table(
     dim = int(dmax) if dmax is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
     cent = init_codebooks(_half_subvectors(_train_sample(reps, n, k1), dim), k1)
-    # Candidate dedup BEFORE the fold verify (the opposite of the GEMM
-    # lane's verify-in-join): the left-fold IEEE cosine this oracled
-    # contract needs is interpreted per pair, so verifying a pair once
-    # beats verifying it in each of the up-to-nprobe cells that catch
-    # it — a distinct over 16-byte id pairs + two array back-joins
-    # instead of ~4x duplicate fold evaluations. This is also exactly
-    # the oracle's CTE shape (DISTINCT cand, then verify), so the
-    # twins stay structurally aligned.
-    idx = ivf_postings(reps, cent, dim).select("vec_id", "c1", "c2")
-    cand = (
-        idx.alias("a")
-        .join(idx.alias("b"), ["c1", "c2"])
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
-        )
-        .distinct()
-    )
+    # GEMM margin prefilter, then the exact fold (round-13): the
+    # oracled contract needs the left-fold IEEE cosine per pair, which
+    # is interpreted and was the wall clock — the pinned init's K1²
+    # cells are unbalanced enough that sf0.1 enumerated 1.41M distinct
+    # candidates for 838 true pairs. The BLAS Gram-matrix kernel
+    # (ivf_verified_pairs) scores all in-cell pairs vectorized at
+    # threshold - 1e-6; summation-order differences between BLAS and
+    # the left fold are bounded by ~dim²·ulp ≈ 1e-12 relative, so no
+    # pair whose FOLD cosine passes the threshold can fall below the
+    # margin — the prefilter has no false negatives by construction.
+    # The exact fold + threshold then runs on only the ~survivor set
+    # (and discards any margin-only extras), so the emitted pair set
+    # is BIT-IDENTICAL to folding every candidate (sf0.1: 1.41M fold
+    # evaluations + a 1.41M-row distinct -> 838-ish folds; warm 6.0 ->
+    # ~3 s, DuckDB hash gate re-verified at sf0.01 + sf0.1).
+    cand = ivf_verified_pairs(
+        reps, cent, dim, threshold=COSINE_THRESHOLD - 1e-6
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     va = reps.select(
         F.col("vec_id").alias("src"), F.col("v").alias("va"),
         F.col("norm").alias("norm_a"),
