@@ -98,7 +98,6 @@ BNLJ_AUDITED = {
     "trajectory_nn_recall_at_1": "k-bounded (25-row TakeOrdered) sampled "
     "query side crossed against trajectory reps — the exact half of the "
     "candidate-recall eval, same shape as ann_recall_at_5",
-    "near_dup_embedding_cosine": "O(n²) recall baseline, max_rows-guarded",
     "embedding_lsh_recall_eval": "three 1-row count frames fused; the exact "
     "half inherits the max_rows-guarded recall baseline (sampled eval job)",
     "minhash_lsh_recall_eval": "three 1-row count frames fused over "
@@ -114,6 +113,9 @@ BNLJ_AUDITED = {
     "kmeans_clusters": "broadcast centroid table (K rows per iteration)",
     "kmeans_lattice_census": "broadcast centroid table (K rows per "
     "iteration), integer-lattice twin of kmeans_clusters",
+    "pq_lattice_census": "1-row collected-codebook frame (PQ_M·PQ_K "
+    "centroid structs) broadcast per training round — the round-13 "
+    "zero-exchange argmin",
 }
 
 
