@@ -393,6 +393,33 @@ def main() -> None:
     # Keep the driver-contract "queries" map but emit the line compact
     # (~1 KB with separators vs 3.4 KB last round).
     print(json.dumps(summary, separators=(",", ":")))
+    # Measurement-bug fix (round 13, documented in OPTIMIZATION_r13.md):
+    # the round driver parses the metric from a 2000-char stdout TAIL.
+    # BENCH_r09/r10 (55/59 queries, line < 2 KB) parsed; BENCH_r11/r12
+    # (70/72 queries, line > 2.3 KB) both recorded "parsed": null
+    # because the line's head fell outside the tail window — and the 74
+    # query names alone are now 1606 bytes, so the full map can never
+    # fit again. The full line above still carries EVERY query (nothing
+    # is removed or renamed; BENCH_DETAIL_r{N}.json keeps it all too);
+    # this FINAL line is a tail-sized summary with the same metric,
+    # value and sf, and as many per-query entries as fit the window in
+    # headline (= seniority) order, so the driver regains a parseable
+    # value plus per-query scaling for the longest-measured queries.
+    tail_summary = {
+        "metric": summary["metric"],
+        "value": summary["value"],
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+    }
+    budget = 1900  # tail window is 2000 chars; leave newline + slack
+    for name in names:
+        candidate = dict(tail_summary["queries"], **{name: round(best[name], 2)})
+        trial = dict(tail_summary, queries=candidate)
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        tail_summary["queries"] = candidate
+    print(json.dumps(tail_summary, separators=(",", ":")))
     spark.stop()
 
 

@@ -55,11 +55,18 @@ _ORACLE_NGRAMS8 = """
 """.strip()
 
 
-def ngrams8(text: Column) -> Column:
-    """Distinct token 8-grams; empty for docs shorter than 8 tokens
-    (a sub-8-token doc cannot carry an 8-gram, so it is trivially
-    uncontaminated under this test)."""
-    toks = tokenize(text)
+def ngrams8(toks: Column) -> Column:
+    """Distinct token 8-grams over a PRE-STAGED token-array column;
+    empty for docs shorter than 8 tokens (a sub-8-token doc cannot
+    carry an 8-gram, so it is trivially uncontaminated under this
+    test).
+
+    Takes the token array, not the text: tokenize is lambda-bearing,
+    so codegen subexpression elimination skips it, and inlining it
+    here made every reference (two ``size`` calls plus the in-lambda
+    ``element_at``s) re-run split+filter per row — measured 1.3 s vs
+    0.2 s staged at sf0.1 for this expression alone. Callers stage
+    the array in a preceding select."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
         lambda i: F.concat_ws(
@@ -116,8 +123,8 @@ def benchmark_overlap(docs: DataFrame) -> DataFrame:
     doubles the most expensive expression in the plan.
     """
     with_grams = docs.select(
-        "doc_id", _bench_gate().alias("is_bench"), ngrams8(F.col("text")).alias("ng")
-    )
+        "doc_id", tokenize(F.col("text")).alias("_tk")
+    ).select("doc_id", _bench_gate().alias("is_bench"), ngrams8(F.col("_tk")).alias("ng"))
     hashed = with_grams.select(
         "doc_id", "is_bench", F.explode_outer("ng").alias("g")
     ).select("doc_id", "is_bench", hex8_int(F.col("g")).alias("h"))
@@ -167,12 +174,13 @@ def q_decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataF
 SPAN_N = 13  # the published benchmark-contamination span length
 
 
-def span13_hashes(text: Column) -> Column:
-    """Positional (non-distinct) token 13-gram hashes; empty for short
-    docs. Positional because the output measures what FRACTION of the
-    document's span positions is duplicated elsewhere — a repeated
-    boilerplate block must count every position it covers."""
-    toks = tokenize(text)
+def span13_hashes(toks: Column) -> Column:
+    """Positional (non-distinct) token 13-gram hashes over a
+    PRE-STAGED token-array column; empty for short docs. Positional
+    because the output measures what FRACTION of the document's span
+    positions is duplicated elsewhere — a repeated boilerplate block
+    must count every position it covers. Takes the token array, not
+    the text, for the same staging reason as ``ngrams8``."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_N)),
@@ -205,9 +213,11 @@ def dup_span_fraction(docs: DataFrame) -> DataFrame:
     millions of docs) makes one big COUNT partition of 16-byte rows —
     still orders of magnitude lighter than the text join it replaces.
     """
-    sh = docs.select(
-        "doc_id", F.explode(span13_hashes(F.col("text"))).alias("s")
-    ).select("doc_id", hex8_int(F.col("s")).alias("g"))
+    sh = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("_tk"))
+        .select("doc_id", F.explode(span13_hashes(F.col("_tk"))).alias("s"))
+        .select("doc_id", hex8_int(F.col("s")).alias("g"))
+    )
     # One row per (span hash, doc) with its position count: the single
     # materialization everything downstream consumes.
     gd = sh.groupBy("g", "doc_id").agg(F.count("*").alias("npos"))
@@ -341,11 +351,12 @@ def _dup_islands(docs: DataFrame) -> DataFrame:
     inclusive token positions. The shared core of the coverage metric
     (`dup_token_coverage`) and the removal transform
     (`remove_dup_spans`)."""
-    toks = tokenize(F.col("text"))
     sh = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("_tk")
+    ).select(
         "doc_id",
-        F.size(toks).alias("n_tok"),
-        F.posexplode(span13_hashes(F.col("text"))).alias("pos0", "s"),
+        F.size("_tk").alias("n_tok"),
+        F.posexplode(span13_hashes(F.col("_tk"))).alias("pos0", "s"),
     ).select(
         "doc_id", "n_tok", (F.col("pos0") + 1).alias("pos"), hex8_int(F.col("s")).alias("g")
     )

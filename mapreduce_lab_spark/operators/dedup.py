@@ -71,9 +71,16 @@ _ORACLE_SHINGLES = f"""
 """.strip()
 
 
-def shingles(text: Column) -> Column:
-    """Distinct word-trigram shingles (whole doc if < 3 tokens)."""
-    toks = tokenize(text)
+def shingles(toks: Column) -> Column:
+    """Distinct word-trigram shingles (whole doc if < 3 tokens) over a
+    PRE-STAGED token-array column.
+
+    Takes the token array, not the text: tokenize is lambda-bearing,
+    so codegen subexpression elimination skips it, and inlining it
+    here re-ran split+filter once per reference per row (two ``size``
+    calls, the in-lambda ``element_at``s, the short-doc fallback) —
+    the r13 staging sweep measured 4-8x on the callers. Callers stage
+    the array in a preceding select (``_doc_shingles`` does it)."""
     tri = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
@@ -86,7 +93,9 @@ def shingles(text: Column) -> Column:
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    return docs.select("doc_id", tokenize(F.col("text")).alias("_tk")).select(
+        "doc_id", shingles(F.col("_tk")).alias("sh")
+    )
 
 
 def _set_grp() -> Column:
@@ -613,10 +622,12 @@ def q_near_dup_band_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     keyed = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("_tk")
+    ).select(
         "doc_id",
         F.md5("text").alias("grp"),
         norm.alias("norm"),
-        shingles(F.col("text")).alias("sh"),
+        shingles(F.col("_tk")).alias("sh"),
     )
     base = _collapse_reps(keyed, ["grp"], ["norm", "sh"], members=True).cache()
     sig = base.select(

@@ -249,7 +249,11 @@ def minhash_fuzzy_join(docs: DataFrame) -> DataFrame:
     corpus for any fixed probe table, including duplicate-heavy
     corpora, which is why no identical-set collapse is needed here.
     """
-    doc_sh = docs.select("doc_id", shingles(F.col("text")).alias("sh")).cache()
+    doc_sh = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("_tk"))
+        .select("doc_id", shingles(F.col("_tk")).alias("sh"))
+        .cache()
+    )
     sig = doc_sh.select(
         "doc_id",
         _probe_gate().alias("is_probe"),

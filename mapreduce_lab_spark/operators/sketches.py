@@ -469,7 +469,8 @@ def kmv_corpus_overlap(docs: DataFrame, k: int = KMV_K) -> DataFrame:
     Jaccard), so the estimator is actually exercised.
     """
     sh = (
-        docs.select("source", F.explode(shingles(F.col("text"))).alias("s"))
+        docs.select("source", tokenize(F.col("text")).alias("_tk"))
+        .select("source", F.explode(shingles(F.col("_tk"))).alias("s"))
         .select("source", hex8_int("s").alias("h"))
         .distinct()
     )

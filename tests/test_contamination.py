@@ -55,9 +55,12 @@ def test_ngrams8_short_doc_empty(spark):
         [(1, "only seven tokens are in this doc"), (2, "now this one has exactly eight tokens yes")],
         ["doc_id", "text"],
     )
+    from mapreduce_lab_spark.functions.text import tokenize
+
+    staged = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
     rows = {
         r["doc_id"]: r["ng"]
-        for r in docs.select("doc_id", ngrams8(F.col("text")).alias("ng")).collect()
+        for r in staged.select("doc_id", ngrams8(F.col("tk")).alias("ng")).collect()
     }
     assert rows[1] == []
     assert rows[2] == ["now this one has exactly eight tokens yes"]

@@ -359,8 +359,12 @@ def test_band_edit_collapse_matches_uncollapsed_with_dup_family(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     # Uncollapsed reference.
+    from mapreduce_lab_spark.functions.text import tokenize
+
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = docs.select("doc_id", norm.alias("norm"), shingles(F.col("text")).alias("sh"))
+    base = docs.select(
+        "doc_id", norm.alias("norm"), tokenize(F.col("text")).alias("tk")
+    ).select("doc_id", "norm", shingles(F.col("tk")).alias("sh"))
     sig = base.select("doc_id", *minhash_signature(F.transform("sh", hex8_int)))
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*_band_keys())).alias("band", "key")
