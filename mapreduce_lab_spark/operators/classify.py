@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import hex8_int, oracle_hex8_int
 from mapreduce_lab_spark.functions.numeric import exact_ratio, oracle_exact_ratio
-from mapreduce_lab_spark.operators.ngrams import _ORACLE_TOKENS, _bigrams
+from mapreduce_lab_spark.operators.ngrams import (
+    _ORACLE_TOKENS,
+    _bigrams,
+    _lower_tokens,
+)
 from mapreduce_lab_spark.registry import query
 from mapreduce_lab_spark.sources.tables import fan_out, load_table
 
@@ -50,9 +54,11 @@ def hashed_weights(spark: SparkSession, n_buckets: int = N_BUCKETS) -> DataFrame
 
 def classify_documents(docs: DataFrame, spark: SparkSession,
                        n_buckets: int = N_BUCKETS) -> DataFrame:
-    feats = docs.select(
-        "doc_id", F.explode(_bigrams()).alias("bg")
-    ).select("doc_id", F.pmod(hex8_int(F.col("bg")), F.lit(n_buckets)).alias("bucket"))
+    feats = (
+        docs.select("doc_id", _lower_tokens().alias("_lt"))
+        .select("doc_id", F.explode(_bigrams(F.col("_lt"))).alias("bg"))
+        .select("doc_id", F.pmod(hex8_int(F.col("bg")), F.lit(n_buckets)).alias("bucket"))
+    )
     scored = (
         feats.join(F.broadcast(hashed_weights(spark, n_buckets)), "bucket")
         .groupBy("doc_id")
@@ -247,15 +253,32 @@ LF_LEN_LO = 120
 def weak_label_votes(docs: DataFrame) -> DataFrame:
     """Per-document LF vector, vote score, and voted label — narrow
     per-row expressions only (array scalars on the split text), no
-    shuffle until the caller aggregates."""
-    words = F.split(F.col("text"), " ")
+    shuffle until the caller aggregates.
+
+    The per-token counts are staged as columns first: the filter
+    lambdas make the count expressions CSE-blind, so the inlined
+    when-chains re-split the text once per reference per row (21
+    copies in the single-Project plan; see OPTIMIZATION_r13.md)."""
+    words = F.col("_w")
 
     def cnt(tok: str) -> F.Column:
         return F.size(F.filter(words, lambda w: w == F.lit(tok)))
 
+    pre = docs.select(
+        "doc_id", "n_chars", F.split(F.col("text"), " ").alias("_w")
+    ).select(
+        "doc_id",
+        "n_chars",
+        cnt("fast").alias("_n_fast"),
+        cnt("slow").alias("_n_slow"),
+        (
+            F.array_contains(words, "spark") & F.array_contains(words, "query")
+        ).alias("_has_topic"),
+        F.array_contains(words, "dup").alias("_has_dup"),
+    )
     lf_speed = (
-        F.when(cnt("fast") > cnt("slow"), F.lit(1))
-        .when(cnt("fast") < cnt("slow"), F.lit(-1))
+        F.when(F.col("_n_fast") > F.col("_n_slow"), F.lit(1))
+        .when(F.col("_n_fast") < F.col("_n_slow"), F.lit(-1))
         .otherwise(F.lit(0))
     )
     lf_len = (
@@ -264,15 +287,12 @@ def weak_label_votes(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
     )
     lf_topic = (
-        F.when(
-            F.array_contains(words, "spark") & F.array_contains(words, "query"),
-            F.lit(1),
-        )
-        .when(F.array_contains(words, "dup"), F.lit(-1))
+        F.when(F.col("_has_topic"), F.lit(1))
+        .when(F.col("_has_dup"), F.lit(-1))
         .otherwise(F.lit(0))
     )
     score = F.lit(2) * lf_speed + lf_len + lf_topic
-    return docs.select(
+    return pre.select(
         "doc_id",
         lf_speed.alias("lf_speed"),
         lf_len.alias("lf_len"),

@@ -182,10 +182,13 @@ def q_token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    n_tok = F.size(tokenize(F.col("text")))
+    # Stage the token count: tokenize is lambda-bearing (CSE-blind),
+    # and n_tok is referenced three times below (r13 staging sweep).
+    n_tok = F.col("_n")
     w = F.lit(TOKEN_BUCKET_WIDTH)
     return (
-        docs.select((n_tok - F.pmod(n_tok, w)).cast("long").alias("bucket_lo"), n_tok.alias("n"))
+        docs.select(F.size(tokenize(F.col("text"))).alias("_n"))
+        .select((n_tok - F.pmod(n_tok, w)).cast("long").alias("bucket_lo"), n_tok.alias("n"))
         .groupBy("bucket_lo")
         .agg(
             F.count("*").alias("n_docs"),

@@ -34,10 +34,19 @@ _ORACLE_TOKENS = (
 )
 
 
-def _bigrams() -> F.Column:
-    toks = F.filter(
+def _lower_tokens() -> F.Column:
+    """Lowercased word tokens of ``text`` — stage this as a column
+    before consuming it repeatedly: it is lambda-bearing, so codegen
+    subexpression elimination skips it and every reference re-runs
+    split+filter per row (the r13 staging sweep, see
+    OPTIMIZATION_r13.md)."""
+    return F.filter(
         F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda t: t != F.lit("")
     )
+
+
+def _bigrams(toks: F.Column) -> F.Column:
+    """Adjacent-word bigrams over a PRE-STAGED token-array column."""
     idx = F.sequence(F.lit(1), F.size(toks) - 1)
     return F.transform(
         idx,
@@ -50,7 +59,8 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
     # a size() pre-filter (or plain explode's inferred one) sinks the
     # bigram construction below the fan_out exchange onto the scan.
     counts = (
-        docs.select(F.explode_outer(_bigrams()).alias("bigram"))
+        docs.select(_lower_tokens().alias("_lt"))
+        .select(F.explode_outer(_bigrams(F.col("_lt"))).alias("bigram"))
         .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
@@ -126,7 +136,8 @@ def rare_bigram_rate(docs: DataFrame) -> DataFrame:
     # the bigram construction below the fan_out exchange (see
     # bigram_pmi_top); with two consumers of `pos` the waste doubles.
     pos = (
-        docs.select("doc_id", F.explode_outer(_bigrams()).alias("bg"))
+        docs.select("doc_id", _lower_tokens().alias("_lt"))
+        .select("doc_id", F.explode_outer(_bigrams(F.col("_lt"))).alias("bg"))
         .where(F.col("bg").isNotNull())
         .select("doc_id", hex8_int(F.col("bg")).alias("g"))
     )
@@ -219,7 +230,8 @@ def bigram_pmi_top(docs: DataFrame) -> DataFrame:
     uni = toks.groupBy("word").agg(F.count("*").alias("c_w"))
     total = toks.agg(F.count("*").alias("_n_tokens"))
     bi = (
-        docs.select(F.explode_outer(_bigrams()).alias("bigram"))
+        docs.select(_lower_tokens().alias("_lt"))
+        .select(F.explode_outer(_bigrams(F.col("_lt"))).alias("bigram"))
         .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))

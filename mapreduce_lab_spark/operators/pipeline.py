@@ -60,33 +60,50 @@ QUALITY_THRESHOLD = 0.7
     """,
 )
 def q_pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single-lineage form: the canonical survivor is the rank-1 row of
-    # a window over the content hash (identical to the old
-    # min-doc_id-per-hash groupBy + join-back, but with ONE consumer of
-    # the scoring subtree — the join form re-ran the tokenize/score
-    # scan per branch; scripts/audit_scans.py, round 4).
+    # Single-lineage form with NO pre-aggregation Filter: the round-13
+    # plan audit found that a `filter(quality_score >= t)` before the
+    # survivor selection gets predicate-pushed through the staged
+    # scoring projections all the way below the fan_out round-robin
+    # exchange, re-expanding the (lambda-bearing, CSE-blind) score
+    # into THREE tokenize copies evaluated at the scan's own
+    # parallelism. Folding keep-ness into the survivor aggregate —
+    # min(when(keep, struct(doc_id, ..))) per content hash, the same
+    # map-side-collapse idiom as dedup's _collapse_reps — leaves
+    # nothing for PushDownPredicate to sink: the only filter is the
+    # post-aggregate IS NOT NULL, which cannot cross the aggregate.
+    # Survivor identity is unchanged (struct min is lexicographic on
+    # the leading doc_id field = the old rank-1-by-doc_id window).
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     # keep=, not a docs-side self-join on doc_id: the join re-scanned
     # the table for the raw columns (duplicate lineage the scan audit
     # bounds); keep= threads lang/text through the single scoring
     # projection.
-    scored = quality_scores(docs, keep=("lang", "text")).withColumn(
+    # with_n_tokens: reuse the token array quality_scores already
+    # staged instead of paying a second tokenize pass for the count.
+    scored = quality_scores(docs, keep=("lang", "text"), with_n_tokens=True).withColumn(
         "h", F.md5("text")
-    ).withColumn("n_tokens", F.size(tokenize(F.col("text"))))
-    kept = scored.filter(F.col("quality_score") >= QUALITY_THRESHOLD).select(
-        "doc_id", "lang", "h", "n_tokens", "quality_score"
     )
-    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
-    surviving_rows = kept.withColumn("rn", rn).where(F.col("rn") == 1)
-    return surviving_rows.groupBy("lang").agg(
+    surv = (
+        scored.select(
+            "h",
+            F.when(
+                F.col("quality_score") >= QUALITY_THRESHOLD,
+                F.struct(
+                    "doc_id",
+                    "lang",
+                    "n_tokens",
+                    (F.col("quality_score") * 1000).cast("long").alias("qs_m"),
+                ),
+            ).alias("cand"),
+        )
+        .groupBy("h")
+        .agg(F.min("cand").alias("k"))
+        .where(F.col("k").isNotNull())
+    )
+    return surv.groupBy(F.col("k.lang").alias("lang")).agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        (
-            F.floor(
-                F.sum((F.col("quality_score") * 1000).cast("long")) * 1000 / F.count("*")
-            )
-            / 1e6
-        ).alias("avg_quality"),
+        F.sum("k.n_tokens").alias("total_tokens"),
+        (F.floor(F.sum("k.qs_m") * 1000 / F.count("*")) / 1e6).alias("avg_quality"),
     )
 
 

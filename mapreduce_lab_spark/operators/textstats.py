@@ -92,7 +92,9 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(fan_out(load_table(spark, sf_dir, "documents"), spark))
 
 
-def quality_scores(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+def quality_scores(
+    docs: DataFrame, keep: tuple[str, ...] = (), with_n_tokens: bool = False
+) -> DataFrame:
     """Heuristic per-document quality score in [0, 1].
 
     Components (all floor-scaled integer arithmetic, ``_m`` = milli):
@@ -122,6 +124,10 @@ def quality_scores(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     return pre.select(
         *keep,
         "doc_id",
+        # ``with_n_tokens`` exposes the staged array's size so callers
+        # that need the token count (the pipeline capstone) don't pay
+        # a second tokenize pass over the corpus.
+        *([n_tokens.alias("n_tokens")] if with_n_tokens else []),
         (stop_m / 1000.0).alias("stopword_ratio"),
         (punct_m / 1000.0).alias("punct_ratio"),
         (
@@ -166,19 +172,31 @@ def lang_id(docs: DataFrame) -> DataFrame:
     vocabulary across its ``lang`` labels, so accuracy against the
     label is not the contract — determinism is).
     """
-    toks = tokenize(F.lower(F.col("text")))
+    # Stage the token array, then each marker score, then the argmax:
+    # the filter lambdas are CSE-blind and the when-chain references
+    # every score several times, so the inlined shape carried 35
+    # copies of the tokenize in one Project (the same staging class as
+    # gopher_quality_flags; mirrors the oracle's s/b CTE structure).
+    toks = F.col("_lk")
+
     def marker_count(markers: tuple[str, ...]) -> Column:
         # NB: the filter lambda must take exactly one parameter —
         # pyspark passes the element index to a second parameter.
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
-    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
-    langs = sorted(scores)
+    langs = sorted(LANG_MARKERS)
+    staged = docs.select(
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("_lk")
+    ).select(
+        "doc_id",
+        *[marker_count(LANG_MARKERS[lg]).alias(f"_s_{lg}") for lg in langs],
+    )
+    scores = {lg: F.col(f"_s_{lg}") for lg in langs}
     best = F.greatest(*[scores[lg] for lg in langs])
     pred = F.lit(None).cast("string")
     for lg in reversed(langs):
         pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
-    return docs.select(
+    return staged.select(
         "doc_id", pred.alias("predicted_lang"), best.alias("marker_hits")
     )
 
@@ -427,20 +445,35 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     0.5 s, identical output). CollapseProject keeps the stages apart
     because the staged columns are non-cheap and multiply consumed.
     """
-    pre = docs.select("doc_id", tokenize(F.col("text")).alias("_tk")).select(
+    staged = docs.select("doc_id", tokenize(F.col("text")).alias("_tk")).select(
         "doc_id",
         "_tk",
         F.size("_tk").alias("_n"),
         F.array_sort("_tk").alias("_srt"),
     )
-    toks, n = F.col("_tk"), F.col("_n")
-    total_chars = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    _toks, _nn = F.col("_tk"), F.col("_n")
+    # Each O(n) signal is itself staged: `between` and the composite
+    # `passes` reference every signal twice, which quadrupled the
+    # aggregate/intersect/distinct/run-scan work when inlined.
+    pre = staged.select(
+        "doc_id",
+        "_n",
+        F.floor(
+            F.aggregate(F.transform(_toks, F.length), F.lit(0), lambda acc, x: acc + x)
+            * F.lit(1000)
+            / _nn
+        ).alias("_mlm"),
+        F.size(
+            F.array_intersect(_toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+        ).alias("_nstop"),
+        F.size(F.array_distinct(_toks)).alias("_ndist"),
+        _max_token_run(F.col("_srt"), _nn).alias("_mr"),
     )
-    mean_len_m = F.floor(total_chars * F.lit(1000) / n)
-    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
-    n_distinct = F.size(F.array_distinct(toks))
-    max_run = _max_token_run(F.col("_srt"), n)
+    n = F.col("_n")
+    mean_len_m = F.col("_mlm")
+    n_stop = F.col("_nstop")
+    n_distinct = F.col("_ndist")
+    max_run = F.col("_mr")
     empty = n == F.lit(0)
     return pre.select(
         "doc_id",

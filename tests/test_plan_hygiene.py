@@ -322,14 +322,11 @@ def test_dup_scan_audit_list_not_stale(scan_counts):
 HEAVY_FILTER_MIN_LEN = 600
 
 # name -> why the below-exchange heavy predicate is accepted.
-HEAVY_FILTER_AUDITED = {
-    "pipeline_quality_dedup_stats": "the quality threshold IS the "
-    "pipeline's first stage and must precede dedup; its predicate is "
-    "the scoring expression itself, so scan-level eval is a second "
-    "scoring pass at scan parallelism — acceptable (2.1 s warm at "
-    "sf0.1), and at 100 TB fan_out is a no-op so no exchange exists "
-    "to sink below",
-}
+# Emptied in round 13: pipeline_quality_dedup_stats folded its
+# quality threshold into the survivor aggregate (min(when(keep,
+# struct)) per content hash), so no Filter exists for
+# PushDownPredicate to sink below the fan_out exchange anymore.
+HEAVY_FILTER_AUDITED: dict[str, str] = {}
 
 
 def _heavy_filters_below_exchange(plan: str) -> list[str]:
