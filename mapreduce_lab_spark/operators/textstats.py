@@ -458,10 +458,20 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     pre = staged.select(
         "doc_id",
         "_n",
-        F.floor(
-            F.aggregate(F.transform(_toks, F.length), F.lit(0), lambda acc, x: acc + x)
-            * F.lit(1000)
-            / _nn
+        # n > 0 guard: the old inline shape only reached this division
+        # inside `when(empty, ..).otherwise(..)`, whose per-row CASE
+        # short-circuit protected empty docs from the ANSI
+        # DIVIDE_BY_ZERO; the staged column must guard explicitly
+        # (NULL here is never consumed — every reader re-checks empty).
+        F.when(
+            _nn > 0,
+            F.floor(
+                F.aggregate(
+                    F.transform(_toks, F.length), F.lit(0), lambda acc, x: acc + x
+                )
+                * F.lit(1000)
+                / _nn
+            ),
         ).alias("_mlm"),
         F.size(
             F.array_intersect(_toks, F.array(*[F.lit(s) for s in STOPWORDS]))

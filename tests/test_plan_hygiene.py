@@ -378,6 +378,42 @@ def test_heavy_filter_audit_list_not_stale(plans):
     assert stale == [], f"HEAVY_FILTER_AUDITED entries no longer needed: {stale}"
 
 
+# Invariant #6 (round 13): no operator node may carry 3+ copies of the
+# lambda-bearing tokenize expression. Codegen subexpression elimination
+# skips lambda-bearing expressions, so each plan-level copy is a real
+# per-row re-evaluation of split+filter — the round-13 staging sweep
+# found single Projects carrying 66 (gopher), 36 (repetition) and 35
+# (lang-id) copies, worth 7-13x on the full-corpus text scans. Two
+# copies can be legitimate (e.g. a condition/value pair); three or more
+# means a consumer should stage the token array in its own select.
+_TOKENIZE_MARKERS = ("split(text", "split(lower(text")
+TOKENIZE_REPEAT_MAX = 2
+
+
+def _repeated_tokenize_nodes(plan: str) -> list[str]:
+    hits = []
+    for ln in plan.splitlines():
+        for m in _TOKENIZE_MARKERS:
+            if ln.count(m) > TOKENIZE_REPEAT_MAX:
+                hits.append(f"{ln.count(m)}x {m}: {ln.strip()[:90]}")
+    return hits
+
+
+def test_no_repeated_tokenize_in_one_node(plans):
+    offenders = {
+        n: hits
+        for n, p in plans.items()
+        for hits in [_repeated_tokenize_nodes(p)]
+        if hits
+    }
+    assert offenders == {}, (
+        f"lambda-bearing tokenize repeated inside one operator node in "
+        f"{sorted(offenders)}; stage the token array as a column in its "
+        "own select (OPTIMIZATION_r13.md, staging sweep) — codegen CSE "
+        "will NOT dedup it"
+    )
+
+
 def test_scan_counts_immune_to_leftover_caches(spark, sf_dir):
     """META-TEST for the round-4 failure mode: building query B after
     query A left cached frames behind must report the same live scan
