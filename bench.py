@@ -357,11 +357,16 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf_val,
     }
-    # Per-round detail file (BENCH_DETAIL_r{N}.json, N = one past the
-    # newest committed BENCH_r*.json) so a round never clobbers the
-    # previous round's detail; $SPARK_GRAFT_DETAIL_PATH overrides. The
-    # write is best-effort — a read-only install dir must not cost us
-    # the stdout metric line the driver parses.
+    # Per-round detail file, keyed on (round, cpu count):
+    # BENCH_DETAIL_r{N}_c{CPUS}.json with N = one past the newest
+    # committed BENCH_r*.json. Round 13's scheme omitted the cpu
+    # count, so the driver's second (8-core) leg auto-incremented N
+    # and squatted on the NEXT round's filename (VERDICT r13 #2);
+    # keying on cpus gives every leg of a multi-leg driver run its
+    # own file and N stays the true round for all of them.
+    # $SPARK_GRAFT_DETAIL_PATH overrides. The write is best-effort —
+    # a read-only install dir must not cost us the stdout metric line
+    # the driver parses.
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH")
     if not detail_path:
@@ -374,7 +379,7 @@ def main() -> None:
             if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         n = max(rounds, default=0) + 1
-        detail_path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+        detail_path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}_c{int(CPUS)}.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(
@@ -405,16 +410,22 @@ def main() -> None:
     # value and sf, and as many per-query entries as fit the window in
     # headline (= seniority) order, so the driver regains a parseable
     # value plus per-query scaling for the longest-measured queries.
+    # "queries_truncated" discriminates this line from the canonical
+    # full line above (same metric name — ADVICE r13: a consumer that
+    # keys on the metric rather than taking the last line must be able
+    # to tell them apart), and per-query values keep the canonical
+    # line's 3-decimal rounding for consistency with BENCH_DETAIL.
     tail_summary = {
         "metric": summary["metric"],
         "value": summary["value"],
         "unit": "sec",
+        "queries_truncated": True,
         "queries": {},
         "sf": sf_val,
     }
     budget = 1900  # tail window is 2000 chars; leave newline + slack
     for name in names:
-        candidate = dict(tail_summary["queries"], **{name: round(best[name], 2)})
+        candidate = dict(tail_summary["queries"], **{name: round(best[name], 3)})
         trial = dict(tail_summary, queries=candidate)
         if len(json.dumps(trial, separators=(",", ":"))) > budget:
             break

@@ -425,8 +425,33 @@ def minhash_signature(hx: Column) -> list[Column]:
 
 
 def _band_keys() -> list[Column]:
+    """Band join keys: the band's BAND_ROWS minhash values packed into
+    two longs (s0·2³¹+s1, s2·2³¹+s3).
+
+    Every consumer uses the key purely for equality (band self-joins,
+    the census groupBy, the streaming probe), and each minhash value
+    is < 2³¹ (perm_hash mod 2³¹−1), so the packing is a bijection of
+    the value tuple — bucket membership, candidate sets and census
+    counts are provably identical to the round-≤13 "v0:v1:v2:v3"
+    string key. The swap shuffles 16 fixed-width bytes per band row
+    instead of a ~40-char string and compares longs instead of strings
+    in the exchange and the join (guide §2.3 narrower types): at sf0.1
+    the band frames carry 4 rows/doc through a shuffle on every
+    minhash lane, and at 100 TB key bytes are most of those exchanges.
+    """
+    def pack(lo: Column, hi: Column) -> Column:
+        # values < 2^31, so lo*2^31 + hi < 2^62 — no ANSI overflow
+        return lo * F.lit(1 << 31).cast("long") + hi
+
     return [
-        F.concat_ws(":", *[F.col(f"s{band * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+        F.struct(
+            pack(
+                F.col(f"s{band * BAND_ROWS}"), F.col(f"s{band * BAND_ROWS + 1}")
+            ).alias("k1"),
+            pack(
+                F.col(f"s{band * BAND_ROWS + 2}"), F.col(f"s{band * BAND_ROWS + 3}")
+            ).alias("k2"),
+        )
         for band in range(N_BANDS)
     ]
 
@@ -1181,8 +1206,12 @@ def embedding_lsh_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-running the band join. Computed from the parquet
     inputs on EVERY call — the round-9 session-scoped memo that let
     later invocations skip the pipeline was removed in round 13 (it
-    made warm bench numbers measure reuse, not compute)."""
-    return q_near_dup_embedding_lsh(spark, sf_dir).localCheckpoint()
+    made warm bench numbers measure reuse, not compute). Lazy (round
+    14): the clusters consumer immediately re-materializes its own CC
+    edge checkpoint, so an eager job here was pure overhead; the
+    recall eval's three count legs still read the one materialization
+    after their first action."""
+    return q_near_dup_embedding_lsh(spark, sf_dir).localCheckpoint(eager=False)
 
 
 @query(
@@ -1957,7 +1986,7 @@ def _snm_lead_pairs(blocked: DataFrame, w: int, key: str = "norm") -> DataFrame:
     )
 
 
-def _snm_verify(pairs: DataFrame) -> DataFrame:
+def _snm_verify(pairs: DataFrame, base: DataFrame) -> DataFrame:
     """Edit-distance verify (same relative threshold as the LSH-edit
     family), dedup across passes.
 
@@ -1972,7 +2001,24 @@ def _snm_verify(pairs: DataFrame) -> DataFrame:
     -1 above k) with k = the pair's own acceptance bound — for
     integers lev <= 0.2·max_len iff lev <= floor(0.2·max_len), so
     accept-iff-not-(-1) is exactly the unbounded predicate. Measured
-    8.9 s -> 2.2 s warm on the two-pass query at sf0.1."""
+    8.9 s -> 2.2 s warm on the two-pass query at sf0.1.
+
+    Round 14 (guide §2.3 / §8 — shuffle keys, not payloads): the
+    cross-pass dedup now runs on BARE ID PAIRS (16 bytes/row) and the
+    two normalized texts are re-attached afterwards by doc_id joins
+    against ``base`` (one norm per DOC crosses those exchanges, not
+    two norms per CANDIDATE). The round-13 shape shuffled both full
+    texts through the distinct for every one of the ~4·(w−1)·n
+    candidate rows — ~30x the text bytes this form moves. The pair
+    set, the per-pair norms (determined by the ids), every gate and
+    the emitted rows are identical; the old trailing distinct (which
+    collapsed the least/greatest norm-swap of symmetric candidates)
+    is subsumed because the id-level distinct now runs first and the
+    join attaches each side's norm exactly once."""
+    ids = pairs.select("doc_a", "doc_b").distinct()
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    withn = ids.join(a, "doc_a").join(b, "doc_b")
     max_len = F.greatest(F.length("norm_a"), F.length("norm_b"))
     len_gap = F.abs(F.length("norm_a") - F.length("norm_b"))
     lev_banded = F.expr(
@@ -1980,12 +2026,10 @@ def _snm_verify(pairs: DataFrame) -> DataFrame:
         f"greatest(length(norm_a), length(norm_b))) div 1000 AS INT))"
     ).cast("long")
     return (
-        pairs.distinct()
-        .where(1000 * len_gap <= EDIT_DIST_MAX_PERMILLE * max_len)
+        withn.where(1000 * len_gap <= EDIT_DIST_MAX_PERMILLE * max_len)
         .withColumn("edit_distance", lev_banded)
         .where(F.col("edit_distance") >= 0)
         .select("doc_a", "doc_b", "edit_distance")
-        .distinct()
     )
 
 
@@ -2061,8 +2105,8 @@ def near_dup_sorted_neighborhood(
     original. Recall strictly improves; the linear candidate bound is
     kept.
     """
-    base = _snm_normalize(docs)
-    return _snm_verify(_snm_pass(base, w, prefix, F.col("norm")))
+    base = _snm_normalize(docs).cache()  # feeds the pass + both verify joins
+    return _snm_verify(_snm_pass(base, w, prefix, F.col("norm")), base)
 
 
 def near_dup_snm_multipass(
@@ -2081,13 +2125,13 @@ def near_dup_snm_multipass(
     ≤ 4·(w−1)·n candidates — still linear — with strictly more recall
     than either pass alone.
     """
-    # Both passes (and each pass's main + boundary windows) consume
-    # the normalized projection: cache it so the documents scan +
-    # normalize runs once, not four times.
+    # Both passes (and each pass's main + boundary windows) plus the
+    # verify's two norm joins consume the normalized projection: cache
+    # it so the documents scan + normalize runs once, not six times.
     base = _snm_normalize(docs).cache()
     fwd = _snm_pass(base, w, prefix, F.col("norm"))
     rev = _snm_pass(base, w, prefix, F.reverse(F.col("norm")))
-    return _snm_verify(fwd.unionByName(rev))
+    return _snm_verify(fwd.unionByName(rev), base)
 
 
 _SNM_LEAD_COLS = ", ".join(

@@ -71,9 +71,10 @@ rows-only ``ivf_train_codebook`` artifact query, exploded to scalar
 rows per the r10 driver-canonicalizer postmortem).
 
 Driver-side actions in index construction — all scalar/metadata, the
-same class as ``connected_components``' convergence signature: one
-count() (sizes K1), one max(size) aggregate (reads the
-dimensionality order-independently; ADVICE r12).
+same class as ``connected_components``' convergence signature: ONE
+fused aggregate reading count (sizes K1) and max(size) (the
+dimensionality, order-independently per ADVICE r12) in a single job
+(round 14 — the two separate scalar jobs were pure fixed overhead).
 """
 
 from __future__ import annotations
@@ -193,8 +194,17 @@ def train_codebooks(reps: DataFrame, n: int, k1: int, dim: int) -> DataFrame:
     sample — identical round shape to ``clustering.pq_train``,
     parameterized by k1 and the sample.
     """
-    sv = _half_subvectors(_train_sample(reps, n, k1), dim).localCheckpoint()
-    cent = init_codebooks(sv, k1).localCheckpoint()
+    # LAZY checkpoints (round 14): each eager localCheckpoint was its
+    # own blocking Spark job, so training a ~32·K1-row sample cost 4+
+    # scheduled jobs of almost pure fixed overhead. eager=False keeps
+    # the same materialize-once/lineage-cut semantics but folds each
+    # materialization into the FIRST job that consumes it (the next
+    # round's collected-codebook broadcast build), halving the lane's
+    # job count. Cross-round subtree re-execution stays impossible:
+    # every round still reads the previous round's materialized
+    # blocks, never its lineage.
+    sv = _half_subvectors(_train_sample(reps, n, k1), dim).localCheckpoint(eager=False)
+    cent = init_codebooks(sv, k1).localCheckpoint(eager=False)
     for _ in range(IMI_TRAIN_ITERS):
         assigned = pq_assign(sv, cent)
         cent = (
@@ -208,7 +218,7 @@ def train_codebooks(reps: DataFrame, n: int, k1: int, dim: int) -> DataFrame:
                     lambda s: s["m"],
                 ).alias("cv")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cent
 
@@ -227,12 +237,16 @@ def build_ivf_index(
     loose-threshold queries use the default C=64; the tight-threshold
     operating point (pinned in tests/test_semantic_ivf.py) uses
     C=32."""
-    reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
-    n = reps.count()  # scalar: sizes the codebook
-    # max(size), not an arbitrary first() row: order-independent under
-    # non-uniform dimensionality (ADVICE r12, same fix as clustering).
-    dmax = reps.agg(F.max(F.size("v"))).first()[0]
-    dim = int(dmax) if dmax is not None else 2
+    # Lazy checkpoint + FUSED sizing aggregate (round 14): the count()
+    # and max(size) scalars ride one job, and that job is also what
+    # materializes the checkpoint — 3 scheduled jobs became 1. Same
+    # order-independent dim read as ADVICE r12.
+    reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint(eager=False)
+    row = reps.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
+    ).first()
+    n = int(row["n"])
+    dim = int(row["d"]) if row["d"] is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / target_cell)))
     cent = train_codebooks(reps, n, k1, dim)
     return reps, cent, dim
@@ -309,6 +323,7 @@ def ivf_verified_pairs(
     dim: int,
     threshold: float = COSINE_THRESHOLD,
     nprobe: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Rep-level (vec_a < vec_b) pairs with exact cosine >=
     COSINE_THRESHOLD, verified per cell as a blocked Gram matrix.
@@ -363,11 +378,11 @@ def ivf_verified_pairs(
             }
         )
 
-    return (
-        p.groupBy("c1", "c2")
-        .applyInPandas(verify, schema="vec_a long, vec_b long")
-        .distinct()
-    )
+    out = p.groupBy("c1", "c2").applyInPandas(verify, schema="vec_a long, vec_b long")
+    # dedup=False lets a consumer that dedups anyway (the CC input
+    # runs its own distinct over the symmetrized edges) skip one full
+    # shuffle of the pair table — round 14; emitted SET unchanged.
+    return out.distinct() if dedup else out
 
 
 @query(
@@ -400,7 +415,10 @@ def q_near_dup_embedding_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataF
     member, so labels are min-over-members in every case).
     """
     reps, cent, dim = build_ivf_index(spark, sf_dir)
-    pairs = ivf_verified_pairs(reps, cent, dim).select(
+    # dedup=False: connected_components runs distinct() on the
+    # symmetrized edge set itself, so the pre-CC distinct was a
+    # redundant extra shuffle of the pair table (round 14).
+    pairs = ivf_verified_pairs(reps, cent, dim, dedup=False).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     labels = connected_components(pairs).withColumnRenamed("doc_id", "rep")
@@ -637,12 +655,14 @@ def ivf_pinned_pair_table(
     from the parquet inputs on EVERY call — the session-scoped memo
     was removed in round 13 (warm bench numbers must measure compute,
     not reuse)."""
-    reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
-    n = reps.count()  # scalar: sizes the codebook
-    # max(size), not an arbitrary first() row: order-independent under
-    # non-uniform dimensionality (ADVICE r12, same fix as clustering).
-    dmax = reps.agg(F.max(F.size("v"))).first()[0]
-    dim = int(dmax) if dmax is not None else 2
+    # Lazy checkpoint + fused count/dim sizing job (round 14, same as
+    # build_ivf_index); order-independent dim read per ADVICE r12.
+    reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint(eager=False)
+    row = reps.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
+    ).first()
+    n = int(row["n"])
+    dim = int(row["d"]) if row["d"] is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
     cent = init_codebooks(_half_subvectors(_train_sample(reps, n, k1), dim), k1)
     # GEMM margin prefilter, then the exact fold (round-13): the
@@ -671,13 +691,17 @@ def ivf_pinned_pair_table(
         F.col("vec_id").alias("dst"), F.col("v").alias("vb"),
         F.col("norm").alias("norm_b"),
     )
+    # Lazy: the single-consumer path (connected_components, which
+    # materializes its own checkpoint of the symmetrized edges) no
+    # longer pays a separate blocking job here, while any multi-pass
+    # consumer still reads materialized blocks after the first action.
     pairs = (
         cand.join(va, "src")
         .join(vb, "dst")
         .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
         .select("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return reps, pairs
 
@@ -808,12 +832,16 @@ def q_ivf_init_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-side scalars: one count() (sizes K1) + one first() (reads
     dim) — the same bounded-metadata class as ``build_ivf_index``.
     """
-    reps = collapse_identical_vectors(spark, sf_dir)
-    n = reps.count()  # scalar: sizes the codebook
-    # max(size), not an arbitrary first() row: order-independent under
-    # non-uniform dimensionality (ADVICE r12, same fix as clustering).
-    dmax = reps.agg(F.max(F.size("v"))).first()[0]
-    dim = int(dmax) if dmax is not None else 2
+    # Lazy checkpoint + fused count/dim sizing job (round 14): reps
+    # feeds the sizing aggregate, the training-sample filter and the
+    # subvector slicing — without a checkpoint the collapse aggregate
+    # re-executed for each; order-independent dim read per ADVICE r12.
+    reps = collapse_identical_vectors(spark, sf_dir).localCheckpoint(eager=False)
+    row = reps.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
+    ).first()
+    n = int(row["n"])
+    dim = int(row["d"]) if row["d"] is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
     cent = init_codebooks(_half_subvectors(_train_sample(reps, n, k1), dim), k1)
     return cent.select("sub", "cid", F.posexplode("cv").alias("dim_idx", "value"))
@@ -934,7 +962,7 @@ def q_ivf_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-side scalars: one count() + one first() (codebook sizing),
     the same bounded-metadata class as the other IVF queries.
     """
-    reps_full = collapse_identical_vectors(spark, sf_dir).localCheckpoint()
+    reps_full = collapse_identical_vectors(spark, sf_dir).localCheckpoint(eager=False)
     kf = reps_full.agg(F.max("vec_id").alias("mx")).select(
         (
             F.call_function("div", F.col("mx"), F.lit(10).cast("long")) * 7
@@ -944,12 +972,15 @@ def q_ivf_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps_full.crossJoin(F.broadcast(kf))
         .where(F.col("vec_id") <= F.col("kk"))
         .select("vec_id", "v", "norm")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n = base.count()  # scalar: sizes the frozen codebook
-    # max(size), not first(): see the codebook sites above.
-    dmax = base.agg(F.max(F.size("v"))).first()[0]
-    dim = int(dmax) if dmax is not None else 2
+    # Fused count/dim sizing job (round 14); order-independent dim
+    # read per ADVICE r12 — see the codebook sites above.
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
+    ).first()
+    n = int(row["n"])
+    dim = int(row["d"]) if row["d"] is not None else 2
     k1 = max(2, math.ceil(math.sqrt(max(n, 1) / IMI_TARGET_CELL)))
     cent = init_codebooks(_half_subvectors(_train_sample(base, n, k1), dim), k1)
     # Frozen-codebook assignment is a pure per-row function of the

@@ -47,7 +47,7 @@ def main() -> None:
         from bench import HEADLINE
 
         names = [n for n in HEADLINE if n in qs]
-    out_dir = os.path.join(ROOT, "plans", "r13")
+    out_dir = os.path.join(ROOT, "plans", os.environ.get("PLANS_TAG", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, SF_DIR)

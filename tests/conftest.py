@@ -4,8 +4,18 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings as _hsettings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Hypothesis profiles (round 14, VERDICT r13 #1): "fast" is the
+# default CI/driver profile; "soak" restores every test's full
+# example budget. Per-test budgets route through
+# tests.fuzzbudget.examples(), which reads the same env knob, so the
+# profile governs explicit @settings(max_examples=...) too.
+_hsettings.register_profile("fast", deadline=None)
+_hsettings.register_profile("soak", deadline=None)
+_hsettings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "fast"))
 
 from mapreduce_lab_spark.session import get_spark  # noqa: E402
 from mapreduce_lab_spark.testing import duckdb_connect  # noqa: E402
@@ -18,6 +28,17 @@ def spark():
     # Small thread count + few shuffle partitions: test data is tiny,
     # scheduler overhead dominates otherwise.
     s = get_spark("mapreduce_lab_spark-tests", master="local[4]", shuffle_partitions=4)
+    # Whole-stage codegen OFF for the test session (round 14): every
+    # unique plan pays a driver-side janino compile, and this suite
+    # builds thousands of unique throwaway plans over KB-scale data —
+    # measured 24 s -> 1.3 s on the single worst parity test, and it
+    # is most of why the r13 suite outgrew the driver's pytest budget
+    # (VERIFY_r13 tests_ok=false: killed at ~92%). Semantics are
+    # identical (the interpreted path evaluates the same expressions);
+    # bench.py keeps codegen ON, so performance-path behavior is still
+    # exercised where it is measured. test_plan_quality's codegen-
+    # coverage test re-enables it locally for its own plan.
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
     yield s
 
 

@@ -14,6 +14,8 @@ import duckdb
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
+from tests.fuzzbudget import examples
+
 from mapreduce_lab_spark.operators.bpe import (
     END_OF_WORD,
     _bpe_encode_oracle,
@@ -89,7 +91,7 @@ def test_bpe_matches_reference_on_random_corpora(spark, corpus):
     assert got == _py_bpe(corpus, 4)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=examples(150), deadline=None)
 @given(corpus=CORPUS_X)
 @example(corpus=["ab " * 10 + "xab xab xac xad xae xaf"])  # ADVICE r12
 @example(corpus=["aaaa aaa aa"])  # overlap chains
@@ -104,7 +106,7 @@ def test_train_oracle_matches_reference_on_random_corpora(corpus):
     assert got == sorted(_py_bpe(corpus, 12))
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=examples(150), deadline=None)
 @given(corpus=CORPUS_X)
 @example(corpus=["ab " * 10 + "xab xab xac xad xae xaf"])
 def test_encode_oracle_matches_reference_on_random_corpora(corpus):

@@ -13,6 +13,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from tests.fuzzbudget import examples
+
 from mapreduce_lab_spark.operators.semantic_ivf import (
     _CC_ROUNDS,
     _cc_label_chain,
@@ -66,7 +68,7 @@ def _uf_labels(pairs):
     return {n: min(ns) for ns in comp.values() for n in ns}
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=examples(120), deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 60), st.integers(0, 60)),

@@ -16,6 +16,8 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.fuzzbudget import examples
+
 from mapreduce_lab_spark.operators.dedup import connected_components
 
 NODE = st.integers(min_value=0, max_value=24)
@@ -44,7 +46,7 @@ def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 @settings(
-    max_examples=10,
+    max_examples=examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 
+from tests.fuzzbudget import examples
+
 from mapreduce_lab_spark.operators.chunking import (
     CHUNK_STRIDE,
     CHUNK_TOKENS,
@@ -26,7 +28,7 @@ def _chunks_for(spark, n_tokens: int) -> list[tuple[int, list[str]]]:
     return sorted((r["chunk_idx"], r["chunk_text"].split(" ")) for r in rows)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=examples(25), deadline=None)
 @given(n=st.integers(min_value=0, max_value=400))
 def test_chunking_invariants(spark, n):
     out = _chunks_for(spark, n)

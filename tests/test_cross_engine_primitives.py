@@ -18,6 +18,8 @@ import duckdb
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+from tests.fuzzbudget import examples
 from pyspark.sql import functions as F
 
 from mapreduce_lab_spark.functions.hashing import (
@@ -82,7 +84,7 @@ def test_hex8_int_parity_adversarial(spark):
     assert _spark_hex8(spark, ADVERSARIAL) == _duck_hex8(ADVERSARIAL)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=examples(25), deadline=None)
 @given(st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=24))
 def test_hex8_int_parity_fuzz(spark, values):
     # Spark strings cannot hold unpaired surrogates; Hypothesis text()
@@ -114,7 +116,7 @@ def test_perm_hash_parity_all_perms(spark):
     assert got == [tuple(r) for r in exp]
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=examples(20), deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -170,7 +172,7 @@ def _py_fold_dot(a, b):
     return acc
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=examples(60), deadline=None)
 @given(
     st.lists(
         st.tuples(

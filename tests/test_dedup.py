@@ -178,7 +178,7 @@ def test_snm_boundary_pass_recovers_block_edge_pairs(spark):
     )
     main_only = {
         (r.doc_a, r.doc_b)
-        for r in _snm_verify(_snm_lead_pairs(blocked, SNM_WINDOW)).collect()
+        for r in _snm_verify(_snm_lead_pairs(blocked, SNM_WINDOW), base).collect()
     }
     assert (1, 2) not in main_only, main_only
 
@@ -208,7 +208,7 @@ def test_snm_candidates_superset_of_1char_blocking(spark):
     )
     old_pairs = {
         (r.doc_a, r.doc_b)
-        for r in _snm_verify(_snm_lead_pairs(old_blocked, SNM_WINDOW)).collect()
+        for r in _snm_verify(_snm_lead_pairs(old_blocked, SNM_WINDOW), base).collect()
     }
     new_pairs = {
         (r.doc_a, r.doc_b) for r in near_dup_sorted_neighborhood(docs).collect()

@@ -55,8 +55,10 @@ def test_k_below_inv_phi_rejected(spark):
 
 from hypothesis import given, settings, strategies as st
 
+from tests.fuzzbudget import examples
 
-@settings(max_examples=15, deadline=None)
+
+@settings(max_examples=examples(15), deadline=None)
 @given(
     data=st.lists(
         st.tuples(st.integers(min_value=0, max_value=60),  # key id

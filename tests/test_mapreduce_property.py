@@ -15,6 +15,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.fuzzbudget import examples
+
 from mapreduce_lab_spark.operators.mapreduce_contract import (
     _WORD,
     map_reduce,
@@ -36,7 +38,7 @@ def sc(spark):
 
 @given(texts=corpora)
 @settings(
-    max_examples=15,
+    max_examples=examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -92,7 +92,9 @@ BNLJ_AUDITED = {
     "range_join_price_bands": "static band table (constant rows)",
     "event_pattern_match": "4-row funnel-pattern table",
     # vector-search baselines / bounded query sides:
-    "knn_cosine_bruteforce": "k-bounded query side (explicit recall baseline)",
+    # (knn_cosine_bruteforce left this list in round 14: the GEMM
+    # prescreen replaced its non-equi broadcast join with equi-joins
+    # on the bounded candidate table, so no BNLJ remains.)
     "ann_recall_at_5": "k-bounded query side crossed against the corpus for "
     "the exact half of the recall measurement (sampled-query eval job)",
     "trajectory_nn_recall_at_1": "k-bounded (25-row TakeOrdered) sampled "
@@ -386,16 +388,26 @@ def test_heavy_filter_audit_list_not_stale(plans):
 # (lang-id) copies, worth 7-13x on the full-corpus text scans. Two
 # copies can be legitimate (e.g. a condition/value pair); three or more
 # means a consumer should stage the token array in its own select.
-_TOKENIZE_MARKERS = ("split(text", "split(lower(text")
+#
+# The marker is the plan rendering of the tokenize() HELPER itself —
+# ``filter(split(`` — rather than hard-coded input spellings
+# ("split(text", "split(lower(text"): ADVICE r13 noted a tokenize over
+# any derived/aliased input (split(trim(text..)), a renamed column)
+# evaded the literal markers, while a lambda-FREE plain split (which
+# codegen CSE does dedup) was counted. filter(split( is exactly the
+# lambda-bearing composition CSE skips, for every input expression.
+import re as _re
+
+_TOKENIZE_RE = _re.compile(r"filter\(split\(")
 TOKENIZE_REPEAT_MAX = 2
 
 
 def _repeated_tokenize_nodes(plan: str) -> list[str]:
     hits = []
     for ln in plan.splitlines():
-        for m in _TOKENIZE_MARKERS:
-            if ln.count(m) > TOKENIZE_REPEAT_MAX:
-                hits.append(f"{ln.count(m)}x {m}: {ln.strip()[:90]}")
+        n = len(_TOKENIZE_RE.findall(ln))
+        if n > TOKENIZE_REPEAT_MAX:
+            hits.append(f"{n}x filter(split(: {ln.strip()[:90]}")
     return hits
 
 

@@ -63,8 +63,15 @@ def test_wordcount_has_partial_aggregation(spark, sf_dir):
 
 
 def test_topk_uses_single_scan_and_codegen(spark, sf_dir):
-    df = topk_expensive_parts(spark, sf_dir)
-    assert inspect.codegen_stage_count(df) >= 1
+    # The shared test session runs with whole-stage codegen OFF (see
+    # conftest — plan-compile time dominated the suite); this test is
+    # ABOUT codegen coverage, so flip it on for its own plan only.
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try:
+        df = topk_expensive_parts(spark, sf_dir)
+        assert inspect.codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
 
 def test_aqe_splits_skewed_join(spark, sf_dir):

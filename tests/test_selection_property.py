@@ -14,6 +14,8 @@ import math
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.fuzzbudget import examples
+
 from mapreduce_lab_spark.operators.attribution import MARKOV_SCALE, _absorption
 from mapreduce_lab_spark.operators.profiling import (
     QUANTILE_PCTS,
@@ -82,7 +84,7 @@ def _float_absorption(
 
 
 @given(t=CHAINS)
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=examples(50), deadline=None)
 def test_markov_fixed_point_tracks_float_solve(t):
     from mapreduce_lab_spark.operators.attribution import MARKOV_ITERS
 
@@ -101,7 +103,7 @@ def test_markov_fixed_point_tracks_float_solve(t):
 
 
 @given(t=CHAINS)
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=examples(30), deadline=None)
 def test_markov_removal_never_increases_conversion(t):
     base = _absorption(t, None).get("start", 0)
     for ch in ("a", "b", "c"):

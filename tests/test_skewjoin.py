@@ -68,8 +68,10 @@ def test_skew_join_plan_has_two_join_paths_and_broadcast_split(spark):
 
 from hypothesis import given, settings, strategies as st
 
+from tests.fuzzbudget import examples
 
-@settings(max_examples=10, deadline=None)
+
+@settings(max_examples=examples(10), deadline=None)
 @given(
     probe_keys=st.lists(st.integers(min_value=0, max_value=12),
                         min_size=0, max_size=60),

@@ -92,6 +92,8 @@ def test_shards_are_bounded_and_deterministic(spark, sf_dir):
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from tests.fuzzbudget import examples
+
 _name_alpha = "abcdefghijklmnopqrstuvwxyz0123456789._-"
 
 
@@ -114,7 +116,7 @@ def _member_lists(draw):
     return members
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=examples(60), deadline=None)
 @given(_member_lists())
 def test_ustar_roundtrip_and_stdlib_interop_fuzz(members):
     """Both directions against the spec AND stdlib tarfile: our bytes
@@ -151,7 +153,7 @@ def test_name_exactly_100_chars_no_nul():
         tar_header("f" * 101, 0)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=examples(40), deadline=None)
 @given(st.integers(0, 511), st.integers(0, 255))
 def test_any_single_header_byte_corruption_is_caught(off, val):
     """Flipping ANY header byte to a different value must raise the
